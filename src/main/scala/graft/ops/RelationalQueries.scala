@@ -1,0 +1,459 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.Tables.{basisPoints, cents, exactDiv, load}
+
+/** Extension surface over the driver's star schema (SURVEY §2.4/§7.2.5):
+  * joins (broadcast/semi/anti/range/as-of), aggregations (hash, distinct,
+  * rollup), windows, top-k, set ops, JSON + event-time operators.
+  *
+  * Scale posture (100 TB): fact-fact joins shuffle on their join keys and let
+  * AQE re-plan; every dimension side small enough to broadcast IS broadcast;
+  * aggregates are partial+final automatically (`HashAggregateExec`); nothing
+  * here collects to the driver. Float outputs follow the exact-integer rules
+  * in [[graft.Tables]].
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-shaped pricing summary: single-table scan → partial/final hash
+    * aggregate. Filter pushes to the parquet scan.
+    */
+  val q1Pricing = QueryDef(
+    "q1_pricing",
+    (spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", exactDiv(col("sum_qty_cents"), col("count_order") * 100))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+             COUNT(*) AS count_order,
+             CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_qty
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** TPC-H Q3-shaped: broadcast the filtered customer dim into the
+    * orders⋈lineitem shuffle join; top-10 via sort+limit (TakeOrderedAndProject).
+    */
+  val q3Shipping = QueryDef(
+    "q3_shipping",
+    (spark, dir) => {
+      val cust = load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = load(spark, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate  > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue_cents DESC, l_orderkey
+      LIMIT 10"""))
+
+  /** TPC-H Q5-shaped: 6-way join — all dims broadcast, lineitem⋈orders is the
+    * only shuffle pair; local-supplier condition c_nationkey = s_nationkey.
+    */
+  val q5NationRevenue = QueryDef(
+    "q5_nation_revenue",
+    (spark, dir) => {
+      val region = load(spark, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = load(spark, dir, "nation")
+      val cust = load(spark, dir, "customer")
+      val supp = load(spark, dir, "supplier")
+      val ord = load(spark, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = load(spark, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue_cents DESC, n_name"""))
+
+  /** LEFT SEMI join (EXISTS): customers with at least one open order. */
+  val joinSemi = QueryDef(
+    "join_semi",
+    (spark, dir) => {
+      val cust = load(spark, dir, "customer")
+      val open = load(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+      cust.join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      ORDER BY c_custkey"""))
+
+  /** LEFT ANTI join (NOT EXISTS): customers with no in-progress order. */
+  val joinAnti = QueryDef(
+    "join_anti",
+    (spark, dir) => {
+      val cust = load(spark, dir, "customer")
+      val partial = load(spark, dir, "orders").filter(col("o_orderstatus") === "P")
+      cust.join(partial, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      ORDER BY c_custkey"""))
+
+  /** Range (theta) join against a tiny inline tier dim — broadcast
+    * nested-loop, the right physical shape for band joins against small dims.
+    */
+  val joinRangeBucket = QueryDef(
+    "join_range_bucket",
+    (spark, dir) => {
+      import spark.implicits._
+      val tiers = Seq((0, 10, "XS"), (10, 20, "S"), (20, 30, "M"),
+        (30, 40, "L"), (40, 10000, "XL")).toDF("lo", "hi", "tier")
+      val li = load(spark, dir, "lineitem")
+      li.join(broadcast(tiers),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_items"), sum(cents(col("l_quantity"))).as("qty_cents"))
+        .orderBy(col("tier"))
+    },
+    Some("""
+      WITH tiers(lo, hi, tier) AS (
+        VALUES (0, 10, 'XS'), (10, 20, 'S'), (20, 30, 'M'), (30, 40, 'L'), (40, 10000, 'XL'))
+      SELECT tier, COUNT(*) AS n_items,
+             CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM lineitem JOIN tiers ON l_quantity >= lo AND l_quantity < hi
+      GROUP BY tier
+      ORDER BY tier"""))
+
+  /** Backward as-of join: each purchase event paired with the latest 'view'
+    * event of the same user strictly before it (millisecond granularity on
+    * both engines — events.ts is ns parquet, Spark truncates to µs, so raw
+    * timestamp comparison would diverge; epoch-ms floors identically).
+    * Composed as equi-join on user + window rank, the partition-local pattern
+    * that scales: state per user stays bounded, no cross-partition traffic
+    * beyond the user_id shuffle.
+    */
+  val joinAsof = QueryDef(
+    "join_asof",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_millis(col("ts")).as("p_ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          unix_millis(col("ts")).as("v_ms"))
+      val w = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("v_ms").desc, col("view_id").desc)
+      p.join(v, col("user_id") === col("v_user") && col("v_ms") < col("p_ms"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("purchase_id"), col("user_id"), col("view_id").as("prior_view_id"),
+          (col("p_ms") - col("v_ms")).as("gap_ms"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS p_ms
+                 FROM events WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id AS v_user, epoch_ms(ts) AS v_ms
+                 FROM events WHERE event_type = 'view'),
+           j AS (SELECT purchase_id, user_id, view_id, p_ms, v_ms,
+                        ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                           ORDER BY v_ms DESC, view_id DESC) AS rn
+                 FROM p JOIN v ON user_id = v_user AND v_ms < p_ms)
+      SELECT purchase_id, user_id, view_id AS prior_view_id, p_ms - v_ms AS gap_ms
+      FROM j WHERE rn = 1
+      ORDER BY purchase_id"""))
+
+  /** ROLLUP over region→nation order revenue (hierarchical grouping sets). */
+  val aggRollup = QueryDef(
+    "agg_rollup",
+    (spark, dir) => {
+      val ord = load(spark, dir, "orders")
+      val cust = load(spark, dir, "customer")
+      val nation = load(spark, dir, "nation")
+      val region = load(spark, dir, "region")
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .select(coalesce(col("r_name"), lit("-ALL-")).as("region_name"),
+          coalesce(col("n_name"), lit("-ALL-")).as("nation_name"),
+          col("n_orders"), col("total_cents"))
+        .orderBy(col("region_name"), col("nation_name"))
+    },
+    Some("""
+      SELECT COALESCE(r_name, '-ALL-') AS region_name,
+             COALESCE(n_name, '-ALL-') AS nation_name,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY region_name, nation_name"""))
+
+  /** Distinct aggregation: per order status, distinct customers + volumes. */
+  val aggDistinct = QueryDef(
+    "agg_distinct",
+    (spark, dir) => {
+      load(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+             COUNT(DISTINCT o_custkey) AS n_customers,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
+  /** Per-group top-k via ranking window — the scalable top-k pattern (no
+    * global sort; rank computed inside each hash partition).
+    */
+  val windowTopk = QueryDef(
+    "window_topk",
+    (spark, dir) => {
+      val ord = load(spark, dir, "orders")
+        .withColumn("totalprice_cents", cents(col("o_totalprice")))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+      ord.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("totalprice_cents"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, rn, o_orderkey, totalprice_cents
+      FROM (SELECT o_custkey, o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn"""))
+
+  /** Running aggregates: per-user cumulative sum + lag, µs event-time order. */
+  val windowRunning = QueryDef(
+    "window_running",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          cents(col("value")).as("value_cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      ev.select(
+          col("event_id"), col("user_id"),
+          row_number().over(w).as("rn"),
+          sum(col("value_cents"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_cents"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER w AS rn,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+             LAG(event_id, 1) OVER w AS prev_event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      ORDER BY event_id"""))
+
+  /** Global top-k: sort + limit compiles to TakeOrderedAndProject — per
+    * partition local top-k, then a k-row merge on the driver, never a full sort.
+    */
+  val topkGlobal = QueryDef(
+    "topk_global",
+    (spark, dir) => {
+      load(spark, dir, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("totalprice_cents"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""
+      SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents
+      FROM orders
+      ORDER BY totalprice_cents DESC, o_orderkey
+      LIMIT 100"""))
+
+  /** Set operators: INTERSECT / EXCEPT / UNION ALL over yearly buyer sets. */
+  val setOps = QueryDef(
+    "setops",
+    (spark, dir) => {
+      val ord = load(spark, dir, "orders")
+      def buyers(y: Int) = ord.filter(
+        col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("custkey"))
+      val y95 = buyers(1995)
+      val y96 = buyers(1996)
+      val both = y95.intersect(y96).withColumn("bucket", lit("both"))
+      val only95 = y95.except(y96).withColumn("bucket", lit("only_1995"))
+      val only96 = y96.except(y95).withColumn("bucket", lit("only_1996"))
+      both.unionAll(only95).unionAll(only96)
+        .select(col("bucket"), col("custkey"))
+        .orderBy(col("bucket"), col("custkey"))
+    },
+    Some("""
+      WITH y95 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+           y96 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+      SELECT 'both' AS bucket, custkey FROM (SELECT custkey FROM y95 INTERSECT SELECT custkey FROM y96)
+      UNION ALL
+      SELECT 'only_1995' AS bucket, custkey FROM (SELECT custkey FROM y95 EXCEPT SELECT custkey FROM y96)
+      UNION ALL
+      SELECT 'only_1996' AS bucket, custkey FROM (SELECT custkey FROM y96 EXCEPT SELECT custkey FROM y95)
+      ORDER BY bucket, custkey"""))
+
+  /** JSON extraction (`events.props`) + grouped aggregation. */
+  val eventsJson = QueryDef(
+    "events_json",
+    (spark, dir) => {
+      load(spark, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Event-time tumbling window (batch twin of the streaming aggregation in
+    * [[graft.streaming.EventStreams]]): 1-day UTC buckets.
+    */
+  val eventsTumbling = QueryDef(
+    "events_tumbling",
+    (spark, dir) => {
+      load(spark, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day, event_type"""))
+
+  /** Gap-based sessionization (30-min inactivity) — the batch expression of
+    * streaming session windows: lag → new-session flag → running sum as
+    * session id → per-session rollup. All state partition-local per user.
+    */
+  val eventsSessionize = QueryDef(
+    "events_sessionize",
+    (spark, dir) => {
+      val gapMs = 30L * 60 * 1000
+      val ev = load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+          cents(col("value")).as("value_cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val flagged = ev.withColumn("new_sess",
+        when(col("ms") - lag(col("ms"), 1).over(w) > gapMs || lag(col("ms"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      flagged
+        .withColumn("sess_seq",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_seq"))
+        .agg(min(col("ms")).as("session_start_ms"), max(col("ms")).as("session_end_ms"),
+          count(lit(1)).as("n_events"), sum(col("value_cents")).as("value_cents"))
+        .select(col("user_id"), col("sess_seq"), col("session_start_ms"),
+          col("session_end_ms"), col("n_events"), col("value_cents"))
+        .orderBy(col("user_id"), col("sess_seq"))
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+                 FROM events),
+           f AS (SELECT *, CASE WHEN ms - LAG(ms, 1) OVER w > 1800000
+                                  OR LAG(ms, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+           s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+                 FROM f)
+      SELECT user_id, sess_seq, MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+             COUNT(*) AS n_events, CAST(SUM(value_cents) AS BIGINT) AS value_cents
+      FROM s
+      GROUP BY user_id, sess_seq
+      ORDER BY user_id, sess_seq"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q1Pricing, q3Shipping, q5NationRevenue, joinSemi, joinAnti, joinRangeBucket,
+    joinAsof, aggRollup, aggDistinct, windowTopk, windowRunning, topkGlobal,
+    setOps, eventsJson, eventsTumbling, eventsSessionize)
+}
