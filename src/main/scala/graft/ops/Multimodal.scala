@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star extension): media as opaque
+  * `binary` columns with typed metadata, decoded/feature-extracted in
+  * executor-side batches.
+  *
+  * The actual codec is stubbed ([[StubMediaDecoder]]) — image/audio libraries
+  * are not in this environment — but everything Spark-side is real: schema,
+  * batch shape, partition-local decode loop, and the deterministic contract
+  * a real decoder would have to satisfy. Swap [[MediaDecoder]] for a JNI/
+  * javax.imageio implementation and nothing else changes.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + routing metadata. */
+  case class MediaRecord(media_id: Long, media_type: String, content: Array[Byte])
+
+  /** Decoded features for one media payload. */
+  case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      brightness_bp: Long)
+
+  /** Batch decoder contract: an entire batch crosses the boundary at once
+    * (the shape a native/vectorized codec needs), executor-side only.
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
+  }
+
+  /** Deterministic stand-in for the real codec: derives fake dimensions and a
+    * fake brightness from the payload bytes. Pure function of the bytes, so
+    * tests and the rows-only driver check are stable.
+    */
+  object StubMediaDecoder extends MediaDecoder {
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val len = r.content.length.toLong
+        val sum = r.content.foldLeft(0L)((a, b) => a + (b & 0xff))
+        MediaFeatures(
+          media_id = r.media_id,
+          media_type = r.media_type,
+          byte_len = len,
+          width = (len % 640 + 16).toInt,
+          height = ((len / 7) % 480 + 16).toInt,
+          n_frames = if (r.media_type.startsWith("video")) (len % 24 + 1).toInt else 1,
+          brightness_bp = if (len == 0) 0L else sum * 10000 / (len * 255))
+      }
+  }
+
+  /** Partition-local batched decode: groups each partition's iterator into
+    * `batchSize` chunks (bounded memory per task) and runs the decoder once
+    * per chunk — the Scala analogue of a pandas-batch UDF, with no
+    * driver-side traffic.
+    */
+  def decode(ds: Dataset[MediaRecord], decoder: MediaDecoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(chunk => decoder.decodeBatch(chunk))
+    }
+  }
+
+  /** Synthesize a media table from `documents` (text bytes as fake payloads)
+    * — the driver testdata has no binary column, so the payloads are derived
+    * deterministically from an existing one.
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, lit("image/fake"))
+        .when(col("doc_id") % 3 === 1, lit("audio/fake"))
+        .otherwise(lit("video/fake")).as("media_type"),
+      col("text").cast("binary").as("content"))
+      .as[MediaRecord]
+  }
+}

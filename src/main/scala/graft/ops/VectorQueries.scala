@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.Tables.{basisPoints, load}
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (north-star extension):
+  * brute-force cosine top-k as the exactness baseline, IVF-style partitioned
+  * search as the scale path, and sign-LSH banding for near-duplicate
+  * candidate generation.
+  *
+  * Scale posture: the query side is always the small side → broadcast it;
+  * the corpus side streams through a single scan. Similarities are
+  * floor-scaled to basis points ([[graft.Tables.basisPoints]]) BEFORE any
+  * ranking so rank order can't depend on sub-bp float noise.
+  */
+object VectorQueries {
+
+  /** vectors as (id, DOUBLE[64]) — float→double cast keeps both engines on
+    * the identical double-double IEEE path.
+    */
+  private def vecs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+
+  private val DuckVecs =
+    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+  /** sim_bp SQL twin of basisPoints(cosine(a,b)) */
+  private def duckSim(a: String, b: String) =
+    s"CAST(floor(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)) * 10000 + 0.5) AS BIGINT)"
+
+  /** Brute-force cosine top-10 for a fixed query set (vec_id < 8): broadcast
+    * queries × corpus scan — the exact baseline every ANN variant is
+    * measured against. O(Q·N) similarity evaluations, one shuffle for the
+    * per-query rank.
+    */
+  val annBruteforce = QueryDef(
+    "ann_bruteforce",
+    (spark, dir) => {
+      val e = vecs(spark, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim_bp").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          basisPoints(cosine(col("qv"), col("v"))).as("sim_bp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("rn"), col("vec_id"), col("sim_bp"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(s"""
+      WITH e AS ($DuckVecs),
+           q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+           s AS (SELECT qid, vec_id, ${duckSim("qv", "v")} AS sim_bp
+                 FROM q JOIN e ON vec_id <> qid),
+           r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY sim_bp DESC, vec_id) AS rn FROM s)
+      SELECT qid, rn, vec_id, sim_bp FROM r WHERE rn <= 10
+      ORDER BY qid, rn"""))
+
+  /** IVF-style ANN: deterministic coarse quantizer (first 16 vectors as
+    * centroids — a k-means stand-in that keeps the query oracle-replayable),
+    * assign every vector to its best centroid, probe the 4 nearest cells per
+    * query, exact re-rank inside the probed cells.
+    *
+    * Scale path: assignment is a broadcast (centroids) map-side scan; search
+    * touches nprobe/ncells of the corpus instead of all of it. At real scale
+    * the assignment would be written once as a bucketed table, not recomputed.
+    */
+  val annIvf = QueryDef(
+    "ann_ivf",
+    (spark, dir) => {
+      val e = vecs(spark, dir)
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assignW = Window.partitionBy(col("vec_id")).orderBy(col("sbp").desc, col("cid"))
+      val assign = e.join(broadcast(cent), lit(true))
+        .select(col("vec_id"), col("v"), col("cid"),
+          basisPoints(cosine(col("v"), col("cv"))).as("sbp"))
+        .withColumn("arn", row_number().over(assignW))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val probeW = Window.partitionBy(col("qid")).orderBy(col("sbp").desc, col("cid"))
+      val probes = q.join(broadcast(cent), lit(true))
+        .select(col("qid"), col("qv"), col("cid"),
+          basisPoints(cosine(col("qv"), col("cv"))).as("sbp"))
+        .withColumn("prn", row_number().over(probeW))
+        .filter(col("prn") <= 4)
+        .select(col("qid"), col("qv"), col("cid"))
+      val rankW = Window.partitionBy(col("qid")).orderBy(col("sim_bp").desc, col("vec_id"))
+      probes.join(assign, "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          basisPoints(cosine(col("qv"), col("v"))).as("sim_bp"))
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("rn"), col("vec_id"), col("sim_bp"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(s"""
+      WITH e AS ($DuckVecs),
+           cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+           ascore AS (SELECT e.vec_id, e.v, cid, ${duckSim("e.v", "cv")} AS sbp
+                      FROM e CROSS JOIN cent),
+           assign AS (SELECT vec_id, v, cid FROM (
+                        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY sbp DESC, cid) AS arn FROM ascore)
+                      WHERE arn = 1),
+           q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+           pscore AS (SELECT qid, qv, cid, ${duckSim("qv", "cv")} AS sbp
+                      FROM q CROSS JOIN cent),
+           probes AS (SELECT qid, qv, cid FROM (
+                        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY sbp DESC, cid) AS prn FROM pscore)
+                      WHERE prn <= 4),
+           s AS (SELECT qid, vec_id, ${duckSim("qv", "v")} AS sim_bp
+                 FROM probes JOIN assign USING (cid)
+                 WHERE vec_id <> qid),
+           r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY sim_bp DESC, vec_id) AS rn FROM s)
+      SELECT qid, rn, vec_id, sim_bp FROM r WHERE rn <= 10
+      ORDER BY qid, rn"""))
+
+  /** Embedding near-duplicate detection via sign-LSH banding: 16-bit
+    * signature split into two 8-bit bands; same (band, value) → candidate
+    * pair; candidates verified by exact cosine; summarized per vector
+    * (partner count + canonical min-id), so output stays O(N) even when the
+    * corpus is homogeneous.
+    */
+  val dedupEmbeddingLsh = QueryDef(
+    "dedup_embedding_lsh",
+    (spark, dir) => {
+      val e = vecs(spark, dir)
+      val sig = e.select(col("vec_id"), col("v"), signLsh(col("v"), 16).as("sig"))
+      val bands = sig.select(col("vec_id"), col("v"), lit(0).as("band"),
+          (col("sig") % 256).as("bv"))
+        .unionAll(sig.select(col("vec_id"), col("v"), lit(1).as("band"),
+          floor(col("sig") / 256).cast("long").as("bv")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.v").as("av"), col("b.v").as("bv2"))
+        .distinct()
+      val verified = cand
+        .select(col("a_id"), col("b_id"),
+          basisPoints(cosine(col("av"), col("bv2"))).as("sim_bp"))
+        .filter(col("sim_bp") >= 1000)
+      val partners = verified.select(col("a_id").as("vec_id"), col("b_id").as("partner"))
+        .unionAll(verified.select(col("b_id").as("vec_id"), col("a_id").as("partner")))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_near"), min(col("partner")).as("min_partner"))
+      e.select(col("vec_id")).join(partners, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          least(col("vec_id"), coalesce(col("min_partner"), col("vec_id"))).as("canonical_id"))
+        .orderBy(col("vec_id"))
+    },
+    { // oracle: same signature arithmetic, generated per bit
+      val bitTerms = (0 until 16).map { p =>
+        s"""(CASE WHEN list_dot_product(v, list_transform(range(0, 64),
+           | j -> CAST(((${5 * p} + 7 * j + 3) % 11) - 5 AS DOUBLE))) > 0
+           | THEN ${1L << p} ELSE 0 END)""".stripMargin.replace("\n", " ")
+      }.mkString(" + ")
+      Some(s"""
+      WITH e AS ($DuckVecs),
+           sig AS (SELECT vec_id, v, CAST($bitTerms AS BIGINT) AS sig FROM e),
+           bands AS (SELECT vec_id, v, 0 AS band, sig % 256 AS bv FROM sig
+                     UNION ALL
+                     SELECT vec_id, v, 1 AS band, CAST(floor(sig / 256) AS BIGINT) AS bv FROM sig),
+           cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+                           a.v AS av, b.v AS bv2
+                    FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                                             AND a.vec_id < b.vec_id),
+           verified AS (SELECT a_id, b_id, ${duckSim("av", "bv2")} AS sim_bp FROM cand),
+           vf AS (SELECT * FROM verified WHERE sim_bp >= 1000),
+           partners AS (SELECT vec_id, COUNT(*) AS n_near, MIN(partner) AS min_partner
+                        FROM (SELECT a_id AS vec_id, b_id AS partner FROM vf
+                              UNION ALL
+                              SELECT b_id AS vec_id, a_id AS partner FROM vf)
+                        GROUP BY vec_id)
+      SELECT e.vec_id,
+             COALESCE(n_near, 0) AS n_near,
+             LEAST(e.vec_id, COALESCE(min_partner, e.vec_id)) AS canonical_id
+      FROM e LEFT JOIN partners ON e.vec_id = partners.vec_id
+      ORDER BY e.vec_id""")
+    })
+
+  val all: Seq[QueryDef] = Seq(annBruteforce, annIvf, dedupEmbeddingLsh)
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY §2.4 "streaming — ABSENT from the
+  * reference"): event-time tumbling aggregation with watermarked late-data
+  * handling, and custom stateful sessionization via
+  * `flatMapGroupsWithState` — the streaming twins of the batch queries
+  * `events_tumbling` / `events_sessionize`, sharing their semantics so batch
+  * backfill and live streams produce the same tables.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long, value_cents: Long)
+
+  /** Keyed state record (public: the state-store encoder codegen needs
+    * constructor access from generated classes).
+    */
+  case class OpenSession(startMs: Long, endMs: Long, n: Long, cents: Long)
+
+  /** Watermarked tumbling counts: accepts a streaming OR batch DataFrame with
+    * (ts, event_type, value); on a stream, late events beyond `watermark` are
+    * dropped and windows finalize in append mode.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour",
+      win: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_cents"))
+
+  /** Gap-based sessionization with explicit keyed state: one [[OpenSession]]
+    * per user held in the state store; a gap > `gapMs` closes and emits the
+    * session. State is O(users), partition-local after the user_id shuffle —
+    * the scalable shape for billions of events.
+    *
+    * Sessions still open when the stream ends stay in state (flush by feeding
+    * a sentinel beyond the gap, or switch to EventTimeTimeout + watermark in
+    * production).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = Seq.newBuilder[SessionOut]
+          var open = state.getOption
+          for (e <- sorted) {
+            val ms = e.ts.getTime
+            val cents = math.floor(e.value * 100 + 0.5).toLong
+            open match {
+              case Some(s) if ms - s.endMs <= gapMs =>
+                open = Some(s.copy(endMs = ms, n = s.n + 1, cents = s.cents + cents))
+              case Some(s) =>
+                closed += SessionOut(userId, s.startMs, s.endMs, s.n, s.cents)
+                open = Some(OpenSession(ms, ms, 1L, cents))
+              case None =>
+                open = Some(OpenSession(ms, ms, 1L, cents))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

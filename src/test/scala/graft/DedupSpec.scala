@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.DedupQueries
+
+/** Pins the sketch semantics that the rows-only driver check can't:
+  * identical docs collide exactly; similar docs land near; dissimilar don't.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = "spark scan filter join group sort merge window batch stream"
+  private val docs = Seq(
+    (0L, base, "en"),
+    (1L, base, "en"),                                        // exact dup of 0
+    (2L, base.replace("stream", "table"), "en"),             // 1-token change
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+    (4L, base, "fr")                                         // dup but other lang
+  ).toDF("doc_id", "text", "lang")
+
+  test("minhash: identical texts give identical signatures") {
+    val sigs = DedupQueries.minhashSignatures(docs)
+      .select($"doc_id", $"sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) === sigs(4L)) // signature is lang-independent
+    assert(sigs(0L) !== sigs(3L))
+  }
+
+  test("minhash: similar texts share most signature components, dissimilar few") {
+    val sigs = DedupQueries.minhashSignatures(docs)
+      .select($"doc_id", $"sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def overlap(a: Long, b: Long) = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+    assert(overlap(0L, 2L) >= 45, s"1-token-change overlap ${overlap(0L, 2L)}/64")
+    assert(overlap(0L, 3L) <= 10, s"disjoint-vocab overlap ${overlap(0L, 3L)}/64")
+  }
+
+  test("simhash: identical texts give identical fingerprints, similar are near") {
+    val fps = DedupQueries.simhashFingerprints(docs)
+      .select($"doc_id", $"fp").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(hamming(0L, 1L) === 0)
+    assert(hamming(0L, 2L) <= 16, s"1-token-change hamming ${hamming(0L, 2L)}")
+    assert(hamming(0L, 3L) > 16, s"disjoint-vocab hamming ${hamming(0L, 3L)}")
+  }
+
+  test("rolling_hash custom expression: interpreted == codegen == reference fold") {
+    import graft.functions.{RollingHash, RollingHashFn}
+    val df = Seq("abc", "", "Zürich ∆").toDF("s")
+      .select(RollingHash($"s").as("h"))
+    def ref(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); acc = (acc * 31 + cp) % RollingHashFn.Mod
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq("abc", "", "Zürich ∆").map(ref))
+    // SQL registration through extensions
+    val ext = new graft.plans.GraftExtensions
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("rolling_hash",
+        es => graft.functions.RollingHash(es.head), "scala_udf")
+    val viaSql = spark.sql("SELECT rolling_hash('abc') AS h").collect().head.getLong(0)
+    assert(viaSql === ref("abc"))
+  }
+}

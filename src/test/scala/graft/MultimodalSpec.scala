@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Multimodal
+import graft.ops.Multimodal.{MediaRecord, StubMediaDecoder}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("batched decode through mapPartitions preserves every record once") {
+    import spark.implicits._
+    val media = (0L until 200L).map(i =>
+      MediaRecord(i, if (i % 2 == 0) "image/fake" else "video/fake",
+        ("payload-" * (i.toInt % 7 + 1) + i).getBytes("UTF-8")))
+    val ds = spark.createDataset(media).repartition(5)
+    val out = Multimodal.decode(ds, StubMediaDecoder, batchSize = 16).collect()
+    assert(out.length === 200)
+    assert(out.map(_.media_id).toSet === (0L until 200L).toSet)
+    // features are a pure function of the payload
+    val one = out.find(_.media_id === 3L).get
+    val expect = StubMediaDecoder.decodeBatch(Seq(media(3))).head
+    assert(one === expect)
+  }
+
+  test("video payloads report frame counts, stills report 1") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1, "image/fake", Array.fill[Byte](100)(1)),
+      MediaRecord(2, "video/fake", Array.fill[Byte](100)(1))))
+    val out = Multimodal.decode(ds, StubMediaDecoder).collect().sortBy(_.media_id)
+    assert(out(0).n_frames === 1)
+    assert(out(1).n_frames === (100 % 24 + 1))
+  }
+
+  test("brightness is bounded to [0, 10000] basis points") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1, "image/fake", Array[Byte](0, 0)),
+      MediaRecord(2, "image/fake", Array[Byte](-1, -1)), // 0xff 0xff
+      MediaRecord(3, "image/fake", Array.empty[Byte])))
+    val out = Multimodal.decode(ds, StubMediaDecoder).collect().sortBy(_.media_id)
+    assert(out(0).brightness_bp === 0L)
+    assert(out(1).brightness_bp === 10000L)
+    assert(out(2).brightness_bp === 0L)
+  }
+}

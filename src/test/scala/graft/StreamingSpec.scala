@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionOut}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("watermarked tumbling counts finalize windows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(input.toDF(), watermark = "10 minutes",
+        win = "1 hour")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(61), 2, "view", 3.0))  // hour 2 starts
+      q.processAllAvailable()
+      input.addData(Event(4, ts(200), 2, "view", 4.0)) // advances watermark past hour 1
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select($"window_start", $"event_type", $"n", $"value_cents")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L, 300L)), s"got $rows")
+      assert(rows.contains((ts(60), "view", 1L, 300L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10' apart (one session), then a 60' gap in a LATER
+      // micro-batch — state must survive the batch boundary.
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(70), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(500), 1, "click", 1.0)) // flush sentinel
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out").as[SessionOut].collect().toSet
+      assert(sessions.contains(SessionOut(1L, 0L, 10 * 60000L, 2L, 200L)), s"got $sessions")
+      assert(sessions.contains(SessionOut(1L, 70 * 60000L, 70 * 60000L, 1L, 100L)), s"got $sessions")
+    } finally q.stop()
+  }
+
+  test("streaming tumbling agg matches the batch events_tumbling semantics") {
+    // same groupBy(window) expression runs in both modes — pin batch result
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val streamShaped = EventStreams.tumblingCounts(
+      batch.select(org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value")))
+    assert(streamShaped.count() > 0)
+  }
+}
