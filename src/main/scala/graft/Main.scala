@@ -11,7 +11,6 @@ import graft.sources.{CsvSource, LocalFixturePageFetcher, PagedJsonSource, Sourc
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val kind = args.headOption.getOrElse("BLOB")
     val table = args.drop(1).headOption
 
     val spark = SparkSession.builder()
@@ -23,17 +22,21 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val source: Source = Source.dispatch(kind,
-      CsvSource(s"${ParityQueries.FixtureDir}/brfss.csv"),
-      PagedJsonSource(LocalFixturePageFetcher(s"${ParityQueries.FixtureDir}/brfss_pages"),
-        limit = 150L, totalRecords = 400L))
+    // widget-parity resolution order: CLI arg > GRAFT_* env > widget default,
+    // with fixture paging defaults suited to the bundled pages
+    val cfg = graft.config.GraftConfig.fromEnv(
+      k => (if (k == "GRAFT_DATA_SOURCE") args.headOption else None)
+        .orElse(sys.env.get(k))
+        .orElse(Map("GRAFT_PAGE_LIMIT" -> "150", "GRAFT_TOTAL_RECORDS" -> "400").get(k)))
+    val kind = cfg.dataSource
+    val source: Source = cfg.source
 
     val gold = GoldPipeline.run(spark, source)
     println(s"[graft] source=$kind gold_rows=${gold.count()}")
     gold.show(5, truncate = false)
     table.foreach { t =>
-      GoldPipeline.sinkAsTable(spark, gold, t)
-      println(s"[graft] saved table $t rows=${spark.table(t).count()}")
+      val saved = GoldPipeline.ctasGold(spark, t) // SQL CTAS parity (:236-245)
+      println(s"[graft] saved table $t rows=${saved.count()}")
     }
     spark.stop()
   }

@@ -31,22 +31,42 @@ object GoldPipeline {
       col("location_abbreviation").isin(usStates: _*) &&
       !col("stratification_category_1").rlike("(?i)total"))
 
-  /** Full pipeline: source → normalize (branch-matched) → view → filtered gold.
-    * Mirrors the notebook's global-temp-view handoff (`:205`) + CTAS (`:237-245`).
+  /** Full pipeline: source → normalize (branch-matched) → global temp view →
+    * filtered gold. Mirrors the notebook's cross-language handoff (`:205`).
     */
   def run(spark: SparkSession, source: Source): DataFrame = {
     val normalized = source match {
       case c: graft.sources.CsvSource       => Normalize.fromCsv(c.load(spark))
       case p: graft.sources.PagedJsonSource => Normalize.fromApi(p.load(spark))
     }
-    normalized.createOrReplaceTempView("cleaned_and_transformed_chronic_data")
+    normalized.createOrReplaceGlobalTempView("cleaned_and_transformed_chronic_data")
     goldFilter(normalized)
   }
 
-  /** Materialize as a managed table — `CREATE OR REPLACE TABLE … AS SELECT`
-    * parity (`:237-245`); parquet provider stands in for Delta (storage/ACID
-    * concern, not query semantics — SURVEY §1.1). Full-overwrite idempotence
-    * preserved (`:231`).
+  /** SQL CTAS over the published view — textual parity with the notebook's
+    * `%sql` cell (`:236-245`), Spark SQL dialect included (`NOT RLIKE`).
+    * Parquet provider stands in for Delta (storage/ACID concern, not query
+    * semantics — SURVEY §1.1); `CREATE OR REPLACE` keeps the full-overwrite
+    * idempotence (`:237`). Call after [[run]] has registered the view.
+    */
+  def ctasGold(spark: SparkSession, table: String): DataFrame = {
+    // CREATE OR REPLACE TABLE needs a v2 catalog (Delta's); the v1 session
+    // catalog used here only supports plain CTAS, so OR REPLACE is emulated —
+    // same full-overwrite semantics.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table AS
+         |SELECT *
+         |FROM global_temp.cleaned_and_transformed_chronic_data
+         |WHERE year_start >= 2020
+         |  AND year_end <= 2022
+         |  AND location_abbreviation IN (${usStates.map(s => s"'$s'").mkString(", ")})
+         |  AND stratification_category_1 NOT RLIKE '(?i)total'""".stripMargin)
+    spark.table(table)
+  }
+
+  /** Writer-API equivalent of [[ctasGold]] — the reference documents the
+    * equivalence itself (`:229-231`).
     */
   def sinkAsTable(spark: SparkSession, df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").saveAsTable(table)

@@ -452,8 +452,56 @@ object RelationalQueries {
       GROUP BY user_id, sess_seq
       ORDER BY user_id, sess_seq"""))
 
+  /** CUBE over (status, priority) — all four grouping-set combinations. */
+  val aggCube = QueryDef(
+    "agg_cube",
+    (spark, dir) => {
+      load(spark, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .select(coalesce(col("o_orderstatus"), lit("-ALL-")).as("status"),
+          coalesce(col("o_orderpriority"), lit("-ALL-")).as("priority"),
+          col("n_orders"), col("total_cents"))
+        .orderBy(col("status"), col("priority"))
+    },
+    Some("""
+      SELECT COALESCE(o_orderstatus, '-ALL-') AS status,
+             COALESCE(o_orderpriority, '-ALL-') AS priority,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
+
+  /** Typed-Aggregator UDAF ([[graft.functions.LastValueAggregator]]): latest
+    * event payload per user via a deterministic composite arg-max.
+    */
+  val aggUdafLastValue = QueryDef(
+    "agg_udaf_lastvalue",
+    (spark, dir) => {
+      val lastCents = udaf(graft.functions.LastValueAggregator)
+      load(spark, dir, "events")
+        .select(col("user_id"),
+          unix_millis(col("ts")).as("ms"), col("event_id").as("id"),
+          cents(col("value")).as("cents"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          lastCents(col("ms"), col("id"), col("cents")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events)
+      SELECT user_id, n_events, cents AS last_value_cents
+      FROM ranked WHERE rn = 1
+      ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Pricing, q3Shipping, q5NationRevenue, joinSemi, joinAnti, joinRangeBucket,
-    joinAsof, aggRollup, aggDistinct, windowTopk, windowRunning, topkGlobal,
-    setOps, eventsJson, eventsTumbling, eventsSessionize)
+    joinAsof, aggRollup, aggDistinct, aggCube, aggUdafLastValue, windowTopk,
+    windowRunning, topkGlobal, setOps, eventsJson, eventsTumbling, eventsSessionize)
 }
