@@ -182,27 +182,38 @@ object RelationalQueries {
     * event of the same user strictly before it (millisecond granularity on
     * both engines — events.ts is ns parquet, Spark truncates to µs, so raw
     * timestamp comparison would diverge; epoch-ms floors identically).
-    * Composed as equi-join on user + window rank, the partition-local pattern
-    * that scales: state per user stays bounded, no cross-partition traffic
-    * beyond the user_id shuffle.
+    *
+    * Implemented as the union + sort + running-last-value pattern: one
+    * shuffle on user_id, one partition-local sort, O(n) state — the as-of
+    * shape that survives 100 TB. (A join on user + timestamp-filter + rank
+    * is O(purchases × views) per user and melts on power users; this is
+    * O(events) regardless of skew.) Strictly-before is enforced by sorting
+    * views ahead of purchases at equal (ms, id) via a kind tiebreak.
     */
   val joinAsof = QueryDef(
     "join_asof",
     (spark, dir) => {
       val ev = load(spark, dir, "events")
+      // kind 0 = purchase, 1 = view: at equal ms a purchase sorts BEFORE the
+      // views, so the frame (unbounded .. current-1) contains exactly the
+      // views with v_ms STRICTLY < p_ms — the as-of "strictly before" rule.
       val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          unix_millis(col("ts")).as("p_ms"))
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          col("event_id"), lit(0).as("kind"))
       val v = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-          unix_millis(col("ts")).as("v_ms"))
-      val w = Window.partitionBy(col("purchase_id"))
-        .orderBy(col("v_ms").desc, col("view_id").desc)
-      p.join(v, col("user_id") === col("v_user") && col("v_ms") < col("p_ms"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("purchase_id"), col("user_id"), col("view_id").as("prior_view_id"),
-          (col("p_ms") - col("v_ms")).as("gap_ms"))
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          col("event_id"), lit(1).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      p.unionAll(v)
+        .withColumn("prior_view_id",
+          last(when(col("kind") === 1, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("prior_view_ms",
+          last(when(col("kind") === 1, col("ms")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 0 && col("prior_view_id").isNotNull)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("prior_view_id"), (col("ms") - col("prior_view_ms")).as("gap_ms"))
         .orderBy(col("purchase_id"))
     },
     Some("""
@@ -500,8 +511,64 @@ object RelationalQueries {
       FROM ranked WHERE rn = 1
       ORDER BY user_id"""))
 
+  /** Date/time feature extraction, kept engine-portable by deriving
+    * day-of-week and hour arithmetically from epoch ms (Spark's dayofweek is
+    * 1=Sunday, DuckDB's 0=Sunday — raw calendar functions would diverge).
+    */
+  val eventsDatetime = QueryDef(
+    "events_datetime",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+      ev.select(
+          // 1970-01-01 was a Thursday: (days + 4) % 7 gives 0=Sunday
+          ((floor(col("ms") / 86400000L) + 4) % 7).cast("int").as("dow"),
+          floor((col("ms") % 86400000L) / 3600000L).cast("int").as("hour"),
+          col("value"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("dow"), col("hour"))
+    },
+    Some("""
+      SELECT CAST((floor(epoch_ms(ts) / 86400000) + 4) % 7 AS INTEGER) AS dow,
+             CAST(floor((epoch_ms(ts) % 86400000) / 3600000) AS INTEGER) AS hour,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY dow, hour"""))
+
+  /** Math-function battery restricted to IEEE-exact operations (sqrt is
+    * correctly rounded everywhere; abs/greatest/least/floor/ceil are exact —
+    * pow/log/exp are NOT cross-engine reproducible and stay out).
+    */
+  val mathFuncs = QueryDef(
+    "math_funcs",
+    (spark, dir) => {
+      load(spark, dir, "part")
+        .select(col("p_partkey"),
+          sqrt(col("p_retailprice")).as("sqrt_price"),
+          abs(col("p_size") - 25).as("abs_size_dev"),
+          greatest(col("p_size"), lit(10)).as("size_floor10"),
+          least(col("p_size"), lit(40)).as("size_cap40"),
+          ceil(col("p_retailprice") / 100).cast("long").as("price_hundreds"),
+          (col("p_retailprice") * col("p_retailprice")).as("price_sq"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      SELECT p_partkey,
+             sqrt(p_retailprice) AS sqrt_price,
+             abs(p_size - 25) AS abs_size_dev,
+             greatest(p_size, 10) AS size_floor10,
+             least(p_size, 40) AS size_cap40,
+             CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_hundreds,
+             p_retailprice * p_retailprice AS price_sq
+      FROM part
+      ORDER BY p_partkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Pricing, q3Shipping, q5NationRevenue, joinSemi, joinAnti, joinRangeBucket,
     joinAsof, aggRollup, aggDistinct, aggCube, aggUdafLastValue, windowTopk,
-    windowRunning, topkGlobal, setOps, eventsJson, eventsTumbling, eventsSessionize)
+    windowRunning, topkGlobal, setOps, eventsJson, eventsTumbling,
+    eventsSessionize, eventsDatetime, mathFuncs)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale evidence for the 100 TB posture: pre-bucketing both sides of a
+  * recurring join key removes the per-query shuffle entirely — the plan for
+  * bucketed lineitem ⋈ orders must contain no ShuffleExchange on the join.
+  */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // materialize so AQE finalizes the plan
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+      case q: QueryStageExec => count(q.plan) // AQE stage: plan holds the exchange
+      case s: ShuffleExchangeExec => 1 + s.children.map(count).sum
+      case other => other.children.map(count).sum +
+        other.subqueries.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+
+  test("bucketed join on l_orderkey runs with zero shuffle exchanges") {
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      Tables.load(spark, sf, "lineitem")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("li_bucketed")
+      Tables.load(spark, sf, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+
+      val unbucketed = Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val bucketed = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+
+      assert(shuffleCount(unbucketed) >= 2, "unbucketed join should shuffle both sides")
+      // bucketed: join itself is shuffle-free; only the small post-join
+      // aggregation on a different key may exchange
+      assert(shuffleCount(bucketed) <= 1, "bucketed join must not shuffle the join inputs")
+      // and results agree
+      assert(bucketed.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+        unbucketed.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
