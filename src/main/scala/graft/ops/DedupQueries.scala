@@ -32,10 +32,24 @@ object DedupQueries {
     */
   private def perm(h: Column, s: Int): Column = xxhash64(h, lit(s))
 
-  /** doc → 64-component MinHash signature over its distinct-token set. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
+  /** doc → 64-component MinHash signature over its distinct n-gram shingle
+    * set (n=1 degenerates to the token set). The registry query uses n=1
+    * because this corpus is word salad over a ~31-token vocabulary — 3-gram
+    * shingles barely overlap (see `dedup_jaccard_shingles`), so token-level
+    * is what actually surfaces near-duplicates here; real prose pipelines
+    * would pass n=3..5.
+    */
+  def minhashSignatures(docs: DataFrame, shingleN: Int = 1): DataFrame = {
+    // project the token array before any lambda references it — expressions
+    // embedded in transform() bodies re-evaluate per element
+    val tokenized = docs.select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("toks"))
+    val units =
+      if (shingleN <= 1) array_distinct(col("toks"))
+      else array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - (shingleN - 1)),
+        i => concat_ws(" ", (0 until shingleN).map(k => element_at(col("toks"), i + k)): _*)))
+    val toks = tokenized.select(col("doc_id"), col("lang"), explode(units).as("tok"))
     val hashed = toks.withColumn("h", xxhash64(col("tok")))
     hashed.groupBy(col("doc_id"), col("lang"))
       .agg((0 until NumPerms).map(s => min(perm(col("h"), s)).as(s"m$s")).head,

@@ -181,6 +181,73 @@ object TextQueries {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** 3-gram shingle Jaccard (the canonical near-dup shingle pipeline shape)
+    * on the same blocked subset: shingle sets are far sparser than token sets
+    * (tiny shared vocabulary → high token overlap, low phrase overlap), so
+    * the threshold is low; one shared shingle in ~100 is already signal here.
+    */
+  val dedupJaccardShingles = QueryDef(
+    "dedup_jaccard_shingles",
+    (spark, dir) => {
+      // Perf notes (measured, not guessed):
+      // - tokenize into a projected column before the lambda references it;
+      //   an expression embedded in a transform() body re-evaluates per
+      //   element (≈300 re-tokenizations per row here);
+      // - repartition: the source parquet is one file → one partition, and
+      //   higher-order-function eval is interpreted — spread it;
+      // - explode the shingle expression DIRECTLY: `select(sh.as("x"))` then
+      //   `explode(col("x"))` goes through an alias hop that costs ~4× in
+      //   the Generate path.
+      val base = load(spark, dir, "documents")
+        .filter(col("doc_id") % 20 === 0)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      val shExpr = array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+      // bucket-pair formulation instead of a self-join: group doc ids per
+      // shingle, expand in-bucket pairs — candidate generation is bounded by
+      // bucket size, never a full relation self-join
+      val e = base.select(col("doc_id"), col("lang"), explode(shExpr).as("s"))
+      val n = base.select(col("doc_id"), size(shExpr).as("n"))
+      val buckets = e.groupBy(col("s"), col("lang"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+      buckets
+        .select(explode(col("ids")).as("a_id"), col("ids"))
+        .select(col("a_id"), explode(col("ids")).as("b_id"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("common"))
+        .join(n.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(n.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          Tables.basisPoints(col("common") / (col("na") + col("nb") - col("common")))
+            .as("jaccard_bp"))
+        .filter(col("jaccard_bp") >= 50)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                 FROM documents WHERE doc_id % 20 = 0),
+           d AS (SELECT doc_id, lang,
+                        list_distinct(list_transform(
+                          generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                 FROM t),
+           e AS (SELECT doc_id, lang, unnest(sh) AS s FROM d),
+           c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+                 FROM e a JOIN e b ON a.s = b.s AND a.lang = b.lang
+                                   AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+           n AS (SELECT doc_id, len(sh) AS n FROM d)
+      SELECT a_id, b_id,
+             CAST(floor(common / (na.n + nb.n - common) * 10000 + 0.5) AS BIGINT) AS jaccard_bp
+      FROM c JOIN n na ON c.a_id = na.doc_id JOIN n nb ON c.b_id = nb.doc_id
+      WHERE CAST(floor(common / (na.n + nb.n - common) * 10000 + 0.5) AS BIGINT) >= 50
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[QueryDef] = Seq(textStats, textLangid, dedupExact,
-    dedupJaccardTokens, textFingerprint)
+    dedupJaccardTokens, dedupJaccardShingles, textFingerprint)
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{LastValueAggregator, LastValueBuf, LastValueIn, RollingHashFn}
+import graft.ops.Normalize
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based pins (deterministic ScalaCheck sampling, fixed seed):
+  * distributed-correctness laws for the aggregator, totality for the parsers.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def samples[A](gen: Gen[A], n: Int = 300): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("geolocation parser is total: arbitrary strings never throw, always 3 fields") {
+    import spark.implicits._
+    val inputs = samples(Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.choose(-90.0, 90.0).flatMap(a => Gen.choose(-180.0, 180.0)
+        .map(b => s"($a, $b)")),
+      Gen.const(""), Gen.const("~"), Gen.const("(,)"), Gen.const("((1,2))")), 200)
+      .distinct
+    val rows = inputs.toDF("geo")
+      .select(Normalize.parseGeolocationString(col("geo")).as("g"))
+      .select("g.human_address", "g.latitude", "g.longitude")
+      .collect()
+    assert(rows.length === inputs.size) // no row lost, no exception
+    // well-formed inputs round-trip
+    val ok = inputs.zip(rows).collect {
+      case (s, r) if s.matches("""\(-?\d+\.\d+(E-?\d+)?, -?\d+\.\d+(E-?\d+)?\)""") => r
+    }
+    assert(ok.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
+  test("rolling hash: fold law holds for arbitrary unicode strings") {
+    val strs = samples(Gen.oneOf(Gen.asciiPrintableStr,
+      Gen.listOf(Gen.choose(0x20, 0x2FFF)).map(_.map(_.toChar).mkString)), 200)
+    for (s <- strs) {
+      val expected = s.codePoints().toArray.foldLeft(0L)(
+        (acc, cp) => (acc * 31 + cp) % RollingHashFn.Mod)
+      assert(RollingHashFn.compute(UTF8String.fromString(s)) === expected, s"for '$s'")
+    }
+  }
+
+  test("LastValueAggregator merge is commutative, associative, zero-neutral") {
+    val bufGen = for {
+      ms <- Gen.choose(-1000L, 1000L)
+      id <- Gen.choose(0L, 50L)
+      c <- Gen.choose(-500L, 500L)
+      set <- Gen.oneOf(true, false)
+    } yield if (set) LastValueBuf(ms, id, c, set = true) else LastValueAggregator.zero
+    val bufs = samples(bufGen, 120)
+    val A = LastValueAggregator
+    for (a <- bufs.take(30); b <- bufs.slice(30, 60)) {
+      assert(A.merge(a, b) === A.merge(b, a), s"commutativity for $a, $b")
+      assert(A.merge(a, A.zero) === a)
+    }
+    for (a <- bufs.take(15); b <- bufs.slice(15, 30); c <- bufs.slice(30, 45)) {
+      assert(A.merge(A.merge(a, b), c) === A.merge(a, A.merge(b, c)),
+        s"associativity for $a, $b, $c")
+    }
+  }
+
+  test("LastValueAggregator result is invariant to input order") {
+    val inGen = for {
+      ms <- Gen.choose(0L, 100L); id <- Gen.choose(0L, 10000L)
+      c <- Gen.choose(0L, 99L)
+    } yield LastValueIn(ms, id, c)
+    val rng = new scala.util.Random(7)
+    for (_ <- 0 until 30) {
+      val ins = samples(inGen, 40).distinct
+      val direct = ins.foldLeft(LastValueAggregator.zero)(LastValueAggregator.reduce)
+      val shuffled = rng.shuffle(ins)
+        .grouped(7)
+        .map(g => g.foldLeft(LastValueAggregator.zero)(LastValueAggregator.reduce))
+        .foldLeft(LastValueAggregator.zero)(LastValueAggregator.merge)
+      assert(LastValueAggregator.finish(direct) === LastValueAggregator.finish(shuffled))
+    }
+  }
+}

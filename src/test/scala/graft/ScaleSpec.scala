@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Skew
+
+/** Scale-mechanics evidence: salting preserves aggregate results, partition
+  * pruning reaches the file index.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("salted two-phase aggregation equals direct aggregation on skewed data") {
+    import spark.implicits._
+    // 90% of rows on one hot key
+    val df = spark.range(10000)
+      .select(when($"id" % 10 === 0, $"id" % 7).otherwise(lit(42L)).as("k"),
+        ($"id" % 100).as("v"))
+    val direct = df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSumCount(df, $"k", saltBuckets = 16, "sv" -> $"v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === direct)
+  }
+
+  test("partition pruning: date-partitioned write is pruned by the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      val pruned = spark.read.parquet(tmp).filter(col("day") === "2024-01-05")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.contains("day") && !plan.contains("PartitionFilters: []"),
+        s"expected partition filters in plan:\n$plan")
+      val total = spark.read.parquet(tmp).count()
+      val prunedCount = pruned.count()
+      assert(prunedCount > 0 && prunedCount < total)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+}
