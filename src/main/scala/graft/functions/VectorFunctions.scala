@@ -23,9 +23,16 @@ object VectorFunctions {
   def normSq(a: Column): Column = dot(a, a)
 
   /** cosine(a, b) = dot / sqrt(|a|²·|b|²) — one sqrt, one division, so both
-    * engines execute the identical IEEE op sequence.
+    * engines execute the identical IEEE op sequence. Dispatches to the
+    * codegen'd [[CosineSimilarity]] expression; [[cosineHof]] is the
+    * higher-order-function formulation kept as the bit-exactness reference.
     */
-  def cosine(a: Column, b: Column): Column =
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
+  /** Interpreted HOF cosine (5 array passes, CodegenFallback) — reference
+    * implementation for the property test pinning [[CosineSimilarity]].
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / sqrt(normSq(a) * normSq(b))
 
   /** Deterministic pseudo-random hyperplane weight for LSH: integer formula

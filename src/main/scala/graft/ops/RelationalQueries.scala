@@ -566,9 +566,28 @@ object RelationalQueries {
       FROM part
       ORDER BY p_partkey"""))
 
+  /** HLL sketch aggregation (`approx_count_distinct`) next to the exact
+    * count. No oracle — Spark's HyperLogLog++ and DuckDB's HLL produce
+    * different estimates by construction; the rows-only driver check applies
+    * and ApproxSpec pins the ≤5% relative-error contract instead.
+    */
+  val aggApprox = QueryDef(
+    "agg_approx",
+    (spark, dir) => {
+      load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+    None,
+    notes = "HLL++ sketch; rows-only check, error bound pinned in ApproxSpec")
+
   val all: Seq[QueryDef] = Seq(
     q1Pricing, q3Shipping, q5NationRevenue, joinSemi, joinAnti, joinRangeBucket,
-    joinAsof, aggRollup, aggDistinct, aggCube, aggUdafLastValue, windowTopk,
-    windowRunning, topkGlobal, setOps, eventsJson, eventsTumbling,
+    joinAsof, aggRollup, aggDistinct, aggCube, aggUdafLastValue, aggApprox,
+    windowTopk, windowRunning, topkGlobal, setOps, eventsJson, eventsTumbling,
     eventsSessionize, eventsDatetime, mathFuncs)
 }

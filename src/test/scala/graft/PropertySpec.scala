@@ -66,6 +66,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("codegen CosineSimilarity is bit-identical to the HOF reference formulation") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val vecGen = Gen.listOfN(64, Gen.choose(-1.0, 1.0))
+    val pairs = samples(Gen.zip(vecGen, vecGen), 100)
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.cosine($"a", $"b").as("fast"),
+      VectorFunctions.cosineHof($"a", $"b").as("ref")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"bit mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("LastValueAggregator result is invariant to input order") {
     val inGen = for {
       ms <- Gen.choose(0L, 100L); id <- Gen.choose(0L, 10000L)

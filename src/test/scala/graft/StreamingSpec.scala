@@ -58,6 +58,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream over the events parquet matches batch day counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // the events parquet is TIMESTAMP(NANOS): stream it the same way
+    // Tables.load does — legacy ns-as-long + rebuilt µs timestamps
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // file-source streams need a directory, not a bare file
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.tumblingCounts(stream, watermark = "1 hour", win = "1 day")
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // append mode holds back windows the watermark hasn't passed; every
+      // emitted window must match the batch aggregation exactly
+      val streamed = spark.table("file_stream_out")
+        .select($"window_start", $"event_type", $"n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      val batch = EventStreams.tumblingCounts(
+          Tables.load(spark, "/root/testdata/sf0.001", "events")
+            .select($"ts", $"event_type", $"value"))
+        .select($"window_start", $"event_type", $"n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch), "streamed windows must agree with batch")
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg matches the batch events_tumbling semantics") {
     // same groupBy(window) expression runs in both modes — pin batch result
     val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
