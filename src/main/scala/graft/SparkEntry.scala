@@ -13,8 +13,8 @@ object SparkEntry {
   /** Every registered query (implementation + oracle). */
   def registry: Seq[QueryDef] =
     ops.ParityQueries.all ++ ops.RelationalQueries.all ++
-    ops.TextQueries.all ++ ops.VectorQueries.all ++ ops.DedupQueries.all ++
-    ops.MultimodalQueries.all
+    ops.AdvancedQueries.all ++ ops.TextQueries.all ++ ops.VectorQueries.all ++
+    ops.DedupQueries.all ++ ops.MultimodalQueries.all
 
   /** Flagship: the reference's gold pipeline (BLOB/CSV branch) end-to-end on
     * the bundled BRFSS-shaped fixture. Driver smoke-checks rows > 0.

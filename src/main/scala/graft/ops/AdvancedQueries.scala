@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.Tables.{basisPoints, cents, load}
+
+/** Second-wave relational coverage: correlated subqueries (Catalyst
+  * decorrelation), RANGE window frames, the full ranking-function battery,
+  * pivot, and array/string scalar batteries.
+  */
+object AdvancedQueries {
+
+  private def view(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): Unit =
+    load(spark, dir, name).createOrReplaceTempView(name)
+
+  /** TPC-H Q17-shaped correlated scalar subqueries, expressed in SQL so the
+    * plan exercises Catalyst's subquery decorrelation (the DataFrame API
+    * cannot write a correlated scalar subquery). The small-quantity
+    * threshold (q < ½·avg) is algebraized to exact integers:
+    * 2·q_cents·n < sum_cents — no float average, no boundary flakiness.
+    */
+  val subqueryScalar = QueryDef(
+    "subquery_scalar",
+    (spark, dir) => {
+      view(spark, dir, "lineitem"); view(spark, dir, "part")
+      spark.sql("""
+        SELECT p_brand,
+               COUNT(*) AS n_small,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) * 2 *
+                (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+              < (SELECT CAST(SUM(CAST(floor(l3.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 FROM lineitem l3 WHERE l3.l_partkey = lineitem.l_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand""")
+    },
+    Some("""
+      SELECT p_brand,
+             COUNT(*) AS n_small,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) * 2 *
+              (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+            < (SELECT CAST(SUM(CAST(floor(l3.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               FROM lineitem l3 WHERE l3.l_partkey = lineitem.l_partkey)
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
+  /** TPC-H Q4-shaped correlated EXISTS, decorrelated by Catalyst to a semi
+    * join.
+    */
+  val subqueryExists = QueryDef(
+    "subquery_exists",
+    (spark, dir) => {
+      view(spark, dir, "lineitem"); view(spark, dir, "orders")
+      spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_late
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_late
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** RANGE window frame: per-user rolling 24-hour event count and value over
+    * event-time ms — value-based frames, not row-based.
+    */
+  val windowRange = QueryDef(
+    "window_range24h",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+          cents(col("value")).as("value_cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+        .rangeBetween(-86400000L, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_24h"),
+          sum(col("value_cents")).over(w).as("cents_24h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             COUNT(*) OVER w AS n_24h,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS cents_24h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  /** Ranking-function battery: rank / dense_rank / percent_rank / cume_dist /
+    * ntile — all over one deterministic (cents, orderkey) ordering; the two
+    * fractional ranks are single divisions of exact integers.
+    */
+  val windowRanks = QueryDef(
+    "window_ranks",
+    (spark, dir) => {
+      val ord = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price_cents"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))
+      ord.select(col("o_orderkey"), col("o_orderstatus"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rnk") <= 50)
+        .orderBy(col("o_orderstatus"), col("rnk"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, rnk, drnk, prnk, cdist, quartile
+      FROM (SELECT o_orderkey, o_orderstatus,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk,
+                   PERCENT_RANK() OVER w AS prnk,
+                   CUME_DIST() OVER w AS cdist,
+                   NTILE(4) OVER w AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey))
+      WHERE rnk <= 50
+      ORDER BY o_orderstatus, rnk"""))
+
+  /** Pivot with an explicit value list (deterministic output schema);
+    * oracled as conditional aggregation.
+    */
+  val eventsPivot = QueryDef(
+    "events_pivot",
+    (spark, dir) => {
+      load(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+             COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** Array-function battery over embeddings: max/min (exact comparisons),
+    * predicate counts via filter, exists/forall, sliced fold (fixed order →
+    * deterministic, floor-scaled).
+    */
+  val arrayFuncs = QueryDef(
+    "array_funcs",
+    (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      e.select(col("vec_id"),
+          basisPoints(array_max(col("v"))).as("max_bp"),
+          basisPoints(array_min(col("v"))).as("min_bp"),
+          size(filter(col("v"), x => x > 0)).as("n_pos"),
+          exists(col("v"), x => x > 0.25).cast("int").as("any_big"),
+          forall(col("v"), x => abs(x) < 1.0).cast("int").as("all_unit"),
+          basisPoints(aggregate(slice(col("v"), 1, 8), lit(0.0), (acc, x) => acc + x))
+            .as("head8_sum_bp"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT vec_id,
+             CAST(floor(list_max(v) * 10000 + 0.5) AS BIGINT) AS max_bp,
+             CAST(floor(list_min(v) * 10000 + 0.5) AS BIGINT) AS min_bp,
+             len(list_filter(v, x -> x > 0)) AS n_pos,
+             CAST(len(list_filter(v, x -> x > 0.25)) > 0 AS INTEGER) AS any_big,
+             CAST(len(list_filter(v, x -> abs(x) >= 1.0)) = 0 AS INTEGER) AS all_unit,
+             CAST(floor(list_reduce(list_prepend(0.0, v[1:8]), (a, x) -> a + x) * 10000 + 0.5) AS BIGINT) AS head8_sum_bp
+      FROM e
+      ORDER BY vec_id"""))
+
+  /** String-function battery over part names (functions with exact DuckDB
+    * twins only — initcap, soundex etc. have no portable equivalent).
+    */
+  val stringFuncs = QueryDef(
+    "string_funcs",
+    (spark, dir) => {
+      load(spark, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_upper"),
+          lpad(col("p_brand"), 12, "*").as("brand_padded"),
+          substring_index(col("p_type"), " ", 1).as("type_head"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("name_vowels"),
+          reverse(col("p_brand")).as("brand_rev"),
+          length(col("p_name")).cast("long").as("name_len"),
+          instr(col("p_type"), "a").cast("long").as("first_a"),
+          regexp_replace(col("p_name"), "[0-9]+", "#").as("name_masked"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      SELECT p_partkey,
+             upper(p_brand) AS brand_upper,
+             lpad(p_brand, 12, '*') AS brand_padded,
+             split_part(p_type, ' ', 1) AS type_head,
+             translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,
+             reverse(p_brand) AS brand_rev,
+             CAST(length(p_name) AS BIGINT) AS name_len,
+             CAST(strpos(p_type, 'a') AS BIGINT) AS first_a,
+             regexp_replace(p_name, '[0-9]+', '#', 'g') AS name_masked
+      FROM part
+      ORDER BY p_partkey"""))
+
+  val all: Seq[QueryDef] = Seq(subqueryScalar, subqueryExists, windowRange,
+    windowRanks, eventsPivot, arrayFuncs, stringFuncs)
+}
