@@ -224,6 +224,30 @@ object AdvancedQueries {
       FROM part
       ORDER BY p_partkey"""))
 
+  /** The same backward as-of join as `join_asof`, through the engine's
+    * native operator ([[graft.plans.AsOfJoinExec]]: LogicalPlan + Strategy +
+    * streaming-merge physical exec) instead of the union+window composition.
+    * Shares `join_asof`'s oracle — three independent formulations (window,
+    * native exec, DuckDB join+rank) must agree cell-exact.
+    */
+  val joinAsofNative = QueryDef(
+    "join_asof_native",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_millis(col("ts")).as("p_ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          unix_millis(col("ts")).as("v_ms"))
+      graft.plans.AsOfJoinOps.asofJoin(spark, p, v,
+          p("user_id"), v("v_user"), p("p_ms"), v("v_ms"), v("view_id"))
+        .select(col("purchase_id"), col("user_id"),
+          col("view_id").as("prior_view_id"), (col("p_ms") - col("v_ms")).as("gap_ms"))
+        .orderBy(col("purchase_id"))
+    },
+    RelationalQueries.joinAsof.oracle)
+
   val all: Seq[QueryDef] = Seq(subqueryScalar, subqueryExists, windowRange,
-    windowRanks, eventsPivot, arrayFuncs, stringFuncs)
+    windowRanks, eventsPivot, arrayFuncs, stringFuncs, joinAsofNative)
 }

@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native backward as-of join — the one reference-adjacent operator Spark's
+  * DataFrame API genuinely lacks (SURVEY §2.4 "range/as-of"; the engine also
+  * ships the union+window formulation in `join_asof` — this is the
+  * whole-operator Catalyst route: LogicalPlan + Strategy + physical exec,
+  * registered at runtime via `spark.experimental.extraStrategies`).
+  *
+  * Semantics (inner): for each left row, the single right row with the same
+  * key and the greatest time STRICTLY less than the left time; ties on right
+  * time resolved by the greatest tiebreak value. Left rows with no match drop.
+  *
+  * Scale shape: both sides hash-partitioned on the key and sorted within
+  * partitions — EnsureRequirements inserts the exchanges/sorts — then ONE
+  * streaming merge pass per partition: O(n log n) total, O(1) state beyond
+  * the current match, immune to per-key fan-out (the join+rank formulation
+  * is quadratic per key).
+  *
+  * Round-1 scope: key/time/tiebreak are LONG columns (covers event-time
+  * workloads; generalizing to arbitrary orderable types means swapping the
+  * getLong calls for TypeUtils comparators).
+  */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTiebreak, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = leftKey; val lTime = leftTime
+    val rKey = rightKey; val rTime = rightTime
+    val lOut = left.output; val rOut = right.output
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lProj = UnsafeProjection.create(Seq(lKey, lTime), lOut)
+      val rProj = UnsafeProjection.create(Seq(rKey, rTime), rOut)
+      val outProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val joined = new JoinedRow
+      // last right row seen with time < current left time, plus its key
+      var lastMatch: UnsafeRow = null
+      var lastMatchKey = 0L
+      var rRow: InternalRow = null
+      var rKeyV = 0L; var rTimeV = 0L
+      def advanceRight(): Unit =
+        if (rIter.hasNext) {
+          rRow = rIter.next()
+          val k = rProj(rRow); rKeyV = k.getLong(0); rTimeV = k.getLong(1)
+        } else rRow = null
+      advanceRight()
+      lIter.flatMap { lRow =>
+        val k = lProj(lRow)
+        val lKeyV = k.getLong(0); val lTimeV = k.getLong(1)
+        // consume right rows strictly before (key, time); remember the last
+        // one whose key matches — sort order makes it the max (time, tiebreak)
+        while (rRow != null &&
+            (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV < lTimeV))) {
+          if (rKeyV == lKeyV) {
+            lastMatch = rRow.asInstanceOf[UnsafeRow].copy()
+            lastMatchKey = rKeyV
+          }
+          advanceRight()
+        }
+        if (lastMatch != null && lastMatchKey == lKeyV)
+          Iterator.single(outProj(joined(lRow, lastMatch)))
+        else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, rtb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rtb) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOfJoinOps {
+  /** DataFrame-level entry: backward as-of inner join of `left` to `right`
+    * on long key/time columns. Registers the planner strategy on the session
+    * (idempotent).
+    */
+  def asofJoin(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column, rightTiebreak: Column): DataFrame = {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    GraftSqlBridge.ofRows(spark, AsOfJoin(
+      GraftSqlBridge.analyzedPlan(leftDf), GraftSqlBridge.analyzedPlan(rightDf),
+      GraftSqlBridge.expression(leftKey), GraftSqlBridge.expression(rightKey),
+      GraftSqlBridge.expression(leftTime), GraftSqlBridge.expression(rightTime),
+      GraftSqlBridge.expression(rightTiebreak)))
+  }
+}

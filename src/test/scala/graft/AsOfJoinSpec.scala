@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{AsOfJoinExec, AsOfJoinOps}
+
+/** Edge semantics of the native as-of operator that the oracle's bulk data
+  * may not exercise: strict-before at equal times, tiebreak on equal right
+  * times, unmatched-left drop, cross-partition correctness.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]) = {
+    // (id, key, time)
+    val l = left.toDF("lid", "lkey", "ltime").repartition(3)
+    val r = right.toDF("rid", "rkey", "rtime").repartition(2)
+    AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+  }
+
+  test("matches the latest strictly-earlier right row per key") {
+    val got = run(
+      left = Seq((1L, 7L, 100L), (2L, 7L, 200L), (3L, 8L, 100L)),
+      right = Seq((10L, 7L, 50L), (11L, 7L, 150L), (12L, 8L, 99L)))
+    assert(got === Set((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
+  test("right rows at exactly the left time are excluded (strictly before)") {
+    val got = run(
+      left = Seq((1L, 7L, 100L)),
+      right = Seq((10L, 7L, 100L), (11L, 7L, 99L)))
+    assert(got === Set((1L, 11L)))
+  }
+
+  test("ties on right time resolve to the greatest tiebreak id") {
+    val got = run(
+      left = Seq((1L, 7L, 100L)),
+      right = Seq((10L, 7L, 50L), (13L, 7L, 50L), (11L, 7L, 50L)))
+    assert(got === Set((1L, 13L)))
+  }
+
+  test("left rows with no earlier right row drop (inner semantics)") {
+    val got = run(
+      left = Seq((1L, 7L, 100L), (2L, 9L, 100L)),
+      right = Seq((10L, 7L, 150L), (11L, 8L, 50L)))
+    assert(got === Set.empty[(Long, Long)])
+  }
+
+  test("physical plan uses AsOfJoinExec, not window machinery") {
+    val l = Seq((1L, 7L, 100L)).toDF("lid", "lkey", "ltime")
+    val r = Seq((10L, 7L, 50L)).toDF("rid", "rkey", "rtime")
+    val df = AsOfJoinOps.asofJoin(spark, l, r,
+      l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"))
+    val plan = df.queryExecution.executedPlan
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.isInstanceOf[AsOfJoinExec] || p.children.exists(find) ||
+        (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => find(a.executedPlan)
+          case _ => false
+        })
+    assert(find(plan), s"AsOfJoinExec not found in:\n$plan")
+    assert(!plan.toString.contains("Window"))
+  }
+
+  test("many keys across many partitions agree with a reference computation") {
+    val rng = new scala.util.Random(11)
+    val left = (0 until 500).map(i => (i.toLong, rng.nextInt(20).toLong, rng.nextInt(1000).toLong))
+    val right = (0 until 800).map(i => (1000L + i, rng.nextInt(20).toLong, rng.nextInt(1000).toLong))
+    val expected = left.flatMap { case (lid, k, lt) =>
+      val cands = right.filter(r => r._2 == k && r._3 < lt)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.maxBy(r => (r._3, r._1))
+        Some((lid, best._1))
+      }
+    }.toSet
+    assert(run(left, right) === expected)
+  }
+}
