@@ -248,6 +248,29 @@ object AdvancedQueries {
     },
     RelationalQueries.joinAsof.oracle)
 
+  /** Explicit join-strategy control: SHUFFLE_HASH hint forces a shuffled
+    * hash join where the planner would otherwise broadcast or sort-merge —
+    * the knob for dimension tables too big to broadcast but cheap to hash.
+    */
+  val joinShuffleHash = QueryDef(
+    "join_shuffle_hash",
+    (spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+      val part = load(spark, dir, "part").hint("shuffle_hash")
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n_items,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
   val all: Seq[QueryDef] = Seq(subqueryScalar, subqueryExists, windowRange,
-    windowRanks, eventsPivot, arrayFuncs, stringFuncs, joinAsofNative)
+    windowRanks, eventsPivot, arrayFuncs, stringFuncs, joinAsofNative,
+    joinShuffleHash)
 }

@@ -120,6 +120,9 @@ object AsOfJoinOps {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushLeftFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushLeftFilterThroughAsOfJoin
     GraftSqlBridge.ofRows(spark, AsOfJoin(
       GraftSqlBridge.analyzedPlan(leftDf), GraftSqlBridge.analyzedPlan(rightDf),
       GraftSqlBridge.expression(leftKey), GraftSqlBridge.expression(rightKey),

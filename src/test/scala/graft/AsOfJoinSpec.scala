@@ -64,6 +64,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.toString.contains("Window"))
   }
 
+  test("left-only filters push below the as-of join; right-side filters stay above") {
+    import graft.plans.{AsOfJoin, PushLeftFilterThroughAsOfJoin}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val l = Seq((1L, 7L, 100L), (2L, 7L, 200L)).toDF("lid", "lkey", "ltime")
+    val r = Seq((10L, 7L, 50L), (11L, 7L, 150L)).toDF("rid", "rkey", "rtime")
+    val joined = AsOfJoinOps.asofJoin(spark, l, r,
+      l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"))
+    val filtered = joined.filter($"lid" === 2L && $"rid" > 5L)
+    val opt = filtered.queryExecution.optimizedPlan
+    // the left conjunct must sit BELOW the AsOfJoin after optimization
+    val pushedBelow = opt.collect {
+      case j: AsOfJoin => j.left.collect { case f: LFilter => f }
+    }.flatten
+    assert(pushedBelow.exists(_.condition.toString.contains("lid")),
+      s"left filter not pushed below:\n$opt")
+    // right-side conjunct must NOT be below the join (it would change matching)
+    assert(!opt.collect { case j: AsOfJoin => j.right.collect { case f: LFilter => f } }
+      .flatten.exists(_.condition.toString.contains("rid")))
+    // and results are correct
+    assert(filtered.select($"lid", $"rid").as[(Long, Long)].collect().toSet ===
+      Set((2L, 11L)))
+  }
+
   test("many keys across many partitions agree with a reference computation") {
     val rng = new scala.util.Random(11)
     val left = (0 until 500).map(i => (i.toLong, rng.nextInt(20).toLong, rng.nextInt(1000).toLong))
