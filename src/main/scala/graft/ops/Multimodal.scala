@@ -68,6 +68,29 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame: payload slice + index, the unit a vision encoder
+    * would consume downstream.
+    */
+  case class FrameSample(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: explode each video payload into every `stride`-th
+    * frame's bytes (stub: fixed-size slices of the payload stand in for
+    * decoded frames). flatMap keeps it executor-side and streaming — one
+    * input row never materializes more than its own frames.
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], decoder: MediaDecoder,
+      stride: Int = 4, frameSize: Int = 32): Dataset[FrameSample] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val feats = decoder.decodeBatch(Seq(r)).head
+      (0 until feats.n_frames by stride).map { i =>
+        val start = math.min(i * frameSize, math.max(r.content.length - 1, 0))
+        val end = math.min(start + frameSize, r.content.length)
+        FrameSample(r.media_id, i, r.content.slice(start, end))
+      }
+    }
+  }
+
   /** Synthesize a media table from `documents` (text bytes as fake payloads)
     * — the driver testdata has no binary column, so the payloads are derived
     * deterministically from an existing one.

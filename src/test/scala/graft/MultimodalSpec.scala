@@ -32,6 +32,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1).n_frames === (100 % 24 + 1))
   }
 
+  test("frame sampling explodes videos by stride, stills yield one frame") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1, "video/fake", Array.fill[Byte](100)(7)), // 100%24+1 = 5 frames
+      MediaRecord(2, "image/fake", Array.fill[Byte](50)(3)))) // 1 frame
+    val frames = Multimodal.sampleFrames(ds, StubMediaDecoder, stride = 2, frameSize = 8)
+      .collect().groupBy(_.media_id)
+    assert(frames(1L).map(_.frame_idx).sorted.toSeq === Seq(0, 2, 4)) // every 2nd of 5
+    assert(frames(2L).map(_.frame_idx).toSeq === Seq(0))
+    assert(frames(1L).forall(_.frame_bytes.length <= 8))
+    assert(frames(1L).find(_.frame_idx == 0).get.frame_bytes.length === 8)
+  }
+
   test("brightness is bounded to [0, 10000] basis points") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
