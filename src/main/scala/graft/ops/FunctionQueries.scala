@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.Tables.{cents, exactDiv, load}
+
+/** Fourth-wave scalar/aggregate function coverage: regex, date/time
+  * arithmetic, null handling, bitwise + cryptographic hashes, ordered
+  * collect/string-agg, exact percentiles, and distributed second moments
+  * (corr/stddev) computed from exact integer sums.
+  *
+  * Everything stays inside whole-stage codegen (builtin expressions only);
+  * every float output is a fixed-shape IEEE expression over exact longs so
+  * the DuckDB oracle reproduces it bit-for-bit.
+  */
+object FunctionQueries {
+
+  /** Regex battery: extract / extract-all count / match flag. Patterns stick
+    * to character-class + anchor constructs whose semantics agree between
+    * Java regex (Spark) and RE2 (DuckDB).
+    */
+  val regexFuncs = QueryDef(
+    "regex_funcs",
+    (spark, dir) => {
+      load(spark, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0)))
+            .cast("long").as("n_vowel_runs"),
+          col("p_name").rlike("^[bs]").cast("int").as("starts_bs"),
+          regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_word"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      SELECT p_partkey,
+             regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+             CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+             CAST(regexp_matches(p_name, '^[bs]') AS INTEGER) AS starts_bs,
+             regexp_extract(p_type, '^([A-Z]+)', 1) AS type_word
+      FROM part
+      ORDER BY p_partkey"""))
+
+  /** Date/time battery 2: truncation, calendar fields, day diffs against a
+    * fixed anchor, month arithmetic with end-of-month clamping, last_day.
+    * All formatted to strings / exact ints so both engines emit identical
+    * cells.
+    */
+  val datetimeFuncs = QueryDef(
+    "datetime_funcs",
+    (spark, dir) => {
+      load(spark, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          quarter(col("o_orderdate")).as("qtr"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_anchor"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3mo"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          dayofmonth(col("o_orderdate")).as("dom"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_anchor,
+             strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+             CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dom
+      FROM orders
+      WHERE o_orderkey % 10 = 0
+      ORDER BY o_orderkey"""))
+
+  /** Null-handling battery: nullif / coalesce / null-safe equality / null
+    * counting semantics (COUNT(col) skips nulls, COUNT(*) doesn't).
+    */
+  val nullFuncs = QueryDef(
+    "null_funcs",
+    (spark, dir) => {
+      val c = load(spark, dir, "customer")
+        .withColumn("seg_nb", nullif(col("c_mktsegment"), lit("BUILDING")))
+        .withColumn("pos_bal",
+          when(col("c_acctbal") >= 0, cents(col("c_acctbal"))))
+      c.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_total"),
+          count(col("seg_nb")).as("n_nonbuilding"),
+          count(col("pos_bal")).as("n_pos"),
+          sum(coalesce(col("pos_bal"), lit(0L))).as("pos_cents"),
+          countDistinct(col("seg_nb")).as("n_seg_nb"),
+          sum((col("seg_nb") <=> lit(null)).cast("long")).as("n_building"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""
+      SELECT c_nationkey, COUNT(*) AS n_total,
+             COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_nonbuilding,
+             COUNT(CASE WHEN c_acctbal >= 0 THEN 1 END) AS n_pos,
+             CAST(SUM(COALESCE(CASE WHEN c_acctbal >= 0
+                 THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END, 0)) AS BIGINT) AS pos_cents,
+             COUNT(DISTINCT NULLIF(c_mktsegment, 'BUILDING')) AS n_seg_nb,
+             CAST(SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_building
+      FROM customer
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""))
+
+  /** Bitwise + cryptographic-hash battery over key columns (exact integer
+    * semantics; md5/sha256 hex digests are identical across engines).
+    */
+  val bitHashFuncs = QueryDef(
+    "bit_hash_funcs",
+    (spark, dir) => {
+      load(spark, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(255)).as("key_and"),
+          (col("o_orderkey").bitwiseOR(col("o_custkey"))).as("key_or"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("key_xor"),
+          shiftleft(col("o_orderkey"), 3).as("key_shl3"),
+          shiftright(col("o_orderkey"), 2).as("key_shr2"),
+          md5(concat(col("o_orderstatus"), col("o_orderkey").cast("string"))
+            .cast("binary")).as("row_md5"),
+          sha2(col("o_orderpriority").cast("binary"), 256).as("prio_sha256"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             o_orderkey & 255 AS key_and,
+             o_orderkey | o_custkey AS key_or,
+             xor(o_orderkey, o_custkey) AS key_xor,
+             o_orderkey << 3 AS key_shl3,
+             o_orderkey >> 2 AS key_shr2,
+             md5(o_orderstatus || CAST(o_orderkey AS VARCHAR)) AS row_md5,
+             sha256(o_orderpriority) AS prio_sha256
+      FROM orders
+      WHERE o_orderkey % 100 = 0
+      ORDER BY o_orderkey"""))
+
+  /** Distributed second moments: corr and sample stddev computed from exact
+    * integer sums (n, Σx, Σy, Σx², Σy², Σxy over scaled-int columns), with
+    * the final float formula shaped identically on both engines — the
+    * map-side-combinable way to get exact reproducible statistics at any
+    * scale (builtin corr/stddev accumulate floats in partition order and are
+    * not cross-engine reproducible).
+    */
+  val statsMoments = QueryDef(
+    "stats_moments",
+    (spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+        .select(col("l_returnflag"),
+          cents(col("l_quantity")).as("x"),
+          floor(col("l_extendedprice") + lit(0.5)).cast("long").as("y"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          ((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("n").cast("double") * col("syy").cast("double") -
+               col("sy").cast("double") * col("sy").cast("double")))).as("corr_qty_price"),
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+            (col("n").cast("double") * (col("n").cast("double") - 1))).as("stddev_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM (SELECT l_returnflag,
+                     CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+              FROM lineitem)
+        GROUP BY l_returnflag)
+      SELECT l_returnflag, n, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS corr_qty_price,
+             sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_qty
+      FROM m
+      ORDER BY l_returnflag"""))
+
+  /** Ordered collect: per-status sorted-distinct string agg + bounded sample
+    * of order keys — deterministic because both sides sort before
+    * concatenating.
+    */
+  val aggCollect = QueryDef(
+    "agg_collect",
+    (spark, dir) => {
+      load(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+            .as("priorities"),
+          concat_ws(",", slice(array_sort(collect_set(
+            when(col("o_orderkey") % 1000 === 0, col("o_orderkey")))), 1, 5)
+            .cast("array<string>")).as("sample_keys"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      SELECT o_orderstatus,
+             string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+             array_to_string(
+               (list_sort(list(DISTINCT o_orderkey)
+                  FILTER (WHERE o_orderkey % 1000 = 0)))[1:5], ',') AS sample_keys,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
+  val all: Seq[QueryDef] = Seq(regexFuncs, datetimeFuncs, nullFuncs,
+    bitHashFuncs, statsMoments, aggCollect)
+}

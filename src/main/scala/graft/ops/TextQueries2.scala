@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.Tables.load
+
+/** Training-data text pipeline, wave 2: tokenizer comparison (whitespace vs
+  * BPE-ish subword chunking), per-document quality scoring with bucketing,
+  * and connected-components canonicalization over the near-duplicate pair
+  * graph — the step that turns pairwise dedup candidates into "keep one doc
+  * per duplicate cluster" at corpus scale.
+  */
+object TextQueries2 {
+
+  /** Token counting two ways: whitespace tokens vs a BPE-ish regex that
+    * chunks words into ≤4-char subword pieces (`[a-z]{1,4}` greedy — the
+    * shape of byte-pair tokenizers without a learned vocabulary). Counts are
+    * exact; regex semantics (greedy char-class quantifiers) agree between
+    * Java regex and RE2.
+    */
+  val textTokens = QueryDef(
+    "text_tokens",
+    (spark, dir) => {
+      load(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+            .cast("long").as("n_subword"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)))
+            .cast("long").as("n_long"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+             CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_subword,
+             CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) AS n_long,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+      FROM documents
+      WHERE doc_id % 10 = 0
+      ORDER BY doc_id"""))
+
+  /** Per-document quality scoring → bucket histogram. All signals are exact
+    * integers scaled to basis points before thresholding, so the bucket
+    * boundaries are integer comparisons (no float-boundary flakiness):
+    * distinct-token ratio (repetitiveness), stopword ratio (natural-language
+    * likelihood), token count (fragment detection).
+    */
+  val textQuality = QueryDef(
+    "text_quality",
+    (spark, dir) => {
+      val stop = Seq("the", "a", "and", "of", "in")
+      val toks = split(col("text"), " ")
+      val scored = load(spark, dir, "documents")
+        .select(col("lang"),
+          size(toks).cast("long").as("n_tok"),
+          size(array_distinct(toks)).cast("long").as("n_dis"),
+          size(filter(toks, t => t.isin(stop: _*))).cast("long").as("n_stop"))
+        .withColumn("dis_bp", floor(col("n_dis") * 10000 / col("n_tok")).cast("long"))
+        .withColumn("stop_bp", floor(col("n_stop") * 10000 / col("n_tok")).cast("long"))
+      scored
+        .withColumn("bucket",
+          when(col("n_tok") < 30, lit("short"))
+            .when(col("dis_bp") < 2500, lit("repetitive"))
+            .when(col("stop_bp") >= 200 && col("stop_bp") <= 2500, lit("natural"))
+            .otherwise(lit("odd")))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          min(col("dis_bp")).as("min_dis_bp"),
+          max(col("stop_bp")).as("max_stop_bp"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
+               CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','and','of','in'], t))) AS BIGINT) AS n_stop
+        FROM documents),
+      b AS (
+        SELECT lang, n_tok,
+               CAST(floor(n_dis * 10000 / n_tok) AS BIGINT) AS dis_bp,
+               CAST(floor(n_stop * 10000 / n_tok) AS BIGINT) AS stop_bp
+        FROM scored)
+      SELECT lang,
+             CASE WHEN n_tok < 30 THEN 'short'
+                  WHEN dis_bp < 2500 THEN 'repetitive'
+                  WHEN stop_bp BETWEEN 200 AND 2500 THEN 'natural'
+                  ELSE 'odd' END AS bucket,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+             MIN(dis_bp) AS min_dis_bp,
+             MAX(stop_bp) AS max_stop_bp
+      FROM b
+      GROUP BY 1, 2
+      ORDER BY lang, bucket"""))
+
+  /** Connected components over the near-duplicate pair graph
+    * ([[TextQueries.dedupJaccardTokens]] candidates): iterative min-label
+    * propagation to a fixpoint — each iteration is one shuffle join + one
+    * aggregate, state truncated with localCheckpoint, O(graph diameter)
+    * rounds. This is the canonicalization step of corpus-scale dedup (pick
+    * one keeper per duplicate cluster, transitively).
+    *
+    * The DuckDB oracle computes the same closure with a recursive CTE —
+    * independent formulation, identical clusters.
+    */
+  val dedupComponents = QueryDef(
+    "dedup_components",
+    (spark, dir) => {
+      val pairs = TextQueries.dedupJaccardTokens.fn(spark, dir)
+        .select(col("a_id"), col("b_id"))
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("root", col("id"))
+        .localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val neighborMin = edges
+          .join(labels, col("src") === col("id"))
+          .groupBy(col("dst")).agg(min(col("root")).as("nb_root"))
+        val next = labels
+          .join(neighborMin, col("id") === col("dst"), "left")
+          .select(col("id"),
+            least(col("root"), coalesce(col("nb_root"), col("root"))).as("root"),
+            (col("nb_root") < col("root")).cast("long").as("moved"))
+        val materialized = next.localCheckpoint()
+        changed = materialized.agg(sum(col("moved"))).first().getLong(0)
+        labels = materialized.select(col("id"), col("root"))
+        rounds += 1
+      }
+      labels.groupBy(col("root"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+        .orderBy(col("root"))
+    },
+    Some("""
+      WITH RECURSIVE
+      d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents WHERE doc_id % 20 = 0),
+      e AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+      c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+            FROM e a JOIN e b ON a.tok = b.tok AND a.lang = b.lang
+                              AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      n AS (SELECT doc_id, len(toks) AS n FROM d),
+      pairs AS (
+        SELECT a_id, b_id
+        FROM c JOIN n na ON c.a_id = na.doc_id JOIN n nb ON c.b_id = nb.doc_id
+        WHERE CAST(floor(common / (na.n + nb.n - common) * 10000 + 0.5) AS BIGINT) >= 5000),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)
+      SELECT root, COUNT(*) AS n_docs, MAX(id) AS max_doc
+      FROM comp
+      GROUP BY root
+      ORDER BY root"""))
+
+  val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents)
+}

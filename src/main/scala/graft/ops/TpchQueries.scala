@@ -1,0 +1,376 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.Tables.{cents, exactDiv, load}
+
+/** Third-wave relational coverage: the classic TPC-H query shapes adapted to
+  * the driver's star schema (columns the synthetic tables actually carry).
+  * Each exercises a distinct plan shape the first two waves don't:
+  * scan-only aggregate (q6), two-fact multi-dim join (q7), LIKE-filtered
+  * dimension join (q9), top-k over a 3-way join (q10), interval date
+  * arithmetic (q12), conditional-aggregate ratio (q14), distinct-count
+  * grouping over a shuffle join (q16), HAVING-filtered semi-aggregate join
+  * (q18), disjunctive multi-column predicates (q19), scalar-aggregate
+  * broadcast + anti join (q22), per-group argmin via window (q2).
+  *
+  * Scale posture: filtered dims are broadcast; fact⋈fact pairs shuffle on
+  * their keys; q16's part join is left as a shuffle join deliberately (at
+  * real scale `part` outgrows the broadcast threshold — the plan must not
+  * depend on it fitting in memory).
+  */
+object TpchQueries {
+
+  /** TPC-H Q6: forecasting revenue change — scan-only filter + aggregate.
+    * Every predicate pushes to the parquet scan; no shuffle except the final
+    * single-row partial/final aggregate merge.
+    */
+  val q6Revenue = QueryDef(
+    "q6_revenue",
+    (spark, dir) => {
+      load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             COUNT(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** TPC-H Q7: volume shipping between two nations — lineitem⋈orders is the
+    * only fact-fact shuffle; supplier+nation and customer+nation sides are
+    * broadcast (pre-filtered to the two nations, so they stay tiny at any sf).
+    */
+  val q7Volume = QueryDef(
+    "q7_volume",
+    (spark, dir) => {
+      val nation = load(spark, dir, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+      val supp = load(spark, dir, "supplier")
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = load(spark, dir, "customer")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = load(spark, dir, "orders")
+      val li = load(spark, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("ship_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+    },
+    Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+        AND n2.n_name IN ('NATION_3', 'NATION_7')
+        AND n1.n_name <> n2.n_name
+      GROUP BY 1, 2, 3
+      ORDER BY supp_nation, cust_nation, ship_year"""))
+
+  /** TPC-H Q9-shaped: product-line profit by supplier nation × year, parts
+    * selected by a LIKE filter on p_name. The filtered part dim broadcasts;
+    * so does supplier⋈nation.
+    */
+  val q9Profit = QueryDef(
+    "q9_profit",
+    (spark, dir) => {
+      val part = load(spark, dir, "part").filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"))
+      val supp = load(spark, dir, "supplier")
+        .join(broadcast(load(spark, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      load(spark, dir, "lineitem")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("ship_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("profit_cents"))
+        .orderBy(col("n_name"), col("ship_year"))
+    },
+    Some("""
+      SELECT n_name, CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY 1, 2
+      ORDER BY n_name, ship_year"""))
+
+  /** TPC-H Q10: returned-item revenue ranking — customers who returned goods
+    * in 1996Q1, top 20 by lost revenue. 3-way join, top-k via
+    * TakeOrderedAndProject.
+    */
+  val q10Returns = QueryDef(
+    "q10_returns",
+    (spark, dir) => {
+      val ord = load(spark, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = load(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val cust = load(spark, dir, "customer")
+      val nation = load(spark, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name, n_name,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue_cents DESC, c_custkey
+      LIMIT 20"""))
+
+  /** TPC-H Q12-shaped: late-shipment counts by year, split into high/low
+    * priority via conditional aggregation. Interval date arithmetic
+    * (shipdate > orderdate + 60 days) evaluates identically on both engines.
+    */
+  val q12Late = QueryDef(
+    "q12_late",
+    (spark, dir) => {
+      val ord = load(spark, dir, "orders")
+      val li = load(spark, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("n_high"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L)).as("n_low"))
+        .orderBy(col("order_year"))
+    },
+    Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS n_low
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      GROUP BY 1
+      ORDER BY order_year"""))
+
+  /** TPC-H Q14: promotion revenue share — conditional aggregate over a
+    * broadcast part join; the ratio is one IEEE division of exact longs.
+    */
+  val q14Promo = QueryDef(
+    "q14_promo",
+    (spark, dir) => {
+      val li = load(spark, dir, "lineitem").filter(
+        col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val part = load(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).otherwise(0L))
+            .as("promo_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_cents"))
+        .withColumn("promo_ratio", exactDiv(col("promo_cents"), col("total_cents")))
+    },
+    Some("""
+      SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS promo_cents,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS promo_ratio
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'"""))
+
+  /** TPC-H Q16-shaped: distinct supplier count per (brand, size) bucket.
+    * The lineitem⋈part join is deliberately a SHUFFLE join: at real scale
+    * `part` outgrows any broadcast threshold, and distinct-count grouping
+    * re-shuffles on the group keys anyway.
+    */
+  val q16SuppCnt = QueryDef(
+    "q16_suppcnt",
+    (spark, dir) => {
+      val part = load(spark, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25))
+        .hint("shuffle_hash")
+      load(spark, dir, "lineitem")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    },
+    Some("""
+      SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#5' AND p_size IN (1, 5, 10, 15, 20, 25)
+      GROUP BY p_brand, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_size"""))
+
+  /** TPC-H Q18: large-volume orders — HAVING-filtered aggregate re-joined to
+    * orders+customer. The quantity rollup shuffles once on l_orderkey, which
+    * is also the join key, so AQE can reuse the exchange.
+    */
+  val q18BigOrders = QueryDef(
+    "q18_bigorders",
+    (spark, dir) => {
+      val big = load(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+        .filter(col("sum_qty_cents") > 26000)
+      val ord = load(spark, dir, "orders")
+      val cust = load(spark, dir, "customer")
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          cents(col("o_totalprice")).as("totalprice_cents"),
+          col("sum_qty_cents"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""
+      SELECT c_custkey, c_name, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+             sum_qty_cents
+      FROM (SELECT l_orderkey,
+                   CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 26000) big
+      JOIN orders   ON big.l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY totalprice_cents DESC, o_orderkey
+      LIMIT 100"""))
+
+  /** TPC-H Q19: disjunctive brand/size/quantity bands — one OR-of-ANDs
+    * predicate evaluated inside the join; Catalyst extracts the common
+    * partkey equi-condition and keeps the disjunction as a join filter.
+    */
+  val q19Brands = QueryDef(
+    "q19_brands",
+    (spark, dir) => {
+      val part = load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = load(spark, dir, "lineitem")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""))
+
+  /** TPC-H Q22-shaped: dormant high-balance customers — global scalar
+    * aggregate broadcast back as a cross join (the distributed form of a
+    * scalar subquery), anti join against recent orders. The above-average
+    * test is algebraized to exact integers: bal·n > Σbal.
+    */
+  val q22Idle = QueryDef(
+    "q22_idle",
+    (spark, dir) => {
+      val cust = load(spark, dir, "customer").filter(col("c_acctbal") > 0)
+      val stats = cust.agg(sum(cents(col("c_acctbal"))).as("sum_bal"),
+        count(lit(1)).as("n_bal"))
+      val recent = load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      cust
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(stats))
+        .filter(cents(col("c_acctbal")) * col("n_bal") > col("sum_bal"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"), sum(cents(col("c_acctbal"))).as("bal_cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_custs,
+             CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_acctbal > 0
+        AND CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) *
+              (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+            > (SELECT SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+               FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  /** TPC-H Q2-shaped: cheapest supplier per part — per-group argmin via a
+    * ranking window over the distinct (part, supplier) shipping pairs.
+    * At scale the window ranks inside each hash partition; no global sort.
+    */
+  val q2MinSupp = QueryDef(
+    "q2_minsupp",
+    (spark, dir) => {
+      val part = load(spark, dir, "part").filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_brand"))
+      val pairs = load(spark, dir, "lineitem")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("l_suppkey")).distinct()
+      val supp = load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), cents(col("s_acctbal")).as("acctbal_cents"))
+      val w = Window.partitionBy(col("p_partkey"))
+        .orderBy(col("acctbal_cents"), col("s_suppkey"))
+      pairs.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          col("s_name"), col("acctbal_cents"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT p_partkey, p_brand, l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size = 15),
+      ranked AS (
+        SELECT p_partkey, p_brand, s_suppkey, s_name,
+               CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+               ROW_NUMBER() OVER (PARTITION BY p_partkey
+                 ORDER BY CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT), s_suppkey) AS rn
+        FROM pairs JOIN supplier ON l_suppkey = s_suppkey)
+      SELECT p_partkey, p_brand, s_suppkey, s_name, acctbal_cents
+      FROM ranked WHERE rn = 1
+      ORDER BY p_partkey"""))
+
+  val all: Seq[QueryDef] = Seq(q6Revenue, q7Volume, q9Profit, q10Returns,
+    q12Late, q14Promo, q16SuppCnt, q18BigOrders, q19Brands, q22Idle, q2MinSupp)
+}
