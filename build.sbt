@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap note: this VM provisions anonymous pages lazily and SLOWLY
+  // (~13µs-1.3ms per first-touch page fault, serialized host-side — measured
+  // 0.05-0.3 GB/s). A big heap makes G1 spread allocation over never-faulted
+  // regions and every query randomly stalls seconds on page provisioning; a
+  // modest heap keeps re-using already-faulted pages. 16g is ~6× the whole
+  // sf0.1 dataset — plenty — and benches 5-10× more stably than 64g here.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -13,7 +13,8 @@ object SparkEntry {
   /** Every registered query (implementation + oracle). */
   def registry: Seq[QueryDef] =
     ops.ParityQueries.all ++ ops.RelationalQueries.all ++
-    ops.AdvancedQueries.all ++ ops.TpchQueries.all ++ ops.FunctionQueries.all ++
+    ops.AdvancedQueries.all ++ ops.TpchQueries.all ++ ops.RelationalQueries2.all ++
+    ops.FunctionQueries.all ++ ops.PipelineQueries.all ++ ops.CoverageQueries.all ++
     ops.TextQueries.all ++ ops.TextQueries2.all ++ ops.VectorQueries.all ++
     ops.DedupQueries.all ++ ops.MultimodalQueries.all
 

@@ -1,0 +1,296 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.QueryDef
+import graft.Tables.{cents, load}
+
+/** Sixth-wave operator coverage: the remaining logical-plan shapes — native
+  * session windows, unpivot (wide→long), LATERAL correlated joins, explicit
+  * GROUPING SETS with grouping_id, the window navigation-function battery
+  * (lead / first_value / nth_value / last_value with explicit frames), and
+  * positional explode.
+  */
+object CoverageQueries {
+
+  private def view(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): Unit =
+    load(spark, dir, name).createOrReplaceTempView(name)
+
+  /** Native session windows: `session_window(ts, gap)` merges per-user event
+    * runs separated by <30 min — Spark's SessionWindow operator (merging
+    * state, not a fixed grid). The oracle rebuilds identical sessions with
+    * the gaps-and-islands idiom (lag → gap flag → running session ordinal).
+    * Scale: one shuffle on user_id; session merge is per-key streaming state.
+    */
+  val eventsSessionWindow = QueryDef(
+    "events_session_window",
+    (spark, dir) => {
+      load(spark, dir, "events")
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("value_cents"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id < 50),
+      s AS (
+        SELECT user_id, ts, v_cents,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM e)
+      SELECT user_id,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(v_cents) AS BIGINT) AS value_cents
+      FROM s
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""))
+
+  /** Unpivot (wide→long): per-user event-type counts pivoted wide, then
+    * melted back with `Dataset.unpivot` — zero-count cells survive as
+    * explicit rows (the semantic difference from just grouping long-form).
+    */
+  val eventsUnpivot = QueryDef(
+    "events_unpivot",
+    (spark, dir) => {
+      val wide = load(spark, dir, "events")
+        .filter(col("user_id") < 100)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("view"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchase"))
+      wide.unpivot(Array(col("user_id")),
+          Array(col("click"), col("view"), col("purchase")),
+          "event_type", "n_events")
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""
+      WITH wide AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+               SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+        FROM events WHERE user_id < 100 GROUP BY user_id)
+      SELECT user_id, t.event_type, CAST(t.n_events AS BIGINT) AS n_events
+      FROM wide,
+           LATERAL (VALUES ('click', click), ('view', view),
+                    ('purchase', purchase)) t(event_type, n_events)
+      ORDER BY user_id, event_type"""))
+
+  /** LATERAL correlated join: top-2 suppliers per nation by (balance, key),
+    * written as SQL LATERAL with ORDER BY + LIMIT inside the correlated
+    * subquery — the per-row-subquery plan shape (Spark decorrelates to a
+    * ranked window under the hood; DuckDB runs it as a lateral join).
+    */
+  val joinLateral = QueryDef(
+    "join_lateral",
+    (spark, dir) => {
+      view(spark, dir, "nation"); view(spark, dir, "supplier")
+      spark.sql("""
+        SELECT n_name, l.s_suppkey, l.s_name, l.bal_cents
+        FROM nation,
+        LATERAL (SELECT s_suppkey, s_name,
+                        CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+                 FROM supplier
+                 WHERE s_nationkey = n_nationkey
+                 ORDER BY bal_cents DESC, s_suppkey
+                 LIMIT 2) l
+        ORDER BY n_name, bal_cents DESC, s_suppkey""")
+    },
+    Some("""
+      SELECT n_name, l.s_suppkey, l.s_name, l.bal_cents
+      FROM nation,
+      LATERAL (SELECT s_suppkey, s_name,
+                      CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+               FROM supplier
+               WHERE s_nationkey = n_nationkey
+               ORDER BY bal_cents DESC, s_suppkey
+               LIMIT 2) l
+      ORDER BY n_name, bal_cents DESC, s_suppkey"""))
+
+  /** Explicit GROUPING SETS — region level, region×nation level, and grand
+    * total in one pass, with GROUPING() flags distinguishing "NULL because
+    * rolled up" from data nulls. Same partial-aggregate expansion machinery
+    * as rollup/cube but with a hand-picked set list.
+    */
+  val aggGroupingSets = QueryDef(
+    "agg_grouping_sets",
+    (spark, dir) => {
+      view(spark, dir, "region"); view(spark, dir, "nation")
+      view(spark, dir, "supplier")
+      spark.sql("""
+        SELECT r_name, n_name,
+               CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+               CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+               COUNT(*) AS n_supp,
+               CAST(SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        ORDER BY g_region DESC, g_nation DESC, r_name NULLS FIRST, n_name NULLS FIRST""")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+             CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+             COUNT(*) AS n_supp,
+             CAST(SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+      ORDER BY g_region DESC, g_nation DESC, r_name NULLS FIRST, n_name NULLS FIRST"""))
+
+  /** Window navigation battery: lead / first_value / last_value / nth_value
+    * over per-user event-time order, with an explicit ROWS frame for the
+    * running last (default RANGE frames differ between engines on ties —
+    * event times are unique per user in this data, but pin ROWS anyway).
+    */
+  val windowNavigation = QueryDef(
+    "window_navigation",
+    (spark, dir) => {
+      val byTs = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val running = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(spark, dir, "events")
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"),
+          lead(col("event_id"), 1).over(byTs).as("next_event_id"),
+          lead(col("event_id"), 2, -1L).over(byTs).as("next2_or_default"),
+          first(col("event_id")).over(byTs).as("first_event_id"),
+          last(col("event_id")).over(running).as("running_last_id"),
+          nth_value(col("event_id"), 3).over(running).as("third_event_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             LEAD(event_id, 1) OVER w AS next_event_id,
+             LEAD(event_id, 2, -1) OVER w AS next2_or_default,
+             FIRST_VALUE(event_id) OVER w AS first_event_id,
+             LAST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS running_last_id,
+             NTH_VALUE(event_id, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS third_event_id
+      FROM events
+      WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id"""))
+
+  /** Positional explode: posexplode of the token array (Generate with
+    * ordinal) — the order-preserving flatten every sequence-labeling
+    * pipeline needs. DuckDB twin: parallel unnest of the list and its index
+    * range (both unnests zip positionally in one SELECT).
+    */
+  val arrayExplodePos = QueryDef(
+    "array_explode_pos",
+    (spark, dir) => {
+      load(spark, dir, "documents")
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("col").as("tok"))
+        .filter(col("pos") < 20)
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some("""
+      SELECT doc_id, pos, tok
+      FROM (SELECT doc_id,
+                   unnest(range(len(string_split(text, ' ')))) AS pos,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+            WHERE doc_id % 50 = 0)
+      WHERE pos < 20
+      ORDER BY doc_id, pos"""))
+
+  /** Fuzzy near-dup by edit distance: sampled same-language candidate pairs
+    * scored with levenshtein on a 40-char prefix — the character-level
+    * complement to token Jaccard (catches small in-place edits). Scale
+    * posture: levenshtein is O(m·n) per pair, so it only ever runs on
+    * blocked candidate pairs (here: same language over a 1-in-10 sample; in
+    * production the block key would be an LSH band or fingerprint bucket),
+    * never the raw cross product.
+    */
+  val dedupLevenshtein = QueryDef(
+    "dedup_levenshtein",
+    (spark, dir) => {
+      val d = load(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("prefix"))
+      val a = d.select(col("doc_id").as("a_id"), col("lang"),
+        col("prefix").as("a_prefix"))
+      val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("prefix").as("b_prefix"))
+      a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_prefix"), col("b_prefix")).cast(LongType).as("edit_dist"))
+        .filter(col("edit_dist") <= 28)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang, substr(text, 1, 40) AS prefix
+        FROM documents WHERE doc_id % 10 = 0)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.prefix, b.prefix) <= 28
+      ORDER BY a_id, b_id"""))
+
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL keep duplicate
+    * cardinality (the distinct variants are `setops`). Spark plans these as
+    * aggregate+generate replication rather than a dedup; the counts pin the
+    * bag semantics.
+    */
+  val setopsAll = QueryDef(
+    "setops_all",
+    (spark, dir) => {
+      view(spark, dir, "lineitem")
+      spark.sql("""
+        WITH y95 AS (SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q
+                     FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                       AND l_shipdate < TIMESTAMP '1996-01-01' AND l_orderkey % 10 = 0),
+             y96 AS (SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q
+                     FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01' AND l_orderkey % 10 = 0)
+        SELECT 'common_bag' AS bucket, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sum_q
+        FROM (SELECT q FROM y95 INTERSECT ALL SELECT q FROM y96)
+        UNION ALL
+        SELECT 'only95_bag' AS bucket, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sum_q
+        FROM (SELECT q FROM y95 EXCEPT ALL SELECT q FROM y96)
+        ORDER BY bucket""")
+    },
+    Some("""
+      WITH y95 AS (SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q
+                   FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                     AND l_shipdate < TIMESTAMP '1996-01-01' AND l_orderkey % 10 = 0),
+           y96 AS (SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q
+                   FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate < TIMESTAMP '1997-01-01' AND l_orderkey % 10 = 0)
+      SELECT 'common_bag' AS bucket, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sum_q
+      FROM (SELECT q FROM y95 INTERSECT ALL SELECT q FROM y96)
+      UNION ALL
+      SELECT 'only95_bag' AS bucket, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sum_q
+      FROM (SELECT q FROM y95 EXCEPT ALL SELECT q FROM y96)
+      ORDER BY bucket"""))
+
+  val all: Seq[QueryDef] = Seq(eventsSessionWindow, eventsUnpivot, joinLateral,
+    aggGroupingSets, windowNavigation, arrayExplodePos, dedupLevenshtein,
+    setopsAll)
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+import graft.QueryDef
+import graft.Tables.load
+
+/** Training-data pipeline plumbing that every corpus job needs around the
+  * dedup/quality/tokenize core: deterministic train/val/test splitting,
+  * per-class reservoir sampling, exact quantiles of corpus statistics, and
+  * map-typed property access.
+  *
+  * Determinism doctrine: sampling and splitting NEVER use `rand()` — a
+  * multiplicative Knuth hash of the stable document key gives a uniform,
+  * reshuffle-proof, engine-reproducible pseudo-random order (the same doc
+  * lands in the same split on any cluster size, any engine, any day; adding
+  * documents never moves existing ones between splits). `rand(seed)` has
+  * neither property — it is partition-layout-dependent.
+  */
+object PipelineQueries {
+
+  /** Knuth multiplicative hash of a non-negative int key, in [0, 2^32). */
+  private def knuth32(key: org.apache.spark.sql.Column) =
+    pmod(key * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic 80/10/10 train/val/test split: bucket = knuth32(id) % 10.
+    * One narrow map stage + a 3-group aggregate — no shuffle of the corpus
+    * itself at any scale, and the assignment is stable under repartitioning
+    * and incremental corpus growth.
+    */
+  val sampleSplit = QueryDef(
+    "sample_split",
+    (spark, dir) => {
+      val bucket = knuth32(col("doc_id")) % 10
+      load(spark, dir, "documents")
+        .withColumn("split",
+          when(bucket < 8, lit("train"))
+            .when(bucket === 8, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast(LongType)).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
+    },
+    Some("""
+      SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_doc,
+             MAX(doc_id) AS max_doc
+      FROM documents
+      GROUP BY 1
+      ORDER BY split"""))
+
+  /** Per-class reservoir sample: the k smallest hash values per language —
+    * a deterministic uniform sample of exactly k docs per class. Compiles to
+    * WindowGroupLimit (partial per-partition top-k BEFORE the shuffle), so
+    * at corpus scale each executor forwards at most k rows per class.
+    */
+  val samplePerClass = QueryDef(
+    "sample_per_class",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      load(spark, dir, "documents")
+        .withColumn("h", knuth32(col("doc_id")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("rn").cast(LongType).as("rn"),
+          col("doc_id"), col("h"))
+        .orderBy(col("lang"), col("rn"))
+    },
+    Some("""
+      SELECT lang, rn, doc_id, h
+      FROM (SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+            FROM documents)
+      WHERE rn <= 10
+      ORDER BY lang, rn"""))
+
+  /** Exact corpus-statistic quantiles (p50/p90/p99 of document length) per
+    * language, via rank-position selection: the value at row ceil(q·n) of
+    * the sorted column — exact discrete quantiles with a pinned tie rule
+    * (secondary sort on doc_id), unlike approx_percentile (sketch) or
+    * engine-native percentile functions (interpolation rules differ).
+    * One window + one conditional aggregate; the sort is per-language.
+    */
+  val quantilesExact = QueryDef(
+    "quantiles_exact",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      load(spark, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars").cast(LongType).as("n_chars"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .groupBy(col("lang"))
+        .agg(max(col("n")).as("n_docs"),
+          max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("n_chars"))).as("p50_chars"),
+          max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("n_chars"))).as("p90_chars"),
+          max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("n_chars"))).as("p99_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      SELECT lang, MAX(n) AS n_docs,
+             MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END) AS p50_chars,
+             MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END) AS p90_chars,
+             MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS p99_chars
+      FROM ranked
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  /** Map-typed property access: events.props parsed to MAP<STRING,BIGINT>
+    * (from_json), then map_keys / element_at / contains — the map-column
+    * battery (the JSON-path battery is `events_json`). The DuckDB twin reads
+    * the same facts through its JSON functions.
+    */
+  val mapFuncs = QueryDef(
+    "map_funcs",
+    (spark, dir) => {
+      val m = from_json(col("props"), MapType(StringType, LongType))
+      load(spark, dir, "events")
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_id"),
+          size(map_keys(m)).cast(LongType).as("n_keys"),
+          concat_ws(",", array_sort(map_keys(m))).as("keys_csv"),
+          element_at(m, "k").as("k_val"),
+          element_at(m, "missing").isNotNull.cast("int").as("has_missing"),
+          (element_at(m, "k") * 2).as("k_doubled"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+             CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+             array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+             CAST(json_extract(props, '$.missing') IS NOT NULL AS INTEGER) AS has_missing,
+             CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled
+      FROM events
+      WHERE event_id % 20 = 0
+      ORDER BY event_id"""))
+
+  val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
+    mapFuncs)
+}

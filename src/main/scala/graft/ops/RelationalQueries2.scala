@@ -1,0 +1,252 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.Tables.{cents, exactDiv, load}
+
+/** Fifth-wave relational coverage: the join/subquery shapes the first waves
+  * left out — left-outer with a join-condition filter (TPC-H Q13), full-outer
+  * merge of two aggregates, scalar-max subquery re-join (Q15), market-share
+  * conditional ratio (Q8), nested-IN + HAVING decorrelation (Q20), and
+  * double-correlated EXISTS / NOT EXISTS over a self-joined fact (Q21).
+  *
+  * Scale posture: Q13's customer⋈orders is a shuffle join on custkey (both
+  * sides are fact-sized at real scale); the count-histogram re-aggregation
+  * shuffles on the tiny c_count domain. Q15's global max is a single-row
+  * broadcast back over the grouped revenue — the distributed form of a
+  * scalar subquery (no driver collect). Q21's decorrelated semi/anti joins
+  * shuffle on l_orderkey, the same key as the fact⋈orders join, so the
+  * exchange is reusable.
+  */
+object RelationalQueries2 {
+
+  private def view(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): Unit =
+    load(spark, dir, name).createOrReplaceTempView(name)
+
+  /** TPC-H Q13: customer order-count distribution. The priority filter lives
+    * in the JOIN CONDITION, not a WHERE — customers with only urgent orders
+    * must still appear with count 0 (the left-outer semantics the WHERE form
+    * would destroy).
+    */
+  val q13CustDist = QueryDef(
+    "q13_custdist",
+    (spark, dir) => {
+      val cust = load(spark, dir, "customer").select(col("c_custkey"))
+      val ord = load(spark, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""))
+
+  /** Full-outer merge of two per-nation aggregates with deliberately
+    * asymmetric filters, so the result has left-only, both, and right-only
+    * rows; every output column is COALESCE'd. At scale both sides are
+    * pre-aggregated to the nation domain before the join — the outer join
+    * itself is trivially small no matter the fact size.
+    */
+  val joinFullOuter = QueryDef(
+    "join_full_outer",
+    (spark, dir) => {
+      val s = load(spark, dir, "supplier")
+        .filter(col("s_nationkey") < 15)
+        .groupBy(col("s_nationkey").as("skey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(cents(col("s_acctbal"))).as("supp_bal_cents"))
+      val c = load(spark, dir, "customer")
+        .filter(col("c_nationkey") >= 10)
+        .groupBy(col("c_nationkey").as("ckey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(cents(col("c_acctbal"))).as("cust_bal_cents"))
+      s.join(c, col("skey") === col("ckey"), "full_outer")
+        .select(coalesce(col("skey"), col("ckey")).as("nationkey"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          coalesce(col("supp_bal_cents"), lit(0L)).as("supp_bal_cents"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("cust_bal_cents"), lit(0L)).as("cust_bal_cents"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""
+      SELECT COALESCE(skey, ckey) AS nationkey,
+             COALESCE(n_supp, 0) AS n_supp,
+             COALESCE(supp_bal_cents, 0) AS supp_bal_cents,
+             COALESCE(n_cust, 0) AS n_cust,
+             COALESCE(cust_bal_cents, 0) AS cust_bal_cents
+      FROM (SELECT s_nationkey AS skey, COUNT(*) AS n_supp,
+                   CAST(SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS supp_bal_cents
+            FROM supplier WHERE s_nationkey < 15 GROUP BY s_nationkey) s
+      FULL OUTER JOIN
+           (SELECT c_nationkey AS ckey, COUNT(*) AS n_cust,
+                   CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cust_bal_cents
+            FROM customer WHERE c_nationkey >= 10 GROUP BY c_nationkey) c
+        ON skey = ckey
+      ORDER BY nationkey"""))
+
+  /** TPC-H Q15: top supplier(s) by quarterly revenue. The global max is a
+    * 1-row aggregate broadcast back over the per-supplier revenue — the
+    * scalar subquery without any driver round-trip, and ties survive
+    * (= semantics, not LIMIT 1).
+    */
+  val q15TopSupp = QueryDef(
+    "q15_topsupp",
+    (spark, dir) => {
+      val rev = load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_rev_cents"))
+      val maxRev = rev.agg(max(col("total_rev_cents")).as("max_rev_cents"))
+      val supp = load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_rev_cents") === col("max_rev_cents"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_rev_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_rev_cents
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_rev_cents = (SELECT MAX(total_rev_cents) FROM rev)
+      ORDER BY s_suppkey"""))
+
+  /** TPC-H Q8-shaped: one nation's market share of total revenue per ship
+    * year — a conditional-aggregate ratio where both numerator and
+    * denominator are exact cent sums and the share is one IEEE division.
+    */
+  val q8Share = QueryDef(
+    "q8_share",
+    (spark, dir) => {
+      val supp = load(spark, dir, "supplier")
+        .join(broadcast(load(spark, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val vol = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      load(spark, dir, "lineitem")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("l_shipdate")).as("ship_year"))
+        .agg(sum(when(col("n_name") === "NATION_1", vol).otherwise(0L)).as("nation_cents"),
+          sum(vol).as("total_cents"))
+        .withColumn("mkt_share", exactDiv(col("nation_cents"), col("total_cents")))
+        .orderBy(col("ship_year"))
+    },
+    Some("""
+      SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+             CAST(SUM(CASE WHEN n_name = 'NATION_1'
+                   THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS nation_cents,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(SUM(CASE WHEN n_name = 'NATION_1'
+                   THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS mkt_share
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY 1
+      ORDER BY ship_year"""))
+
+  /** TPC-H Q20-shaped: suppliers who moved serious volume of LIKE-matched
+    * parts — nested IN subqueries (supplier IN (grouped-HAVING fact subquery
+    * over part IN (...))) , expressed in SQL to exercise Catalyst's
+    * IN-subquery → semi-join decorrelation at both nesting levels.
+    */
+  val q20Excess = QueryDef(
+    "q20_excess",
+    (spark, dir) => {
+      view(spark, dir, "supplier"); view(spark, dir, "lineitem")
+      view(spark, dir, "part")
+      spark.sql("""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%widget%')
+          GROUP BY l_suppkey
+          HAVING SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 50000)
+        ORDER BY s_suppkey""")
+    },
+    Some("""
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%widget%')
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 50000)
+      ORDER BY s_suppkey"""))
+
+  /** TPC-H Q21-shaped: suppliers who were the SOLE late shipper on
+    * multi-supplier orders (late = shipped >60 days after order date; the
+    * driver schema has no commit/receipt dates). EXISTS + NOT EXISTS, both
+    * correlated on l_orderkey, each with an inner re-join to orders —
+    * Catalyst decorrelates to a semi join and an anti join on the same key
+    * as the main fact⋈orders join.
+    */
+  val q21SoleLate = QueryDef(
+    "q21_solelate",
+    (spark, dir) => {
+      view(spark, dir, "supplier"); view(spark, dir, "lineitem")
+      view(spark, dir, "orders")
+      spark.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders    ON o_orderkey = l1.l_orderkey
+        WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 50""")
+    },
+    Some("""
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders    ON o_orderkey = l1.l_orderkey
+      WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 50"""))
+
+  val all: Seq[QueryDef] = Seq(q13CustDist, joinFullOuter, q15TopSupp,
+    q8Share, q20Excess, q21SoleLate)
+}

@@ -38,6 +38,47 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_cents"))
 
+  /** Stream-static enrichment: join a live event stream against a broadcast
+    * dimension snapshot. The static side is re-broadcast per micro-batch, so
+    * at scale the dim must stay broadcast-sized (or switch to a keyed state
+    * join); the stream side never shuffles.
+    */
+  def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left_outer")
+
+  /** Stream-stream interval join: pair each purchase with the same user's
+    * clicks in the preceding hour. Both sides are watermarked so the state
+    * store can evict rows once the event-time bound passes — without the
+    * watermarks this state grows without bound. Equi key: user_id; range:
+    * click.ts ∈ [purchase.ts - 1h, purchase.ts].
+    */
+  def purchaseAttribution(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+        col("click_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("value"))
+  }
+
+  /** Watermarked streaming dedup: drop event_id re-deliveries that arrive
+    * within the watermark horizon — the at-least-once → exactly-once
+    * compaction step. State is one key per id inside the horizon and is
+    * evicted by event time (plain dropDuplicates on a stream would keep ids
+    * forever).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization with explicit keyed state: one [[OpenSession]]
     * per user held in the state store; a gap > `gapMs` closes and emits the
     * session. State is O(users), partition-local after the user_id shuffle —

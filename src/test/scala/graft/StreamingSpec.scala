@@ -58,6 +58,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment joins the dim without shuffling the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStreams.enrich(input.toDF(), dim)
+      .select($"event_id", $"user_id", $"tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 3, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").as[(Long, Long, Option[String])]
+        .collect().toSet
+      assert(rows == Set((1L, 1L, Some("gold")), (2L, 3L, None)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.purchaseAttribution(input.toDF())
+      .select($"purchase_id", $"click_id")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // base offset: a ts-0 click sits exactly ON the initial watermark (0)
+      // and stream-stream join state pre-filters it as late — epoch 0 is a
+      // degenerate event time, not a join bug (batch twin emits both pairs).
+      val base = 24 * 60L
+      input.addData(
+        Event(10, ts(base + 0), 1, "click", 0.0),   // within the hour → attributed
+        Event(11, ts(base + 50), 1, "purchase", 9.99),
+        Event(12, ts(base + 100), 2, "click", 0.0), // 90' before purchase → outside
+        Event(13, ts(base + 190), 2, "purchase", 5.0),
+        Event(14, ts(base + 185), 2, "click", 0.0)) // 5' before → attributed
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").as[(Long, Long)].collect().toSet
+      assert(rows == Set((11L, 10L), (13L, 14L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses re-delivered event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF(), watermark = "1 hour")
+      .select($"event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(2), 1, "click", 1.0)) // re-delivery, same id
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").as[Long].collect().toList
+      assert(ids.sorted == List(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("file-source stream over the events parquet matches batch day counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
