@@ -4,15 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.Tables.load
+import graft.functions.RollingHash
 
 /** Sketch-based near-duplicate detection over `documents` — the full-corpus
   * scale path that [[TextQueries.dedupJaccardTokens]]'s exact pairwise join
   * cannot be (posting-list joins go quadratic in token frequency; LSH bounds
   * candidate generation by band-bucket).
   *
-  * No DuckDB oracle: the sketches hinge on `xxhash64`, which DuckDB lacks —
-  * the driver records the weaker rows-only check; Scala specs pin the
-  * sketch semantics instead ([[graft.DedupSpec]]).
+  * Hashing is a classic universal family `(a·h + b) mod p` over a polynomial
+  * rolling hash of each token ([[graft.functions.RollingHash]], our codegen
+  * Catalyst expression). Chosen over xxhash64 deliberately: identical sketch
+  * quality for LSH purposes, but every step stays inside checked-overflow
+  * BIGINT range, so the ENTIRE pipeline — token hash, permutations, band
+  * hashes, candidate join, verification, canonicalization — has an exact
+  * DuckDB oracle (round 1 shipped xxhash64 sketches that the driver could
+  * only rows-check; round 2 trades them for full hash-match verification).
   *
   * Both queries emit a per-document summary (partner count + canonical id),
   * keeping output O(N) even on a homogeneous corpus where most pairs are
@@ -22,15 +28,39 @@ object DedupQueries {
 
   private val NumPerms = 64
   private val MinhashBands = 16 // 16 bands × 4 rows
-  private val SimhashBits = 64
-  private val SimhashBands = 4 // 4 bands × 16 bits
+  private val SimhashBits = 30 // bits 0..29 of a mod-(2^31-1) hash
+  private val SimhashBands = 3 // 3 bands × 10 bits
+  private val HammingMax = 4
 
-  /** Fixed-seed permutation s of a base 64-bit hash. Re-hash with the seed
-    * (xxhash64 is overflow-free, so this stays legal under ANSI arithmetic —
-    * a multiply-based family would throw ARITHMETIC_OVERFLOW on Spark 4's
-    * ANSI default).
+  /** Token-hash space: rolling hash folded into 2^20ish. Small enough that
+    * a·h never overflows checked BIGINT, large enough that collisions are
+    * negligible against a real vocabulary.
     */
-  private def perm(h: Column, s: Int): Column = xxhash64(h, lit(s))
+  private val TokMod = 1048573L
+  private val P = 2147483647L // 2^31 - 1, prime
+  private val BandMod = 1099511627776L // 2^40: acc·8191 + m stays < 2^53
+
+  /** Deterministic permutation constants, shared verbatim by the Spark plan
+    * and the generated oracle SQL (computed once here — they cannot drift).
+    */
+  private def permA(s: Int): Long = (s.toLong * 2654435761L) % (P - 1) + 1
+  private def permB(s: Int): Long = (s.toLong * 1779033703L + 1013904223L) % P
+  private val SimA = permA(101)
+  private val SimB = permB(101)
+
+  /** tok column → universal-family hash input h. */
+  private def tokHash(tok: Column): Column = RollingHash(tok) % TokMod
+
+  private def perm(h: Column, s: Int): Column =
+    (lit(permA(s)) * h + lit(permB(s))) % lit(P)
+
+  /** DuckDB twin of [[tokHash]] over a token expression. */
+  private def tokHashSql(tok: String): String =
+    s"""list_reduce(
+       |  list_prepend(0::BIGINT,
+       |    list_transform(list_filter(string_split($tok, ''), c -> c <> ''),
+       |                   c -> CAST(unicode(c) AS BIGINT))),
+       |  (a, c) -> (a * 31 + c) % 100000000000000000) % $TokMod""".stripMargin
 
   /** doc → 64-component MinHash signature over its distinct n-gram shingle
     * set (n=1 degenerates to the token set). The registry query uses n=1
@@ -50,7 +80,7 @@ object DedupQueries {
         sequence(lit(1), size(col("toks")) - (shingleN - 1)),
         i => concat_ws(" ", (0 until shingleN).map(k => element_at(col("toks"), i + k)): _*)))
     val toks = tokenized.select(col("doc_id"), col("lang"), explode(units).as("tok"))
-    val hashed = toks.withColumn("h", xxhash64(col("tok")))
+    val hashed = toks.withColumn("h", tokHash(col("tok")))
     hashed.groupBy(col("doc_id"), col("lang"))
       .agg((0 until NumPerms).map(s => min(perm(col("h"), s)).as(s"m$s")).head,
         (1 until NumPerms).map(s => min(perm(col("h"), s)).as(s"m$s")): _*)
@@ -71,8 +101,22 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared oracle tail: pairs CTE → per-doc summary. */
+  private def summarizeSql: String =
+    s"""partners AS (
+       |  SELECT doc_id, COUNT(*) AS n_near, MIN(partner) AS min_partner
+       |  FROM (SELECT a_id AS doc_id, b_id AS partner FROM pairs
+       |        UNION ALL
+       |        SELECT b_id AS doc_id, a_id AS partner FROM pairs)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       COALESCE(p.n_near, 0) AS n_near,
+       |       LEAST(d.doc_id, COALESCE(p.min_partner, d.doc_id)) AS canonical_id
+       |FROM documents d LEFT JOIN partners p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** MinHash + LSH banding: signature → 16 band hashes → same-band join →
-    * signature-overlap estimate ≥ 0.7 confirms a near-dup pair.
+    * signature-overlap estimate ≥ 45/64 (~0.7 Jaccard) confirms a pair.
     *
     * Scale shape: one shuffle to build signatures (explode+agg with map-side
     * partial min), one shuffle on (band, bandhash, lang) for candidates —
@@ -88,8 +132,10 @@ object DedupQueries {
       val rows = NumPerms / MinhashBands
       val bands = sigs.select(col("doc_id"), col("lang"), explode(array(
         (0 until MinhashBands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64((b * rows until (b + 1) * rows).map(i => col("sig")(i)): _*).as("bh"))
+          val bh = (0 until rows).foldLeft(lit(0L): Column) { (acc, i) =>
+            (acc * lit(8191L) + col("sig")(b * rows + i)) % lit(BandMod)
+          }
+          struct(lit(b).as("band"), bh.as("bh"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("lang"), col("bb.band"), col("bb.bh"))
       val candIds = bands.as("a").join(bands.as("b"),
@@ -104,24 +150,62 @@ object DedupQueries {
         aggregate(zip_with(col("sa"), col("sb"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).as("matches"))
-      val pairs = est.filter(col("matches") * 10000 / NumPerms >= 7000)
+      val pairs = est.filter(col("matches") >= (NumPerms * 7 + 9) / 10)
       summarize(docs.select(col("doc_id")), pairs)
     },
-    None,
-    notes = "MinHash(64) + LSH(16×4); rows-only driver check, semantics pinned in DedupSpec")
+    Some {
+      val rows = NumPerms / MinhashBands
+      val minCols = (0 until NumPerms)
+        .map(s => s"MIN((${permA(s)} * h + ${permB(s)}) % $P) AS m$s")
+        .mkString(",\n    ")
+      val bandSelects = (0 until MinhashBands).map { b =>
+        val bh = (0 until rows).foldLeft("0") { (acc, i) =>
+          s"(($acc * 8191 + m${b * rows + i}) % $BandMod)"
+        }
+        s"SELECT doc_id, lang, $b AS band, $bh AS bh FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      val matchTerms = (0 until NumPerms)
+        .map(s => s"(CASE WHEN sa.m$s = sb.m$s THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id, lang, ${tokHashSql("tok")} AS h FROM toks),
+         |sigs AS (
+         |  SELECT doc_id, lang,
+         |    $minCols
+         |  FROM hashed GROUP BY doc_id, lang),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.lang = b.lang
+         |   AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT a_id, b_id
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = a_id
+         |  JOIN sigs sb ON sb.doc_id = b_id
+         |  WHERE $matchTerms >= ${(NumPerms * 7 + 9) / 10}),
+         |$summarizeSql""".stripMargin
+    },
+    notes = "MinHash(64) + LSH(16×4) over universal-hash perms; full DuckDB oracle")
 
-  /** doc → 64-bit SimHash over its token multiset (frequency-weighted). */
+  /** doc → 30-bit SimHash over its token multiset (frequency-weighted). */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val tf = docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("lang"), col("tok"))
       .agg(count(lit(1)).as("freq"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("g", (lit(SimA) * tokHash(col("tok")) + lit(SimB)) % lit(P))
     val bitSums = tf.groupBy(col("doc_id"), col("lang"))
       .agg((0 until SimhashBits).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("freq"))
+        sum(when(shiftright(col("g"), i).bitwiseAND(lit(1L)) === 1L, col("freq"))
           .otherwise(-col("freq"))).as(s"s$i")
       }.head, (1 until SimhashBits).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("freq"))
+        sum(when(shiftright(col("g"), i).bitwiseAND(lit(1L)) === 1L, col("freq"))
           .otherwise(-col("freq"))).as(s"s$i")
       }: _*)
     bitSums.select(col("doc_id"), col("lang"),
@@ -130,8 +214,8 @@ object DedupQueries {
       }.reduce(_ + _).as("fp"))
   }
 
-  /** SimHash near-dup: 64-bit fingerprint, 4×16-bit band join for candidates,
-    * Hamming distance ≤ 8 confirms. Same two-shuffle scale shape as MinHash.
+  /** SimHash near-dup: 30-bit fingerprint, 3×10-bit band join for candidates,
+    * Hamming distance ≤ 4 confirms. Same two-shuffle scale shape as MinHash.
     */
   val dedupSimhash = QueryDef(
     "dedup_simhash",
@@ -141,7 +225,7 @@ object DedupQueries {
       val bands = fps.select(col("doc_id"), col("lang"), col("fp"), explode(array(
         (0 until SimhashBands).map { b =>
           struct(lit(b).as("band"),
-            shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
+            shiftrightunsigned(col("fp"), b * 10).bitwiseAND(lit(0x3FFL)).as("bv"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("lang"), col("fp"), col("bb.band"), col("bb.bv"))
       val pairs = bands.as("a").join(bands.as("b"),
@@ -150,12 +234,48 @@ object DedupQueries {
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("a.fp").as("fa"), col("b.fp").as("fb"))
         .distinct()
-        .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 8)
+        .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= HammingMax)
         .select(col("a_id"), col("b_id"))
       summarize(docs.select(col("doc_id")), pairs)
     },
-    None,
-    notes = "SimHash(64) + 4×16 banding, Hamming ≤ 8; rows-only driver check")
+    Some {
+      val bitSumCols = (0 until SimhashBits)
+        .map(i => s"SUM(CASE WHEN (g >> $i) & 1 = 1 THEN freq ELSE -freq END) AS s$i")
+        .mkString(",\n    ")
+      val fpTerms = (0 until SimhashBits)
+        .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      val bandSelects = (0 until SimhashBands)
+        .map(b => s"SELECT doc_id, lang, fp, $b AS band, (fp >> ${b * 10}) & 1023 AS bv FROM fps")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, lang, tok, COUNT(*) AS freq
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)
+         |  GROUP BY doc_id, lang, tok),
+         |hashed AS (
+         |  SELECT doc_id, lang, freq,
+         |         ($SimA * (${tokHashSql("tok")}) + $SimB) % $P AS g
+         |  FROM tf),
+         |bitsums AS (
+         |  SELECT doc_id, lang,
+         |    $bitSumCols
+         |  FROM hashed GROUP BY doc_id, lang),
+         |fps AS (
+         |  SELECT doc_id, lang, $fpTerms AS fp FROM bitsums),
+         |bands AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           a.fp AS fa, b.fp AS fb
+         |    FROM bands a JOIN bands b
+         |      ON a.band = b.band AND a.bv = b.bv AND a.lang = b.lang
+         |     AND a.doc_id < b.doc_id)
+         |  WHERE bit_count(xor(fa, fb)) <= $HammingMax),
+         |$summarizeSql""".stripMargin
+    },
+    notes = "SimHash(30) + 3×10 banding, Hamming ≤ 4; full DuckDB oracle")
 
   val all: Seq[QueryDef] = Seq(dedupMinhashLsh, dedupSimhash)
 }

@@ -371,6 +371,108 @@ object TpchQueries {
       FROM ranked WHERE rn = 1
       ORDER BY p_partkey"""))
 
+  /** TPC-H Q4-shaped: order-priority checking — orders in 1996H1 with at
+    * least one badly late line item (shipped > 45 days after order date;
+    * the synthetic schema has no commit/receipt dates, so lateness vs the
+    * order date stands in for commitdate < receiptdate). The correlated
+    * EXISTS decorrelates to a left-semi join on the order key with the
+    * date comparison as a join filter — one shuffle, no row duplication.
+    */
+  val q4Priority = QueryDef(
+    "q4_priority",
+    (spark, dir) => {
+      val ord = load(spark, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val li = load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q11-shaped: important stock — parts whose shipped value exceeds
+    * the average per-part value (no partsupp table; lineitem value stands in
+    * for stock value). The global total is a single-row aggregate broadcast
+    * back as a cross join — the distributed form of the HAVING scalar
+    * subquery; the above-average test is algebraized to exact integers
+    * (value·nparts > total), which is also scale-factor-invariant.
+    */
+  val q11StockValue = QueryDef(
+    "q11_stockvalue",
+    (spark, dir) => {
+      val value = load(spark, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+      val total = value.agg(sum(col("value_cents")).as("total_cents"),
+        count(lit(1)).as("n_parts"))
+      value.crossJoin(broadcast(total))
+        .filter(col("value_cents") * col("n_parts") > col("total_cents"))
+        .select(col("l_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("l_partkey"))
+    },
+    Some("""
+      WITH value AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM lineitem GROUP BY l_partkey)
+      SELECT l_partkey, value_cents
+      FROM value
+      WHERE value_cents * (SELECT COUNT(*) FROM value)
+              > (SELECT SUM(value_cents) FROM value)
+      ORDER BY value_cents DESC, l_partkey"""))
+
+  /** TPC-H Q17-shaped: small-quantity-order revenue — revenue from line
+    * items whose quantity is under 20% of that part's average quantity, for
+    * two brands. The correlated avg subquery decorrelates into a per-part
+    * aggregate joined back to the fact (exact-integer form:
+    * qty·5·n < Σqty avoids the float average entirely).
+    */
+  val q17SmallQty = QueryDef(
+    "q17_smallqty",
+    (spark, dir) => {
+      val part = load(spark, dir, "part")
+        .filter(col("p_brand").isin("Brand#3", "Brand#7"))
+        .select(col("p_partkey"), col("p_brand"))
+      val li = load(spark, dir, "lineitem")
+      val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          count(lit(1)).as("n_qty"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("ap_partkey"))
+        .filter(cents(col("l_quantity")) * lit(5) * col("n_qty") < col("sum_qty_cents"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n_items,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand IN ('Brand#3', 'Brand#7')
+        AND CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) * 5 *
+              (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+            < (SELECT SUM(CAST(floor(l2.l_quantity * 100 + 0.5) AS BIGINT))
+               FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
   val all: Seq[QueryDef] = Seq(q6Revenue, q7Volume, q9Profit, q10Returns,
-    q12Late, q14Promo, q16SuppCnt, q18BigOrders, q19Brands, q22Idle, q2MinSupp)
+    q12Late, q14Promo, q16SuppCnt, q18BigOrders, q19Brands, q22Idle, q2MinSupp,
+    q4Priority, q11StockValue, q17SmallQty)
 }
