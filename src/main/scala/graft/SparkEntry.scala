@@ -15,7 +15,9 @@ object SparkEntry {
     ops.ParityQueries.all ++ ops.RelationalQueries.all ++
     ops.AdvancedQueries.all ++ ops.TpchQueries.all ++ ops.RelationalQueries2.all ++
     ops.FunctionQueries.all ++ ops.PipelineQueries.all ++ ops.CoverageQueries.all ++
-    ops.TextQueries.all ++ ops.TextQueries2.all ++ ops.VectorQueries.all ++
+    ops.EventAnalyticsQueries.all ++
+    ops.TextQueries.all ++ ops.TextQueries2.all ++ ops.RankingQueries.all ++
+    ops.VectorQueries.all ++
     ops.DedupQueries.all ++ ops.MultimodalQueries.all
 
   /** Flagship: the reference's gold pipeline (BLOB/CSV branch) end-to-end on

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.Tables.load
+
+/** Product-analytics shapes over the `events` stream table: ordered funnel
+  * progression and weekly cohort retention — the two queries every event
+  * warehouse runs daily, and classic scale traps when written naively
+  * (per-user sorting, repeated self-joins on the raw fact).
+  *
+  * Scale posture: both queries reduce the fact table to per-user summaries
+  * FIRST (one shuffle on user_id, partial aggregation map-side), then do all
+  * sequencing logic on the per-user rows — never a self-join of raw events
+  * against raw events.
+  */
+object EventAnalyticsQueries {
+
+  /** Ordered 3-stage funnel (signup → click → purchase, strictly increasing
+    * timestamps): stage k's timestamp is the earliest qualifying event AFTER
+    * the user's stage-(k−1) timestamp. Each stage is one conditional
+    * min-aggregate on the user-keyed summary — the fact table is scanned
+    * once per stage with a filter pushed to the scan, and each stage's
+    * aggregate reuses the user_id shuffle (AQE exchange reuse).
+    */
+  val eventsFunnel = QueryDef(
+    "events_funnel",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val users = ev.select(col("user_id")).distinct()
+      users
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t1")).as("n_signup"),
+          count(col("t2")).as("n_click_after_signup"),
+          count(col("t3")).as("n_purchase_after_click"))
+    },
+    Some("""
+      WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id),
+      users AS (SELECT DISTINCT user_id FROM events)
+      SELECT COUNT(*) AS n_users,
+             COUNT(t1) AS n_signup,
+             COUNT(t2) AS n_click_after_signup,
+             COUNT(t3) AS n_purchase_after_click
+      FROM users
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)"""))
+
+  /** Weekly cohort retention: cohort = a user's first active week, then
+    * distinct-user counts per (cohort, weeks-since-cohort). Weeks are exact
+    * integer arithmetic off a fixed origin date (not date_trunc) so the
+    * bucketing has no week-start or locale semantics to disagree on.
+    * Two shuffles total: user_id for first-seen, (cohort, offset) for the
+    * distinct count.
+    */
+  val eventsRetention = QueryDef(
+    "events_retention",
+    (spark, dir) => {
+      val week = floor(
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / 7)
+        .cast("long")
+      val ev = load(spark, dir, "events")
+        .select(col("user_id"), week.as("week"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id,
+               CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+        FROM events),
+      cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+      SELECT cohort_week, week - cohort_week AS week_offset,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM ev JOIN cohort USING (user_id)
+      GROUP BY cohort_week, week - cohort_week
+      ORDER BY cohort_week, week_offset"""))
+
+  val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention)
+}

@@ -151,6 +151,103 @@ object PipelineQueries {
       WHERE event_id % 20 = 0
       ORDER BY event_id"""))
 
+  /** Fixed-width histogram of order values (20 × 25k buckets, clamped top
+    * bucket) with counts, exact cent sums, and a running cumulative count —
+    * the binning shape behind any length/score distribution dashboard.
+    * Bin assignment is pure arithmetic (floor of one IEEE division), so it
+    * needs no sampled quantile sketch and is engine-exact; one narrow map +
+    * one 20-group aggregate + a 20-row window.
+    */
+  val histogramPrices = QueryDef(
+    "histogram_prices",
+    (spark, dir) => {
+      val bin = least(floor(col("o_totalprice") / 25000).cast(LongType), lit(19L))
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(spark, dir, "orders")
+        .select(bin.as("bin"), col("o_totalprice"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(graft.Tables.cents(col("o_totalprice"))).as("sum_cents"))
+        .withColumn("cum_orders", sum(col("n_orders")).over(w))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH binned AS (
+        SELECT LEAST(CAST(floor(o_totalprice / 25000) AS BIGINT), 19) AS bin,
+               o_totalprice
+        FROM orders),
+      agg AS (
+        SELECT bin, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM binned GROUP BY bin)
+      SELECT bin, n_orders, sum_cents,
+             CAST(SUM(n_orders) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_orders
+      FROM agg ORDER BY bin"""))
+
+  /** End-to-end corpus curation — the composition every training-data run
+    * executes: quality gate (token-count band + stopword-ratio cap, as
+    * exact integer comparisons) → exact dedup (keep min doc_id per content
+    * hash) → deterministic split assignment → per-(split, lang) accounting.
+    *
+    * Scale shape: quality filtering is a narrow map; dedup is one shuffle
+    * on the content hash; split assignment is arithmetic on the kept key;
+    * the rollup is one small aggregate. Nothing touches the driver.
+    */
+  val pipelineCurate = QueryDef(
+    "pipeline_curate",
+    (spark, dir) => {
+      val toks = split(col("text"), " ")
+      val quality = load(spark, dir, "documents")
+        .withColumn("n_tok", size(toks))
+        .withColumn("n_stop", size(filter(toks,
+          t => t.isin("the", "a", "and", "of", "in"))))
+        .filter(col("n_tok").between(20, 400) &&
+          col("n_stop") * 2 < col("n_tok"))
+      val kept = quality
+        .withColumn("fp", md5(col("text").cast("binary")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      val bucket = knuth32(col("doc_id")) % 10
+      kept
+        .withColumn("split",
+          when(bucket < 8, lit("train"))
+            .when(bucket === 8, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some("""
+      WITH quality AS (
+        SELECT doc_id, text, lang,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the', 'a', 'and', 'of', 'in'], t))) AS n_stop
+        FROM documents),
+      gated AS (
+        SELECT * FROM quality
+        WHERE n_tok BETWEEN 20 AND 400 AND n_stop * 2 < n_tok),
+      kept AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM gated)
+        WHERE rn = 1),
+      split AS (
+        SELECT lang, n_tok,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kept)
+      SELECT split, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+      FROM split
+      GROUP BY split, lang
+      ORDER BY split, lang"""))
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
-    mapFuncs)
+    mapFuncs, histogramPrices, pipelineCurate)
 }

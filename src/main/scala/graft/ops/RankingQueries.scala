@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.Tables.{basisPoints, exactDiv, load}
+
+/** Relevance scoring over `documents` — the retrieval side of a training-data
+  * pipeline (corpus statistics → per-document term weights → ranked results).
+  *
+  * Scale posture: corpus statistics (document frequency, avg doc length) are
+  * tiny relative to the corpus — vocabulary-sized and single-row — so they
+  * broadcast; the corpus itself is touched by exactly one tokenize+aggregate
+  * pass per query (one explode shuffle), never a per-term rescan.
+  *
+  * Cross-engine float rules (graft.Tables): scores are floor-scaled to basis
+  * points PER TERM and integer-summed across terms, so aggregation order can
+  * never move a rank; BM25's idf uses the log-free odds form
+  * (N−df+0.5)/(df+0.5) because ln() is the one operation whose low bits
+  * differ between libm implementations.
+  */
+object RankingQueries {
+
+  /** TF-IDF: top-3 terms per document (deterministic doc subset), with
+    * df/N computed over the full corpus. The score is the exact integer
+    * `tf · 10000 · N div df` — floor division in both engines — so ranking
+    * ties break identically everywhere.
+    */
+  val textTfidf = QueryDef(
+    "text_tfidf",
+    (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.filter(col("doc_id") % 25 === 0)
+        .join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", expr("(tf * 10000 * n_docs) DIV df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+    Some("""
+      WITH tfc AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY doc_id, term),
+      dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, term, (tf * 10000 * n_docs) // df AS score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY (tf * 10000 * n_docs) // df DESC, term) AS rn
+        FROM tfc JOIN dfc USING (term), n
+        WHERE doc_id % 25 = 0)
+      SELECT doc_id, rn, term, score FROM scored WHERE rn <= 3
+      ORDER BY doc_id, rn"""))
+
+  private val BmQuery = Seq("join", "scan", "merge")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** BM25 ranking of the whole corpus against a fixed 3-term query; top 20.
+    *
+    * Per-term scores are floor-scaled to basis points and integer-summed per
+    * document — exact, order-free — then ranked (score desc, doc_id) via
+    * TakeOrderedAndProject. idf is the log-free odds form (see object doc).
+    */
+  val textBm25 = QueryDef(
+    "text_bm25",
+    (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin(BmQuery: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = docs
+        .select(size(split(col("text"), " ")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("avgdl", exactDiv(col("sum_dl"), col("n_docs")))
+      val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      val denom = col("tf") + lit(K1) * (lit(1 - B) + (lit(B) * col("dl")) / col("avgdl"))
+      val perTerm = tf
+        .join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          basisPoints((idf * (col("tf") * lit(K1 + 1))) / denom).as("sbp"))
+      perTerm.groupBy(col("doc_id"))
+        .agg(sum(col("sbp")).as("score_bp"))
+        .orderBy(col("score_bp").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        WHERE term IN (${BmQuery.map(t => s"'$t'").mkString(", ")})
+        GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                       CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                FROM dl),
+      per_term AS (
+        SELECT doc_id,
+               CAST(floor(((((n_docs - df) + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                           * (tf * ${K1 + 1}::DOUBLE))
+                          / (tf + $K1::DOUBLE * (${1 - B}::DOUBLE + ($B::DOUBLE * dl) / avgdl))
+                          * 10000 + 0.5) AS BIGINT) AS sbp
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats)
+      SELECT doc_id, CAST(SUM(sbp) AS BIGINT) AS score_bp
+      FROM per_term
+      GROUP BY doc_id
+      ORDER BY score_bp DESC, doc_id
+      LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(textTfidf, textBm25)
+}

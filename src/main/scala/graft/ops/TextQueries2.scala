@@ -166,5 +166,43 @@ object TextQueries2 {
       GROUP BY root
       ORDER BY root"""))
 
-  val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents)
+  /** Text normalization — the canonical pre-dedup cleanup pass: lowercase,
+    * strip non-alphanumerics, collapse runs of whitespace, trim. Emits an
+    * md5 of the normalized text so the oracle pins BYTE-exact equality of
+    * the whole normalization, not just lengths. (DuckDB's regexp_replace
+    * needs the 'g' flag to match Spark's replace-all semantics.)
+    * Pure narrow map — normalization never shuffles at any scale.
+    */
+  val textNormalize = QueryDef(
+    "text_normalize",
+    (spark, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+      load(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          norm.as("norm_text"))
+        .select(col("doc_id"),
+          length(col("norm_text")).as("norm_len"),
+          md5(col("norm_text").cast("binary")).as("norm_md5"),
+          substring(col("norm_text"), 1, 40).as("preview"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                    ' +', ' ', 'g')) AS norm_text
+        FROM documents
+        WHERE doc_id % 10 = 0)
+      SELECT doc_id,
+             CAST(length(norm_text) AS INTEGER) AS norm_len,
+             md5(norm_text) AS norm_md5,
+             substring(norm_text, 1, 40) AS preview
+      FROM n
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents,
+    textNormalize)
 }

@@ -192,5 +192,92 @@ object VectorQueries {
       ORDER BY e.vec_id""")
     })
 
-  val all: Seq[QueryDef] = Seq(annBruteforce, annIvf, dedupEmbeddingLsh)
+  /** One Lloyd iteration of k-means (k=8, first 8 vectors as the
+    * deterministic seed): assign every vector to its nearest centroid by
+    * squared L2 (floor-scaled to basis points BEFORE the argmin so ties
+    * break identically in any engine), then summarize each cluster —
+    * member count, total distance, and an exact integer checksum of the
+    * member vectors (the sufficient statistic a full k-means would reduce).
+    *
+    * Scale shape: centroids broadcast; assignment is a map-side scan + one
+    * rank-per-vector window; the cluster reduce is one partial+final agg.
+    * A full k-means is this step iterated with the new centroids fed back —
+    * each iteration stays one broadcast-scan-reduce, no driver loops over
+    * data (only over k·dim centroid summaries).
+    */
+  val kmeansStep = QueryDef(
+    "kmeans_step",
+    (spark, dir) => {
+      val e = vecs(spark, dir)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val distBp = basisPoints(aggregate(
+        zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d_bp"), col("cid"))
+      val assign = e.join(broadcast(cent), lit(true))
+        .select(col("vec_id"), col("v"), col("cid"), distBp.as("d_bp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val memberChecksum = aggregate(col("v"), lit(0L),
+        (acc, x) => acc + floor(x * 10000 + lit(0.5)).cast("long"))
+      assign.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("d_bp")).as("sum_dist_bp"),
+          sum(memberChecksum).as("checksum_bp"))
+        .orderBy(col("cid"))
+    },
+    Some(s"""
+      WITH e AS ($DuckVecs),
+           cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+           d AS (SELECT e.vec_id, e.v, cid,
+                   CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range(1, 65),
+                         i -> (e.v[i] - cv[i]) * (e.v[i] - cv[i]))),
+                       (a, x) -> a + x) * 10000 + 0.5) AS BIGINT) AS d_bp
+                 FROM e CROSS JOIN cent),
+           assign AS (SELECT vec_id, v, cid, d_bp FROM (
+                        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY d_bp, cid) AS rn FROM d)
+                      WHERE rn = 1)
+      SELECT cid, COUNT(*) AS n_members,
+             CAST(SUM(d_bp) AS BIGINT) AS sum_dist_bp,
+             CAST(SUM(list_reduce(list_prepend(0::BIGINT,
+               list_transform(v, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))),
+               (a, x) -> a + x)) AS BIGINT) AS checksum_bp
+      FROM assign GROUP BY cid ORDER BY cid"""))
+
+  /** Per-label embedding statistics: L2-norm distribution as exact basis
+    * points (norm = one fold + one sqrt, both IEEE-correctly-rounded, so
+    * bit-identical across engines). The shape a feature-store health check
+    * runs before training: count, min/max/mean norm per class.
+    */
+  val vectorStats = QueryDef(
+    "vector_stats",
+    (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+        .select(col("label"), toDoubleArray(col("embedding")).as("v"))
+      e.select(col("label"), basisPoints(sqrt(normSq(col("v")))).as("norm_bp"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("norm_bp")).as("min_norm_bp"),
+          max(col("norm_bp")).as("max_norm_bp"),
+          sum(col("norm_bp")).as("sum_norm_bp"))
+        .withColumn("avg_norm_bp", Tables.exactDiv(col("sum_norm_bp"), col("n_vecs")))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+           norms AS (SELECT label,
+                       CAST(floor(sqrt(list_dot_product(v, v)) * 10000 + 0.5) AS BIGINT) AS norm_bp
+                     FROM e)
+      SELECT label, COUNT(*) AS n_vecs,
+             MIN(norm_bp) AS min_norm_bp,
+             MAX(norm_bp) AS max_norm_bp,
+             CAST(SUM(norm_bp) AS BIGINT) AS sum_norm_bp,
+             CAST(SUM(norm_bp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_norm_bp
+      FROM norms GROUP BY label ORDER BY label"""))
+
+  val all: Seq[QueryDef] = Seq(annBruteforce, annIvf, dedupEmbeddingLsh,
+    kmeansStep, vectorStats)
 }
