@@ -99,5 +99,60 @@ object EventAnalyticsQueries {
       GROUP BY cohort_week, week - cohort_week
       ORDER BY cohort_week, week_offset"""))
 
-  val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention)
+  /** Calendar densification: generate each user's full day range
+    * (`sequence` + `explode` — the calendar-dimension generator), anti-join
+    * the days the user was active, and report span/active/gap counts.
+    * n_gaps could be derived arithmetically (span − active); the explicit
+    * generate-and-anti-join is the point — it's the shape used to fill
+    * sparse time series before windowed features, and it stays narrow per
+    * user (the generated calendar never materializes beyond each row group).
+    */
+  val eventsCalendar = QueryDef(
+    "events_calendar",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+        .filter(col("user_id") % 10 === 0)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val active = ev.distinct()
+      val span = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      val cal = span.select(col("user_id"),
+        explode(sequence(col("first_day"), col("last_day"))).as("day"))
+      val gaps = cal.join(active, Seq("user_id", "day"), "left_anti")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_gaps"))
+      span
+        .join(active.groupBy(col("user_id")).agg(count(lit(1)).as("n_active")), "user_id")
+        .join(gaps, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (datediff(col("last_day"), col("first_day")) + 1).cast("long").as("span_days"),
+          col("n_active"),
+          coalesce(col("n_gaps"), lit(0L)).as("n_gaps"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+                  WHERE user_id % 10 = 0),
+      active AS (SELECT DISTINCT user_id, day FROM ev),
+      span AS (SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day
+               FROM ev GROUP BY user_id),
+      cal AS (SELECT user_id,
+                     unnest(generate_series(first_day, last_day,
+                                            INTERVAL 1 DAY))::DATE AS day
+              FROM span),
+      gaps AS (SELECT c.user_id, COUNT(*) AS n_gaps
+               FROM cal c LEFT JOIN active a
+                 ON c.user_id = a.user_id AND c.day = a.day
+               WHERE a.user_id IS NULL
+               GROUP BY c.user_id)
+      SELECT s.user_id,
+             CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT) AS span_days,
+             n.n_active,
+             COALESCE(g.n_gaps, 0) AS n_gaps
+      FROM span s
+      JOIN (SELECT user_id, COUNT(*) AS n_active FROM active GROUP BY user_id) n
+        USING (user_id)
+      LEFT JOIN gaps g ON s.user_id = g.user_id
+      ORDER BY s.user_id"""))
+
+  val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar)
 }

@@ -208,14 +208,74 @@ object FunctionQueries {
     Some("""
       SELECT o_orderstatus,
              string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
-             array_to_string(
+             COALESCE(array_to_string(
                (list_sort(list(DISTINCT o_orderkey)
-                  FILTER (WHERE o_orderkey % 1000 = 0)))[1:5], ',') AS sample_keys,
+                  FILTER (WHERE o_orderkey % 1000 = 0)))[1:5], ','), '') AS sample_keys,
              COUNT(*) AS n_orders
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  /** Struct ordering as distributed argmin/argmax: `min(struct(ts, id))`
+    * rides the ordinary partial+final aggregate path — no window, no shuffle
+    * beyond the groupBy — and the trailing id field makes ties exact. The
+    * per-event first/last lookup every sessionization and attribution job
+    * needs, in one aggregate. Oracle uses an independent window formulation.
+    */
+  val structArgminmax = QueryDef(
+    "struct_funcs",
+    (spark, dir) => {
+      load(spark, dir, "events")
+        .filter(col("user_id") % 15 === 0)
+        .groupBy(col("user_id"))
+        .agg(
+          min(struct(col("ts"), col("event_id"))).as("first"),
+          max(struct(col("ts"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("first.event_id").as("first_event_id"),
+          col("first.ts").as("first_ts"),
+          col("last.event_id").as("last_event_id"),
+          col("last.ts").as("last_ts"),
+          col("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, ts, event_id FROM events WHERE user_id % 15 = 0),
+      r AS (SELECT user_id, ts, event_id,
+              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
+              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+            FROM e)
+      SELECT user_id,
+             MAX(event_id) FILTER (WHERE ra = 1) AS first_event_id,
+             MAX(ts)       FILTER (WHERE ra = 1) AS first_ts,
+             MAX(event_id) FILTER (WHERE rd = 1) AS last_event_id,
+             MAX(ts)       FILTER (WHERE rd = 1) AS last_ts,
+             COUNT(*) AS n_events
+      FROM r
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** approx_percentile (GK sketch) over order values. No oracle: the sketch
+    * result depends on partition merge order, so the driver records the
+    * rows-only check; ApproxSpec pins the ±1% contract against the exact
+    * sorted quantile. This is the scale path for quantiles — one pass, fixed
+    * memory — next to `quantiles_exact`'s rank-position formulation.
+    */
+  val aggApproxQuantile = QueryDef(
+    "agg_approx_quantile",
+    (spark, dir) => {
+      load(spark, dir, "lineitem")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"))
+        .select(
+          graft.Tables.cents(col("q")(0)).as("p50_cents"),
+          graft.Tables.cents(col("q")(1)).as("p90_cents"),
+          graft.Tables.cents(col("q")(2)).as("p99_cents"))
+    },
+    None,
+    notes = "GK sketch is merge-order-dependent; rows-only + ApproxSpec ±1% contract")
+
   val all: Seq[QueryDef] = Seq(regexFuncs, datetimeFuncs, nullFuncs,
-    bitHashFuncs, statsMoments, aggCollect)
+    bitHashFuncs, statsMoments, aggCollect, structArgminmax, aggApproxQuantile)
 }
