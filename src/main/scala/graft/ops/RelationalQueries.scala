@@ -585,9 +585,57 @@ object RelationalQueries {
     None,
     notes = "HLL++ sketch; rows-only check, error bound pinned in ApproxSpec")
 
+  /** Large×large time-interval join, bucketized: every 'error' event paired
+    * with every 'purchase' within ±5 minutes, across all users. A naive
+    * theta join is O(errors × purchases) — a broadcast nested loop that
+    * cannot survive two large sides. The scalable shape: quantize time into
+    * window-width buckets, explode the probe side into its ≤3 overlapping
+    * buckets, EQUI-join on the bucket (ordinary shuffled hash join on a
+    * dense integer key), then post-filter the exact |Δt| ≤ W predicate.
+    * Work becomes O(true pairs + bucket collisions), partitioned evenly by
+    * bucket. Each purchase lives in exactly one bucket and probe buckets
+    * are distinct, so no pair dedup is needed.
+    *
+    * The DuckDB oracle states the plain theta join (its IEJoin handles the
+    * small scale) — independent formulation, identical pairs.
+    */
+  val joinRangeInterval = QueryDef(
+    "join_range_interval",
+    (spark, dir) => {
+      val W = 300000L // ±5 min in ms
+      val ev = load(spark, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), unix_millis(col("ts")).as("e_ms"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), unix_millis(col("ts")).as("p_ms"))
+      val errB = err.select(col("e_id"), col("e_ms"),
+        explode(array_distinct(array(
+          expr(s"(e_ms - $W) DIV $W"),
+          expr(s"e_ms DIV $W"),
+          expr(s"(e_ms + $W) DIV $W")))).as("bucket"))
+      val purB = pur.withColumn("bucket", expr(s"p_ms DIV $W"))
+      errB.join(purB, "bucket")
+        .filter(abs(col("e_ms") - col("p_ms")) <= W)
+        .groupBy(expr("(e_ms DIV 3600000) % 24").as("hour_of_day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("e_id")).as("n_errors_matched"))
+        .orderBy(col("hour_of_day"))
+    },
+    Some("""
+      WITH err AS (SELECT event_id AS e_id, epoch_ms(ts) AS e_ms FROM events
+                   WHERE event_type = 'error'),
+      pur AS (SELECT event_id AS p_id, epoch_ms(ts) AS p_ms FROM events
+              WHERE event_type = 'purchase')
+      SELECT (e_ms // 3600000) % 24 AS hour_of_day,
+             COUNT(*) AS n_pairs,
+             COUNT(DISTINCT e_id) AS n_errors_matched
+      FROM err JOIN pur ON abs(e_ms - p_ms) <= 300000
+      GROUP BY (e_ms // 3600000) % 24
+      ORDER BY hour_of_day"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Pricing, q3Shipping, q5NationRevenue, joinSemi, joinAnti, joinRangeBucket,
-    joinAsof, aggRollup, aggDistinct, aggCube, aggUdafLastValue, aggApprox,
-    windowTopk, windowRunning, topkGlobal, setOps, eventsJson, eventsTumbling,
-    eventsSessionize, eventsDatetime, mathFuncs)
+    joinRangeInterval, joinAsof, aggRollup, aggDistinct, aggCube,
+    aggUdafLastValue, aggApprox, windowTopk, windowRunning, topkGlobal, setOps,
+    eventsJson, eventsTumbling, eventsSessionize, eventsDatetime, mathFuncs)
 }

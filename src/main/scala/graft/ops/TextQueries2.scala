@@ -100,11 +100,16 @@ object TextQueries2 {
       ORDER BY lang, bucket"""))
 
   /** Connected components over the near-duplicate pair graph
-    * ([[TextQueries.dedupJaccardTokens]] candidates): iterative min-label
-    * propagation to a fixpoint — each iteration is one shuffle join + one
-    * aggregate, state truncated with localCheckpoint, O(graph diameter)
-    * rounds. This is the canonicalization step of corpus-scale dedup (pick
-    * one keeper per duplicate cluster, transitively).
+    * ([[TextQueries.dedupJaccardTokens]] candidates): min-label propagation
+    * with POINTER DOUBLING — each round first propagates the neighborhood
+    * min (one shuffle join + aggregate) and then short-circuits
+    * `root := root(root)` (one self-join), so label paths halve every round
+    * and the fixpoint arrives in O(log diameter) rounds instead of
+    * O(diameter). At corpus scale each round is a fixed number of shuffles
+    * over O(V+E) rows, and round count — the serial bottleneck no cluster
+    * size can hide — is logarithmic. State truncated per round with
+    * localCheckpoint. This is the canonicalization step of corpus-scale
+    * dedup (pick one keeper per duplicate cluster, transitively).
     *
     * The DuckDB oracle computes the same closure with a recursive CTE —
     * independent formulation, identical clusters.
@@ -122,15 +127,22 @@ object TextQueries2 {
         .localCheckpoint()
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 20) {
+      while (changed > 0 && rounds < 10) {
         val neighborMin = edges
           .join(labels, col("src") === col("id"))
           .groupBy(col("dst")).agg(min(col("root")).as("nb_root"))
-        val next = labels
+        val stepped = labels
           .join(neighborMin, col("id") === col("dst"), "left")
           .select(col("id"),
             least(col("root"), coalesce(col("nb_root"), col("root"))).as("root"),
             (col("nb_root") < col("root")).cast("long").as("moved"))
+        // pointer doubling: follow one hop of the label table itself
+        val rootOf = stepped.select(col("id").as("r_id"), col("root").as("r_root"))
+        val next = stepped
+          .join(rootOf, col("root") === col("r_id"), "left")
+          .select(col("id"),
+            least(col("root"), coalesce(col("r_root"), col("root"))).as("root"),
+            col("moved"))
         val materialized = next.localCheckpoint()
         changed = materialized.agg(sum(col("moved"))).first().getLong(0)
         labels = materialized.select(col("id"), col("root"))
