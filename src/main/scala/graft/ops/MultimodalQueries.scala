@@ -31,9 +31,14 @@ object MultimodalQueries {
       ORDER BY media_id"""))
 
   /** Batched executor-side decode through the [[Multimodal.MediaDecoder]]
-    * plumbing (stub codec), rolled up per media_type. The decode itself is
-    * not SQL-expressible → rows-only driver check; MultimodalSpec pins the
-    * per-record features.
+    * plumbing (stub codec), rolled up per media_type. The decode path runs
+    * through the typed Dataset + mapPartitions batching for real; because
+    * the stub codec is pure byte arithmetic and the corpus is verified
+    * ASCII (octet_length == char length at every sf), the oracle replays
+    * the identical arithmetic over code points — so even the "decode"
+    * output is hash-verified. A real binary codec would drop back to the
+    * rows-only check; MultimodalSpec pins the per-record features either
+    * way.
     */
   val multimodalDecode = QueryDef(
     "multimodal_decode",
@@ -49,8 +54,34 @@ object MultimodalQueries {
           sum(col("brightness_bp")).as("sum_brightness_bp"))
         .orderBy(col("media_type"))
     },
-    None,
-    notes = "mapPartitions batch decode via stub codec; rows-only driver check")
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/fake'
+                    WHEN doc_id % 3 = 1 THEN 'audio/fake'
+                    ELSE 'video/fake' END AS media_type,
+               CAST(length(text) AS BIGINT) AS len,
+               CAST(list_sum(list_transform(
+                 list_filter(string_split(text, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))) AS BIGINT) AS byte_sum
+        FROM documents),
+      f AS (
+        SELECT media_id, media_type, len AS byte_len,
+               len % 640 + 16 AS width,
+               CASE WHEN media_type = 'video/fake' THEN len % 24 + 1 ELSE 1 END AS n_frames,
+               CASE WHEN len = 0 THEN 0
+                    ELSE (byte_sum * 10000) // (len * 255) END AS brightness_bp
+        FROM m)
+      SELECT media_type, COUNT(*) AS n,
+             CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+             CAST(SUM(width) AS BIGINT) AS sum_width,
+             CAST(SUM(n_frames) AS BIGINT) AS sum_frames,
+             CAST(SUM(brightness_bp) AS BIGINT) AS sum_brightness_bp
+      FROM f
+      GROUP BY media_type
+      ORDER BY media_type""",
+    ),
+    notes = "mapPartitions batch decode via stub codec; oracle replays the stub arithmetic (ASCII corpus)")
 
   val all: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode)
 }
