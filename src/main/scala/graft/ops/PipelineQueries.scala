@@ -248,6 +248,63 @@ object PipelineQueries {
       GROUP BY split, lang
       ORDER BY split, lang"""))
 
+  /** Incremental ingestion dedup: sources src0–src4 are the "existing
+    * corpus"; everything else is the incoming batch. Each incoming document
+    * is classified dup-vs-corpus (content hash already present), dup-within-
+    * batch (not in corpus, but a lower doc_id in the same batch has the same
+    * hash), or new — the decision every nightly corpus append runs.
+    *
+    * Scale shape: the corpus side reduces to its distinct fingerprint set
+    * (tiny vs the corpus itself); classification is one fp-keyed join + one
+    * windowed rank within the batch; per-source rollup is a small aggregate.
+    * The raw corpus is never rescanned per incoming document.
+    */
+  val pipelineIncremental = QueryDef(
+    "pipeline_incremental",
+    (spark, dir) => {
+      val corpusSrcs = Seq("src0", "src1", "src2", "src3", "src4")
+      val docs = load(spark, dir, "documents")
+        .withColumn("fp", md5(col("text").cast("binary")))
+      val corpusFp = docs.filter(col("source").isin(corpusSrcs: _*))
+        .select(col("fp")).distinct().withColumn("in_corpus", lit(1))
+      val inc = docs.filter(!col("source").isin(corpusSrcs: _*))
+        .select(col("source"), col("doc_id"), col("fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      inc.join(corpusFp, Seq("fp"), "left")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("class",
+          when(col("in_corpus") === 1, lit("dup_corpus"))
+            .when(col("rn") > 1, lit("dup_incoming"))
+            .otherwise(lit("new")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(when(col("class") === "dup_corpus", 1L).otherwise(0L)).as("n_dup_corpus"),
+          sum(when(col("class") === "dup_incoming", 1L).otherwise(0L)).as("n_dup_incoming"),
+          sum(when(col("class") === "new", 1L).otherwise(0L)).as("n_new"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (SELECT source, doc_id, md5(text) AS fp FROM documents),
+      corpus_fp AS (SELECT DISTINCT fp FROM d
+                    WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+      inc AS (SELECT source, doc_id, fp FROM d
+              WHERE source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+      classed AS (
+        SELECT source,
+               CASE WHEN fp IN (SELECT fp FROM corpus_fp) THEN 'dup_corpus'
+                    WHEN ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+                      THEN 'dup_incoming'
+                    ELSE 'new' END AS class
+        FROM inc)
+      SELECT source, COUNT(*) AS n_incoming,
+             CAST(SUM(CASE WHEN class = 'dup_corpus' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+             CAST(SUM(CASE WHEN class = 'dup_incoming' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_incoming,
+             CAST(SUM(CASE WHEN class = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM classed
+      GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
-    mapFuncs, histogramPrices, pipelineCurate)
+    mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental)
 }

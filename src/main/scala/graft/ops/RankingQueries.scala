@@ -125,5 +125,65 @@ object RankingQueries {
       ORDER BY score_bp DESC, doc_id
       LIMIT 20"""))
 
-  val all: Seq[QueryDef] = Seq(textTfidf, textBm25)
+  /** Feature-hashing vectorizer ("hashing trick"): every document becomes a
+    * 32-bucket token-count vector via `rolling_hash(tok) mod 32` — a model-
+    * free text embedding computed entirely on the aggregate path (explode →
+    * two-key groupBy; the "vector" never materializes as an array). Reports
+    * per-doc sparsity, exact L2 norm (integer Σcnt² + one IEEE sqrt), and
+    * cosine similarity to document 0's vector (exact integer dot product) —
+    * the building blocks of hash-kernel classifiers and cheap near-dup
+    * blocking at corpus scale.
+    */
+  val textHashEmbed = QueryDef(
+    "text_hash_embed",
+    (spark, dir) => {
+      import graft.functions.RollingHash
+      val buckets = load(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), (RollingHash(col("tok")) % 1048573 % 32).as("b"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val doc0 = buckets.filter(col("doc_id") === 0)
+        .select(col("b"), col("cnt").as("cnt0"))
+      val norm0 = doc0.agg(sum(col("cnt0") * col("cnt0")).as("n2_0"))
+      buckets.filter(col("doc_id") % 25 === 0)
+        .join(broadcast(doc0), Seq("b"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"),
+          sum(col("cnt") * col("cnt")).as("n2"),
+          sum(col("cnt") * coalesce(col("cnt0"), lit(0L))).as("dot0"))
+        .crossJoin(broadcast(norm0))
+        .select(col("doc_id"), col("nnz"),
+          graft.Tables.basisPoints(sqrt(col("n2").cast("double"))).as("norm_bp"),
+          graft.Tables.basisPoints(
+            col("dot0") / sqrt((col("n2") * col("n2_0")).cast("double"))).as("cos0_bp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      buckets AS (
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+                                  c -> CAST(unicode(c) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 100000000000000000) % 1048573 % 32 AS b,
+               COUNT(*) AS cnt
+        FROM toks GROUP BY doc_id, b),
+      doc0 AS (SELECT b, cnt AS cnt0 FROM buckets WHERE doc_id = 0),
+      norm0 AS (SELECT SUM(cnt0 * cnt0) AS n2_0 FROM doc0)
+      SELECT doc_id, COUNT(*) AS nnz,
+             CAST(floor(sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS norm_bp,
+             CAST(floor(SUM(cnt * COALESCE(cnt0, 0))
+                        / sqrt(CAST(SUM(cnt * cnt) * n2_0 AS DOUBLE))
+                        * 10000 + 0.5) AS BIGINT) AS cos0_bp
+      FROM buckets LEFT JOIN doc0 USING (b), norm0
+      WHERE doc_id % 25 = 0
+      GROUP BY doc_id, n2_0
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(textTfidf, textBm25, textHashEmbed)
 }

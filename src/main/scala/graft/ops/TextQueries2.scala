@@ -215,6 +215,39 @@ object TextQueries2 {
       FROM n
       ORDER BY doc_id"""))
 
+  /** Top-5 trigrams per language through the native [[graft.functions.NGrams]]
+    * table-generating function (UDTF surface): plans as the same `Generate`
+    * operator as `explode` but emits n-grams lazily per row — no per-document
+    * n-gram array ever materializes. Oracle rebuilds trigrams with an
+    * independent list-comprehension formulation.
+    */
+  val textNgrams = QueryDef(
+    "text_ngrams",
+    (spark, dir) => {
+      import graft.functions.NGrams
+      val grams = load(spark, dir, "documents")
+        .select(col("lang"), NGrams(col("text"), 3).as("ngram"))
+      val counts = grams.groupBy(col("lang"), col("ngram"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("cnt").desc, col("ngram"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("ngram"), col("cnt"))
+        .orderBy(col("lang"), col("rn"))
+    },
+    Some("""
+      WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+      g AS (SELECT lang,
+                   unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS ngram
+            FROM toks WHERE len(t) >= 3),
+      c AS (SELECT lang, ngram, COUNT(*) AS cnt FROM g GROUP BY lang, ngram),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY cnt DESC, ngram) AS rn FROM c)
+      SELECT lang, rn, ngram, cnt FROM r WHERE rn <= 5
+      ORDER BY lang, rn"""))
+
   val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents,
-    textNormalize)
+    textNormalize, textNgrams)
 }
