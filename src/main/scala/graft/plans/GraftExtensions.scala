@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.NGrams(children.head, children(1))))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => PushLeftFilterThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => RewriteIntervalJoin)
   }
 }
