@@ -305,6 +305,49 @@ object PipelineQueries {
       GROUP BY source
       ORDER BY source"""))
 
+  /** Sequence packing: concatenate documents (per language, in stable
+    * doc_id order) into ~512-token training batches — batch id is the
+    * 512-bucket of each document's running start offset, i.e. contiguous
+    * greedy packing as one window cumsum + integer division. No state, no
+    * driver loop, scales as a single partitioned window. (True first-fit
+    * bin packing is inherently sequential; offset-bucket packing is the
+    * standard distributed approximation — a document spanning a boundary
+    * overflows its batch rather than splitting.)
+    */
+  val pipelinePack = QueryDef(
+    "pipeline_pack",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      load(spark, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("batch", expr("(cum - n_tok) DIV 512"))
+        .groupBy(col("lang"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("batch_tokens"))
+        .orderBy(col("lang"), col("batch"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d)
+      SELECT lang, (cum - n_tok) // 512 AS batch,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS batch_tokens
+      FROM c
+      GROUP BY lang, (cum - n_tok) // 512
+      ORDER BY lang, batch"""))
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
-    mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental)
+    mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
+    pipelinePack)
 }

@@ -248,6 +248,52 @@ object TextQueries2 {
       SELECT lang, rn, ngram, cnt FROM r WHERE rn <= 5
       ORDER BY lang, rn"""))
 
+  /** Context-window chunking — split each document into 50-token windows
+    * every 40 tokens (10-token overlap), the pre-tokenizer step of every
+    * LLM training-data job. Chunk starts come from `sequence` + `explode`
+    * (lazy, no chunk array materialization); runt tails under 10 tokens are
+    * dropped unless they are the document's only chunk. Each chunk's md5
+    * pins byte-exact window extraction in the oracle.
+    */
+  val textChunk = QueryDef(
+    "text_chunk",
+    (spark, dir) => {
+      val base = load(spark, dir, "documents")
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+      base
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(1), col("n"), lit(40))).as("s"))
+        .withColumn("chunk_len", least(lit(50), col("n") - col("s") + 1))
+        .filter(col("s") === 1 || col("chunk_len") >= 10)
+        .select(col("doc_id"),
+          ((col("s") - 1) / 40).cast("long").as("chunk_idx"),
+          col("chunk_len").cast("long").as("chunk_len"),
+          md5(concat_ws(" ", slice(col("toks"), col("s"), col("chunk_len")))
+            .cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE doc_id % 50 = 0),
+      chunks AS (
+        SELECT doc_id, toks, n, unnest(range(1, n + 1, 40)) AS s FROM d),
+      sized AS (
+        SELECT doc_id, s,
+               LEAST(50, n - s + 1) AS chunk_len,
+               array_to_string(toks[s : s + LEAST(50, n - s + 1) - 1], ' ') AS chunk
+        FROM chunks
+        WHERE s = 1 OR LEAST(50, n - s + 1) >= 10)
+      SELECT doc_id,
+             CAST((s - 1) // 40 AS BIGINT) AS chunk_idx,
+             CAST(chunk_len AS BIGINT) AS chunk_len,
+             md5(chunk) AS chunk_md5
+      FROM sized
+      ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents,
-    textNormalize, textNgrams)
+    textNormalize, textNgrams, textChunk)
 }
