@@ -247,6 +247,31 @@ object RelationalQueries2 {
       ORDER BY numwait DESC, s_name
       LIMIT 50"""))
 
+  /** Skew-proof aggregation through [[Skew.saltedSumCount]]: lineitem has
+    * only 3 return-flag keys — the worst aggregation skew possible (every
+    * row funnels to 3 tasks). The salted two-phase plan spreads each key
+    * over 16 salt buckets first, then re-aggregates ≤16 partial rows per
+    * key; the final shuffle is O(keys·salt) regardless of input size. The
+    * oracle is the plain one-phase GROUP BY — distributive aggregates make
+    * the two formulations exactly equal.
+    */
+  val aggSalted = QueryDef(
+    "agg_salted",
+    (spark, dir) => {
+      Skew.saltedSumCount(
+          load(spark, dir, "lineitem"), col("l_returnflag"), 16,
+          "qty_cents" -> cents(col("l_quantity")),
+          "price_cents" -> cents(col("l_extendedprice")))
+        .orderBy(col("key"))
+    },
+    Some("""
+      SELECT l_returnflag AS key, COUNT(*) AS n,
+             CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY key"""))
+
   val all: Seq[QueryDef] = Seq(q13CustDist, joinFullOuter, q15TopSupp,
-    q8Share, q20Excess, q21SoleLate)
+    q8Share, q20Excess, q21SoleLate, aggSalted)
 }
