@@ -15,7 +15,7 @@ object SparkEntry {
     ops.ParityQueries.all ++ ops.RelationalQueries.all ++
     ops.AdvancedQueries.all ++ ops.TpchQueries.all ++ ops.RelationalQueries2.all ++
     ops.FunctionQueries.all ++ ops.PipelineQueries.all ++ ops.CoverageQueries.all ++
-    ops.EventAnalyticsQueries.all ++
+    ops.EventAnalyticsQueries.all ++ ops.WarehouseQueries.all ++
     ops.TextQueries.all ++ ops.TextQueries2.all ++ ops.RankingQueries.all ++
     ops.VectorQueries.all ++
     ops.DedupQueries.all ++ ops.MultimodalQueries.all

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.Tables.{cents, load}
+
+/** Warehouse-operations shapes: declarative data-quality expectations (the
+  * dbt-test / constraint-check pattern) and SCD2 snapshot construction from
+  * a change log — the two jobs that bracket every warehouse load.
+  */
+object WarehouseQueries {
+
+  /** Data-quality expectation suite over the star schema, one row per check:
+    * null-rate, referential integrity, domain ranges, and set membership.
+    * Each check is an independent aggregate (most are metadata-cheap scans
+    * with pushed filters); the union is a tiny constant-row result however
+    * large the input — the shape of a post-load quality gate at any scale.
+    * The RI check is a left-anti join, not a NOT IN subquery: NOT IN's
+    * null-semantics trap aside, anti join is the shape that stays a hash
+    * join at 100 TB.
+    */
+  val qualityExpectations = QueryDef(
+    "quality_expectations",
+    (spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+      val ord = load(spark, dir, "orders")
+      def check(name: String, violations: org.apache.spark.sql.DataFrame) =
+        violations.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_violations"))
+      check("lineitem_discount_range",
+          li.filter(col("l_discount") < 0 || col("l_discount") > 1))
+        .unionAll(check("lineitem_orphan_orderkey",
+          li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")))
+        .unionAll(check("lineitem_quantity_positive",
+          li.filter(col("l_quantity") <= 0)))
+        .unionAll(check("lineitem_shipdate_null",
+          li.filter(col("l_shipdate").isNull)))
+        .unionAll(check("orders_priority_domain",
+          ord.filter(!col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))))
+        .unionAll(check("orders_totalprice_positive",
+          ord.filter(col("o_totalprice") <= 0)))
+        .orderBy(col("check_name"))
+    },
+    Some("""
+      SELECT 'lineitem_discount_range' AS check_name,
+             (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS n_violations
+      UNION ALL
+      SELECT 'lineitem_orphan_orderkey',
+             (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+      UNION ALL
+      SELECT 'lineitem_quantity_positive',
+             (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+      UNION ALL
+      SELECT 'lineitem_shipdate_null',
+             (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+      UNION ALL
+      SELECT 'orders_priority_domain',
+             (SELECT COUNT(*) FROM orders WHERE o_orderpriority NOT IN
+              ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'))
+      UNION ALL
+      SELECT 'orders_totalprice_positive',
+             (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+      ORDER BY check_name"""))
+
+  /** SCD2 snapshot from a change log: each user's 'view' events are attribute
+    * changes; every change opens a version effective [ts, next change ts).
+    * One window pass per user (row_number for the version, lead for the
+    * close timestamp) — the standard slowly-changing-dimension build, with
+    * the open version carrying a NULL valid_to. Event-id tiebreak makes
+    * same-millisecond changes deterministic.
+    */
+  val scd2Snapshot = QueryDef(
+    "scd2_snapshot",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      load(spark, dir, "events")
+        .filter(col("event_type") === "view" && col("user_id") % 20 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("version_no", row_number().over(w))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version_no"),
+          col("ts").as("valid_from"), col("valid_to"),
+          (col("valid_to").isNull).cast("int").as("is_current"),
+          cents(col("value")).as("value_cents"))
+        .orderBy(col("user_id"), col("version_no"))
+    },
+    Some("""
+      WITH changes AS (
+        SELECT user_id, ts, event_id, value
+        FROM events
+        WHERE event_type = 'view' AND user_id % 20 = 0)
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version_no,
+             ts AS valid_from,
+             LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             CAST(LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS INTEGER) AS is_current,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+      FROM changes
+      ORDER BY user_id, version_no"""))
+
+  val all: Seq[QueryDef] = Seq(qualityExpectations, scd2Snapshot)
+}

@@ -69,6 +69,32 @@ object EventStreams {
         col("click_id"), col("click_ts"), col("value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution question asked
+    * from the click side: did each click convert within the hour? Unmatched
+    * clicks can only be emitted once the purchase-side watermark proves no
+    * match can still arrive, so the null rows appear on watermark passage —
+    * the outer-join-on-streams semantics that trips up naive ports. Same
+    * eviction story as [[purchaseAttribution]]: both sides watermarked, the
+    * time constraint bounds state.
+    */
+  def clickOutcomes(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+        col("user_id") === col("click_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("click_user"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("value"))
+  }
+
   /** Watermarked streaming dedup: drop event_id re-deliveries that arrive
     * within the watermark horizon — the at-least-once → exactly-once
     * compaction step. State is one key per id inside the horizon and is

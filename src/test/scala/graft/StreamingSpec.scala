@@ -101,6 +101,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched clicks on watermark passage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.clickOutcomes(input.toDF(), watermark = "30 minutes")
+      .select($"click_id", $"purchase_id")
+      .writeStream.format("memory").queryName("outcomes_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val base = 24 * 60L
+      input.addData(
+        Event(10, ts(base + 0), 1, "click", 0.0),    // converts at +30'
+        Event(11, ts(base + 30), 1, "purchase", 9.99),
+        Event(12, ts(base + 10), 2, "click", 0.0))   // never converts
+      q.processAllAvailable()
+      // push BOTH side watermarks far past click 12's horizon so the outer
+      // null row can be finalized
+      input.addData(
+        Event(20, ts(base + 600), 9, "click", 0.0),
+        Event(21, ts(base + 600), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("outcomes_out")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((10L, Some(11L))), s"got $rows")
+      assert(rows.contains((12L, None)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("checkpoint restart: window state survives a query stop/start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the memory sink refuses checkpoint recovery — the file sink is the
+    // recovery-capable one, so the restart goes through parquet output
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val input = MemoryStream[Event]
+    def start() =
+      EventStreams.tumblingCounts(input.toDF(), watermark = "10 minutes",
+          win = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    try {
+      input.addData(Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // second query instance, same checkpoint: the hour-0 partial counts live
+    // only in the recovered state store
+    val q2 = start()
+    try {
+      input.addData(Event(3, ts(300), 2, "view", 4.0)) // advances watermark
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .select($"window_start", $"event_type", $"n", $"value_cents")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L, 300L)), s"got $rows")
+    } finally q2.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
