@@ -28,11 +28,17 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Two timed passes, per-query minimum: this host stalls tens of seconds
+    // at random on first-touch page provisioning (see BASELINE.md); the min
+    // of two warm runs reports engine speed, not whichever query a stall
+    // happened to land on.
+    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = p1.map { case (name, v) => name -> math.min(v, p2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
