@@ -347,7 +347,84 @@ object PipelineQueries {
       GROUP BY lang, (cum - n_tok) // 512
       ORDER BY lang, batch"""))
 
+  /** Benchmark decontamination: for every held-out document (source src19),
+    * what fraction of its 5-gram shingles appears ANYWHERE in the training
+    * split (all other sources)? The train/test-overlap check every serious
+    * LLM data pipeline runs before training (the 13-gram variant of GPT-3's
+    * dedup). Shingles come from the native [[graft.functions.NGrams]]
+    * generator — lazy emission, no per-doc shingle arrays; the train side
+    * reduces to its DISTINCT shingle set once (at real scale: a bucketed
+    * table reused across eval sets), and the overlap is one shuffle join on
+    * the shingle, never document×document.
+    */
+  val pipelineDecontaminate = QueryDef(
+    "pipeline_decontaminate",
+    (spark, dir) => {
+      import graft.functions.NGrams
+      val docs = load(spark, dir, "documents")
+      val trainSh = docs.filter(col("source") =!= "src19")
+        .select(NGrams(col("text"), 5).as("sh"))
+        .distinct().withColumn("hit", lit(1))
+      val testSh = docs.filter(col("source") === "src19")
+        .select(col("doc_id"), NGrams(col("text"), 5).as("sh"))
+      testSh.join(trainSh, Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
+        .withColumn("contamination_bp",
+          expr("(n_contaminated * 10000) DIV n_shingles"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS sh
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 5),
+      train AS (SELECT DISTINCT sh FROM sh WHERE source <> 'src19'),
+      test AS (SELECT doc_id, sh FROM sh WHERE source = 'src19')
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             COUNT(*) FILTER (WHERE sh IN (SELECT sh FROM train)) AS n_contaminated,
+             (COUNT(*) FILTER (WHERE sh IN (SELECT sh FROM train)) * 10000)
+               // COUNT(*) AS contamination_bp
+      FROM test
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  /** Repetition filter (the C4/RefinedWeb doc-internal quality heuristic):
+    * a document whose trigrams repeat heavily is boilerplate or spam.
+    * distinct/total trigram ratio in exact basis points, per held-out-size
+    * doc subset — one Generate + two counts per doc, no joins.
+    */
+  val textRepetition = QueryDef(
+    "text_repetition",
+    (spark, dir) => {
+      import graft.functions.NGrams
+      load(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), NGrams(col("text"), 3).as("tg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          countDistinct(col("tg")).as("n_distinct"))
+        .withColumn("distinct_bp", expr("(n_distinct * 10000) DIV n_trigrams"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE doc_id % 10 = 0)
+        WHERE len(t) >= 3)
+      SELECT doc_id, COUNT(*) AS n_trigrams,
+             COUNT(DISTINCT tg) AS n_distinct,
+             (COUNT(DISTINCT tg) * 10000) // COUNT(*) AS distinct_bp
+      FROM tg
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
-    pipelinePack)
+    pipelinePack, pipelineDecontaminate, textRepetition)
 }
