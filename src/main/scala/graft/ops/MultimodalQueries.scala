@@ -83,5 +83,56 @@ object MultimodalQueries {
     ),
     notes = "mapPartitions batch decode via stub codec; oracle replays the stub arithmetic (ASCII corpus)")
 
-  val all: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode)
+  /** Frame sampling through the typed [[Multimodal.sampleFrames]] flatMap
+    * (every 4th stub frame = 32-byte payload slice), rolled up per media id
+    * with a rolling-hash checksum of each frame's bytes — so the oracle
+    * verifies the exact slice boundaries, not just counts. Same ASCII-corpus
+    * argument as `multimodal_decode`: payload bytes == code points.
+    */
+  val multimodalFrames = QueryDef(
+    "multimodal_frames",
+    (spark, dir) => {
+      import graft.functions.RollingHash
+      val media = Multimodal.mediaFromDocuments(load(spark, dir, "documents"))
+        .filter(col("media_type") === "video/fake" && col("media_id") % 10 === 2)
+      val frames = Multimodal.sampleFrames(media, Multimodal.StubMediaDecoder)
+      frames.toDF()
+        .select(col("media_id"),
+          octet_length(col("frame_bytes")).cast("long").as("fb_len"),
+          RollingHash(col("frame_bytes").cast("string")).as("fh"))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("fb_len")).as("sum_bytes"),
+          sum(col("fh")).as("hash_sum"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id AS media_id, text, length(text) AS len
+        FROM documents
+        WHERE doc_id % 3 = 2 AND doc_id % 10 = 2),
+      idx AS (
+        SELECT media_id, text, len,
+               unnest(range(0, len % 24 + 1, 4)) AS i
+        FROM v),
+      fr AS (
+        SELECT media_id,
+               substring(text,
+                 LEAST(i * 32, GREATEST(len - 1, 0)) + 1,
+                 LEAST(LEAST(i * 32, GREATEST(len - 1, 0)) + 32, len)
+                   - LEAST(i * 32, GREATEST(len - 1, 0))) AS frame
+        FROM idx)
+      SELECT media_id, COUNT(*) AS n_frames,
+             CAST(SUM(length(frame)) AS BIGINT) AS sum_bytes,
+             CAST(SUM(list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(list_filter(string_split(frame, ''), c -> c <> ''),
+                                c -> CAST(unicode(c) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % 100000000000000000)) AS BIGINT) AS hash_sum
+      FROM fr
+      GROUP BY media_id
+      ORDER BY media_id"""),
+    notes = "typed flatMap frame sampling; oracle replays slice arithmetic (ASCII corpus)")
+
+  val all: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode, multimodalFrames)
 }

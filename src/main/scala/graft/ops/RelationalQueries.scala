@@ -633,9 +633,42 @@ object RelationalQueries {
       GROUP BY (e_ms // 3600000) % 24
       ORDER BY hour_of_day"""))
 
+  /** Sliding (hopping) event-time windows: 1-hour windows every 30 minutes,
+    * so each event lands in exactly two windows. Spark's `window()` with a
+    * slide plans as a Generate (per-row window expansion) + ordinary
+    * aggregate — the oracle derives the same two window starts per event
+    * arithmetically.
+    */
+  val eventsSliding = QueryDef(
+    "events_sliding",
+    (spark, dir) => {
+      load(spark, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("value_cents"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, value,
+               (epoch_ms(ts) // 1800000) * 1800000 AS fb
+        FROM events),
+      expanded AS (
+        SELECT event_type, value,
+               unnest([fb, fb - 1800000]) AS ws_ms
+        FROM e)
+      SELECT epoch_ms(ws_ms) AS window_start, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM expanded
+      GROUP BY ws_ms, event_type
+      ORDER BY window_start, event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Pricing, q3Shipping, q5NationRevenue, joinSemi, joinAnti, joinRangeBucket,
     joinRangeInterval, joinAsof, aggRollup, aggDistinct, aggCube,
     aggUdafLastValue, aggApprox, windowTopk, windowRunning, topkGlobal, setOps,
-    eventsJson, eventsTumbling, eventsSessionize, eventsDatetime, mathFuncs)
+    eventsJson, eventsTumbling, eventsSliding, eventsSessionize, eventsDatetime,
+    mathFuncs)
 }
