@@ -270,7 +270,75 @@ object AdvancedQueries {
       GROUP BY p_brand
       ORDER BY p_brand"""))
 
+  /** Array set-operation battery (union/intersect/except/flatten/position/
+    * contains) over document token arrays — scalar outputs only, so the
+    * oracle compares exactly. Spark `array_position` returns 0 for absent
+    * where DuckDB `list_position` returns NULL → COALESCE on the oracle side.
+    */
+  val arraySetops = QueryDef(
+    "array_setops",
+    (spark, dir) => {
+      val toks = split(col("text"), " ")
+      val a = array_distinct(slice(toks, 1, 15))
+      val b = array_distinct(slice(toks, 10, 15))
+      load(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          size(array_union(a, b)).as("n_union"),
+          size(array_intersect(a, b)).as("n_intersect"),
+          size(array_except(a, b)).as("n_except"),
+          size(flatten(array(a, b))).as("n_flat"),
+          array_position(toks, "the").cast("long").as("pos_the"),
+          array_contains(a, "data").cast("int").as("has_data"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               list_distinct(string_split(text, ' ')[1:15]) AS a,
+               list_distinct(string_split(text, ' ')[10:24]) AS b
+        FROM documents WHERE doc_id % 10 = 0)
+      SELECT doc_id,
+             len(list_distinct(list_concat(a, b))) AS n_union,
+             len(list_intersect(a, b)) AS n_intersect,
+             len(list_filter(a, x -> NOT list_contains(b, x))) AS n_except,
+             len(flatten([a, b])) AS n_flat,
+             CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the,
+             CAST(list_contains(a, 'data') AS INTEGER) AS has_data
+      FROM d
+      ORDER BY doc_id"""))
+
+  /** Conditional/null-handling battery: NULLIF / COALESCE-fill / NVL2-shaped
+    * presence test / LEAST-GREATEST — the null algebra every cleansing layer
+    * leans on, with a nullable output column to pin null-vs-value compare.
+    */
+  val conditionalFuncs = QueryDef(
+    "conditional_funcs",
+    (spark, dir) => {
+      load(spark, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_filled"),
+          when(nullif(col("o_orderstatus"), lit("O")).isNotNull, lit("closedish"))
+            .otherwise(lit("open")).as("nvl2_shape"),
+          least(col("o_orderkey") % 7, col("o_custkey") % 7, lit(3L)).as("least3"),
+          greatest(col("o_orderkey") % 7, col("o_custkey") % 7, lit(3L)).as("greatest3"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             NULLIF(o_orderstatus, 'O') AS status_or_null,
+             COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+             CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT NULL
+                  THEN 'closedish' ELSE 'open' END AS nvl2_shape,
+             LEAST(o_orderkey % 7, o_custkey % 7, 3) AS least3,
+             GREATEST(o_orderkey % 7, o_custkey % 7, 3) AS greatest3
+      FROM orders
+      WHERE o_orderkey % 100 = 0
+      ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(subqueryScalar, subqueryExists, windowRange,
-    windowRanks, eventsPivot, arrayFuncs, stringFuncs, joinAsofNative,
-    joinShuffleHash)
+    windowRanks, eventsPivot, arrayFuncs, stringFuncs, arraySetops,
+    conditionalFuncs, joinAsofNative, joinShuffleHash)
 }
