@@ -129,6 +129,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink maintains latest-value-per-user across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
+    val input = MemoryStream[Event]
+    val q = EventStreams.runUpsertSink(input.toDF(), table, ckpt)
+    try {
+      input.addData(
+        Event(1, ts(10), 1, "view", 1.5),
+        Event(2, ts(20), 2, "view", 2.5))
+      q.processAllAvailable()
+      input.addData(
+        Event(3, ts(30), 1, "view", 9.9),  // newer value for user 1
+        Event(4, ts(5), 2, "view", 0.1))   // OLDER event for user 2 → ignored
+      q.processAllAvailable()
+      val rows = spark.read.parquet(table)
+        .select($"user_id", $"event_id", $"value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows === Set((1L, 3L, 9.9), (2L, 2L, 2.5)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("checkpoint restart: window state survives a query stop/start") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
