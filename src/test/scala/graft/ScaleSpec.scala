@@ -23,6 +23,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("AQE splits a skewed sort-merge join (skew=true in the adaptive plan)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // one hot key carries 190k of 200k rows → its shuffle partition dwarfs
+      // the rest and AQE must split it across tasks
+      val left = spark.range(0, 200000)
+        .select(when($"id" < 190000, 0L).otherwise($"id").as("k"),
+          $"id".as("payload"))
+      val right = spark.range(0, 100).select($"id".as("k2"), ($"id" * 2).as("rv"))
+      val j = left.join(right, $"k" === $"k2")
+      // collect() drives THIS queryExecution (count() would plan a new one
+      // and leave j's adaptive plan unexecuted)
+      assert(j.collect().length === 190000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("partition pruning: date-partitioned write is pruned by the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {
