@@ -276,6 +276,41 @@ object FunctionQueries {
     None,
     notes = "GK sketch is merge-order-dependent; rows-only + ApproxSpec ±1% contract")
 
+  /** Mode (most frequent value) per group with a deterministic tiebreak:
+    * count per (group, value), then `max(struct(cnt, value))` on the
+    * aggregate path — no window, ties resolve to the lexicographically
+    * largest value identically in both engines.
+    */
+  val aggMode = QueryDef(
+    "agg_mode",
+    (spark, dir) => {
+      load(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(max(struct(col("cnt"), col("o_orderpriority"))).as("m"),
+          count(lit(1)).as("n_distinct_priorities"))
+        .select(col("o_orderstatus"),
+          col("m.o_orderpriority").as("mode_priority"),
+          col("m.cnt").as("mode_cnt"),
+          col("n_distinct_priorities"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY o_orderstatus, o_orderpriority),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                 ORDER BY cnt DESC, o_orderpriority DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderstatus) AS nd
+        FROM c)
+      SELECT o_orderstatus, o_orderpriority AS mode_priority,
+             cnt AS mode_cnt, nd AS n_distinct_priorities
+      FROM r WHERE rn = 1
+      ORDER BY o_orderstatus"""))
+
   val all: Seq[QueryDef] = Seq(regexFuncs, datetimeFuncs, nullFuncs,
-    bitHashFuncs, statsMoments, aggCollect, structArgminmax, aggApproxQuantile)
+    bitHashFuncs, statsMoments, aggCollect, structArgminmax, aggApproxQuantile,
+    aggMode)
 }

@@ -185,5 +185,55 @@ object RankingQueries {
       GROUP BY doc_id, n2_0
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(textTfidf, textBm25, textHashEmbed)
+  /** Per-language keyword extraction by lift: how over-represented is a term
+    * in one language's slice vs the whole corpus? lift = (share in lang) /
+    * (share overall), computed as one exact integer expression
+    * `cnt_lang·total_all·10000 div (cnt_all·total_lang)` — the class-based
+    * keyword shape (feature selection / corpus drift reports). Frequency
+    * floor keeps rare-term noise out of the ranking.
+    */
+  val textKeywords = QueryDef(
+    "text_keywords",
+    (spark, dir) => {
+      val toks = load(spark, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      val perLang = toks.groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("cnt_lang"))
+      val langTotals = toks.groupBy(col("lang")).agg(count(lit(1)).as("total_lang"))
+      val global = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt_all"))
+      val totalAll = toks.agg(count(lit(1)).as("total_all"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("lift_bp").desc, col("term"))
+      perLang.filter(col("cnt_lang") >= 50)
+        .join(broadcast(langTotals), "lang")
+        .join(broadcast(global), "term")
+        .crossJoin(broadcast(totalAll))
+        .withColumn("lift_bp",
+          expr("(cnt_lang * total_all * 10000) DIV (cnt_all * total_lang)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("lang"), col("rn"), col("term"), col("lift_bp"))
+        .orderBy(col("lang"), col("rn"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      per_lang AS (SELECT lang, term, COUNT(*) AS cnt_lang
+                   FROM toks GROUP BY lang, term),
+      lang_totals AS (SELECT lang, COUNT(*) AS total_lang FROM toks GROUP BY lang),
+      global AS (SELECT term, COUNT(*) AS cnt_all FROM toks GROUP BY term),
+      total_all AS (SELECT COUNT(*) AS total_all FROM toks),
+      lifted AS (
+        SELECT lang, term,
+               (cnt_lang * total_all * 10000) // (cnt_all * total_lang) AS lift_bp
+        FROM per_lang
+        JOIN lang_totals USING (lang)
+        JOIN global USING (term), total_all
+        WHERE cnt_lang >= 50),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY lift_bp DESC, term) AS rn FROM lifted)
+      SELECT lang, rn, term, lift_bp FROM r WHERE rn <= 3
+      ORDER BY lang, rn"""))
+
+  val all: Seq[QueryDef] = Seq(textTfidf, textBm25, textHashEmbed, textKeywords)
 }
