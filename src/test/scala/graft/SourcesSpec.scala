@@ -10,6 +10,27 @@ class SourcesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val pagesDir = s"${ops.ParityQueries.FixtureDir}/brfss_pages"
 
+  test("csv parse modes: PERMISSIVE nulls, DROPMALFORMED drops, FAILFAST throws") {
+    // three malformation kinds: field-cast failure ("xx,3"), missing column
+    // ("9"), extra column ("7,8,9"). PERMISSIVE keeps every row (bad field →
+    // null, short row → null-padded, long row → truncated); DROPMALFORMED
+    // drops all three; FAILFAST is fatal.
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"), "a,b\n1,2\nxx,3\n9\n7,8,9\n4,5\n")
+    def read(mode: String) = spark.read
+      .schema("a INT, b INT").option("header", "true").option("mode", mode)
+      .csv(dir)
+    val permissive = read("PERMISSIVE").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(permissive === Set((Some(1), Some(2)), (None, Some(3)),
+      (Some(9), None), (Some(7), Some(8)), (Some(4), Some(5))))
+    val kept = read("DROPMALFORMED").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(kept === Set((Some(1), Some(2)), (Some(4), Some(5))))
+    intercept[Exception] { read("FAILFAST").collect() }
+  }
+
   test("paged source reads all pages, executor-side") {
     val src = PagedJsonSource(LocalFixturePageFetcher(pagesDir), 150L, 400L)
     assert(src.load(spark).count() === 400L)
