@@ -278,6 +278,109 @@ object VectorQueries {
              CAST(SUM(norm_bp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_norm_bp
       FROM norms GROUP BY label ORDER BY label"""))
 
+  /** Symmetric int8 quantization per vector (max-abs scaling — the storage
+    * format every large ANN index ships): q_i = floor(x_i/maxabs·127 + 0.5),
+    * plus the absolute reconstruction error the quantizer introduces. Every
+    * step is a fixed-order IEEE sequence (one division, one multiply, one
+    * floor per element; error accumulated by an ordered fold), so the whole
+    * quantize→dequantize→error pipeline hash-matches across engines. Narrow
+    * map at any scale — no shuffle.
+    */
+  val vectorQuantize = QueryDef(
+    "vector_quantize",
+    (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+        .withColumn("maxabs",
+          array_max(transform(col("v"), x => abs(x))))
+      val quant = transform(col("v"),
+        x => floor(x / col("maxabs") * 127 + lit(0.5)).cast("long"))
+      e.withColumn("q", quant)
+        .select(col("vec_id"),
+          Tables.basisPoints(col("maxabs")).as("maxabs_bp"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("q_energy"),
+          Tables.basisPoints(aggregate(
+            zip_with(col("v"), col("q"),
+              (x, q) => abs(x - q * col("maxabs") / 127)),
+            lit(0.0), (acc, z) => acc + z)).as("recon_err_bp"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
+        FROM embeddings WHERE vec_id % 10 = 0),
+      q AS (
+        SELECT vec_id, v, maxabs,
+               list_transform(v, x -> CAST(floor(x / maxabs * 127 + 0.5) AS BIGINT)) AS qv
+        FROM e)
+      SELECT vec_id,
+             CAST(floor(maxabs * 10000 + 0.5) AS BIGINT) AS maxabs_bp,
+             CAST(list_reduce(list_prepend(0::BIGINT, qv), (a, x) -> a + x) AS BIGINT) AS q_sum,
+             CAST(list_reduce(list_prepend(0::BIGINT,
+               list_transform(qv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS q_energy,
+             CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, 65),
+                 i -> abs(v[i] - qv[i] * maxabs / 127))),
+               (a, x) -> a + x) * 10000 + 0.5) AS BIGINT) AS recon_err_bp
+      FROM q
+      ORDER BY vec_id"""))
+
+  /** ANN quality evaluation: recall@10 of the IVF index against the
+    * brute-force ground truth, per query vector — the acceptance metric any
+    * approximate index ships with. Composes the two existing pipelines and
+    * reduces to one small join; the oracle restates both pipelines as CTEs
+    * and must land on identical recalls.
+    */
+  val annRecall = QueryDef(
+    "ann_recall",
+    (spark, dir) => {
+      val truth = annBruteforce.fn(spark, dir).select(col("qid"), col("vec_id"))
+      val approx = annIvf.fn(spark, dir)
+        .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
+      truth.join(approx, Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hits"))
+        .withColumn("recall_bp", expr("(n_hits * 10000) DIV k"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      WITH e AS ($DuckVecs),
+           q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+           bf_s AS (SELECT qid, vec_id, ${duckSim("qv", "v")} AS sim_bp
+                    FROM q JOIN e ON vec_id <> qid),
+           bf AS (SELECT qid, vec_id FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY sim_bp DESC, vec_id) AS rn FROM bf_s)
+                  WHERE rn <= 10),
+           cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+           ascore AS (SELECT e.vec_id, e.v, cid, ${duckSim("e.v", "cv")} AS sbp
+                      FROM e CROSS JOIN cent),
+           assign AS (SELECT vec_id, v, cid FROM (
+                        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY sbp DESC, cid) AS arn FROM ascore)
+                      WHERE arn = 1),
+           pscore AS (SELECT qid, qv, cid, ${duckSim("qv", "cv")} AS sbp
+                      FROM q CROSS JOIN cent),
+           probes AS (SELECT qid, qv, cid FROM (
+                        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY sbp DESC, cid) AS prn FROM pscore)
+                      WHERE prn <= 4),
+           ivf_s AS (SELECT qid, vec_id, ${duckSim("qv", "v")} AS sim_bp
+                     FROM probes JOIN assign USING (cid)
+                     WHERE vec_id <> qid),
+           ivf AS (SELECT qid, vec_id, 1 AS hit FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY sim_bp DESC, vec_id) AS rn FROM ivf_s)
+                   WHERE rn <= 10)
+      SELECT qid, COUNT(*) AS k, COUNT(hit) AS n_hits,
+             (COUNT(hit) * 10000) // COUNT(*) AS recall_bp
+      FROM bf LEFT JOIN ivf USING (qid, vec_id)
+      GROUP BY qid
+      ORDER BY qid"""))
+
   val all: Seq[QueryDef] = Seq(annBruteforce, annIvf, dedupEmbeddingLsh,
-    kmeansStep, vectorStats)
+    kmeansStep, vectorStats, vectorQuantize, annRecall)
 }
