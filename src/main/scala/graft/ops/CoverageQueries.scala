@@ -18,6 +18,11 @@ object CoverageQueries {
       name: String): Unit =
     load(spark, dir, name).createOrReplaceTempView(name)
 
+  /** Typed row for [[typedEvents]] (top-level: encoder derivation needs a
+    * TypeTag, which method-local case classes don't get).
+    */
+  final case class Ev(event_id: Long, user_id: Long, value: Double)
+
   /** Native session windows: `session_window(ts, gap)` merges per-user event
     * runs separated by <30 min — Spark's SessionWindow operator (merging
     * state, not a fixed grid). The oracle rebuilds identical sessions with
@@ -290,7 +295,46 @@ object CoverageQueries {
       FROM (SELECT q FROM y95 EXCEPT ALL SELECT q FROM y96)
       ORDER BY bucket"""))
 
+  /** Typed Dataset[T] pipeline: case-class encoder → typed filter →
+    * `groupByKey` → `mapGroups` with arbitrary Scala per group. This is the
+    * escape hatch for logic Catalyst can't express; the cost is real
+    * (object serialization, no codegen through the lambda), which is why
+    * every other query in this engine stays on the Column API — this one
+    * exists to pin that the typed path produces identical results. Only
+    * order-insensitive statistics are computed (mapGroups iterator order is
+    * not defined).
+    */
+  val typedEvents = QueryDef(
+    "typed_events",
+    (spark, dir) => {
+      import spark.implicits._
+      val ds = load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .as[Ev]
+        .filter((e: Ev) => e.value > 0.0 && e.user_id % 15 == 0)
+      ds.groupByKey((e: Ev) => e.user_id)
+        .mapGroups { (uid: Long, it: Iterator[Ev]) =>
+          var n = 0L; var sumCents = 0L; var maxId = Long.MinValue
+          it.foreach { e =>
+            n += 1
+            sumCents += math.floor(e.value * 100 + 0.5).toLong
+            if (e.event_id > maxId) maxId = e.event_id
+          }
+          (uid, n, sumCents, maxId)
+        }
+        .toDF("user_id", "n_events", "sum_cents", "max_event_id")
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+             MAX(event_id) AS max_event_id
+      FROM events
+      WHERE value > 0.0 AND user_id % 15 = 0
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(eventsSessionWindow, eventsUnpivot, joinLateral,
     aggGroupingSets, windowNavigation, arrayExplodePos, dedupLevenshtein,
-    setopsAll)
+    setopsAll, typedEvents)
 }
