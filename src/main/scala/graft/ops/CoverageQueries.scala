@@ -334,7 +334,33 @@ object CoverageQueries {
       GROUP BY user_id
       ORDER BY user_id"""))
 
+  /** explode_outer semantics: generate over a frequently-EMPTY array (tokens
+    * 100..104, which most documents don't have) — the outer variant must
+    * keep one null row per empty array instead of dropping the document.
+    * The aggregate pins total rows, null rows, and document preservation;
+    * the oracle derives all three arithmetically from the array lengths.
+    */
+  val arrayExplodeOuter = QueryDef(
+    "array_explode_outer",
+    (spark, dir) => {
+      val tail5 = slice(split(col("text"), " "), 100, 5)
+      load(spark, dir, "documents")
+        .select(col("doc_id"), explode_outer(tail5).as("tok"))
+        .agg(count(lit(1)).as("n_rows_outer"),
+          sum(col("tok").isNull.cast("long")).as("n_null_rows"),
+          countDistinct(col("doc_id")).as("n_docs_preserved"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               GREATEST(LEAST(5, len(string_split(text, ' ')) - 99), 0) AS tail_len
+        FROM documents)
+      SELECT CAST(SUM(GREATEST(tail_len, 1)) AS BIGINT) AS n_rows_outer,
+             CAST(SUM(CASE WHEN tail_len = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows,
+             COUNT(DISTINCT doc_id) AS n_docs_preserved
+      FROM d"""))
+
   val all: Seq[QueryDef] = Seq(eventsSessionWindow, eventsUnpivot, joinLateral,
-    aggGroupingSets, windowNavigation, arrayExplodePos, dedupLevenshtein,
-    setopsAll, typedEvents)
+    aggGroupingSets, windowNavigation, arrayExplodePos, arrayExplodeOuter,
+    dedupLevenshtein, setopsAll, typedEvents)
 }
