@@ -256,25 +256,40 @@ object FunctionQueries {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  /** approx_percentile (GK sketch) over order values. No oracle: the sketch
-    * result depends on partition merge order, so the driver records the
-    * rows-only check; ApproxSpec pins the ±1% contract against the exact
-    * sorted quantile. This is the scale path for quantiles — one pass, fixed
-    * memory — next to `quantiles_exact`'s rank-position formulation.
+  /** approx_percentile (GK sketch) over order values. The sketch VALUE is
+    * merge-order-dependent, but its RANK contract is checkable: re-rank each
+    * sketch output against the data (one extra aggregate over a broadcast
+    * 1-row sketch result) and assert the observed rank lands within ±2% of
+    * the target percentile — integer arithmetic only, stated by the oracle
+    * as the constant 1, with n fully verified. GK at accuracy 10000
+    * guarantees rank error ≤ n/10000, so the band is deterministic.
+    * ApproxSpec pins the tighter ±1% value contract. This is the scale path
+    * for quantiles — one pass, fixed memory — next to `quantiles_exact`'s
+    * rank-position formulation.
     */
   val aggApproxQuantile = QueryDef(
     "agg_approx_quantile",
     (spark, dir) => {
-      load(spark, dir, "lineitem")
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"))
-        .select(
-          graft.Tables.cents(col("q")(0)).as("p50_cents"),
-          graft.Tables.cents(col("q")(1)).as("p90_cents"),
-          graft.Tables.cents(col("q")(2)).as("p99_cents"))
+      val li = load(spark, dir, "lineitem").select(col("l_extendedprice").as("p"))
+      val sketch = li.agg(percentile_approx(col("p"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"))
+      li.crossJoin(broadcast(sketch))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("p") <= col("q")(0), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("p") <= col("q")(1), 1L).otherwise(0L)).as("r90"),
+          sum(when(col("p") <= col("q")(2), 1L).otherwise(0L)).as("r99"))
+        .select(col("n"),
+          (abs(col("r50") * 1000 - col("n") * 500) <= col("n") * 20)
+            .cast("int").as("p50_ok"),
+          (abs(col("r90") * 1000 - col("n") * 900) <= col("n") * 20)
+            .cast("int").as("p90_ok"),
+          (abs(col("r99") * 1000 - col("n") * 990) <= col("n") * 20)
+            .cast("int").as("p99_ok"))
     },
-    None,
-    notes = "GK sketch is merge-order-dependent; rows-only + ApproxSpec ±1% contract")
+    Some("""
+      SELECT COUNT(*) AS n, 1 AS p50_ok, 1 AS p90_ok, 1 AS p99_ok
+      FROM lineitem"""))
 
   /** Mode (most frequent value) per group with a deterministic tiebreak:
     * count per (group, value), then `max(struct(cnt, value))` on the

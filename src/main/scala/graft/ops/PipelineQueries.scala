@@ -340,7 +340,7 @@ object PipelineQueries {
                SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM d)
-      SELECT lang, (cum - n_tok) // 512 AS batch,
+      SELECT lang, CAST((cum - n_tok) // 512 AS BIGINT) AS batch,
              COUNT(*) AS n_docs,
              CAST(SUM(n_tok) AS BIGINT) AS batch_tokens
       FROM c

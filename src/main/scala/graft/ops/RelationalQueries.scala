@@ -567,9 +567,12 @@ object RelationalQueries {
       ORDER BY p_partkey"""))
 
   /** HLL sketch aggregation (`approx_count_distinct`) next to the exact
-    * count. No oracle — Spark's HyperLogLog++ and DuckDB's HLL produce
-    * different estimates by construction; the rows-only driver check applies
-    * and ApproxSpec pins the ≤5% relative-error contract instead.
+    * count. The raw HLL++ estimate is engine-specific (DuckDB's HLL differs
+    * by construction), so the hashable contract is: exact distinct counts
+    * (fully oracle-verified) plus an integer within-±5%-band flag for each
+    * sketch estimate, which the oracle states as the constant 1. rsd=0.01
+    * gives ~1% standard error, so the 5σ band is deterministic in practice;
+    * ApproxSpec additionally pins the tighter contract.
     */
   val aggApprox = QueryDef(
     "agg_approx",
@@ -578,12 +581,25 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
+        .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+          (abs(col("ao") - col("exact_orders")) * 100 <= col("exact_orders") * 5)
+            .cast("int").as("approx_orders_ok"),
+          (abs(col("ap") - col("exact_parts")) * 100 <= col("exact_parts") * 5)
+            .cast("int").as("approx_parts_ok"))
         .orderBy(col("l_returnflag"))
     },
-    None,
-    notes = "HLL++ sketch; rows-only check, error bound pinned in ApproxSpec")
+    Some("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_orderkey) AS exact_orders,
+             COUNT(DISTINCT l_partkey) AS exact_parts,
+             1 AS approx_orders_ok,
+             1 AS approx_parts_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
 
   /** Large×large time-interval join, bucketized: every 'error' event paired
     * with every 'purchase' within ±5 minutes, across all users. A naive

@@ -41,6 +41,18 @@ def main():
             n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        # dtype KIND drift (e.g. DuckDB HUGEINT -> float64 vs Spark int64)
+        # hashes differently driver-side even when Python == says values
+        # match ("3.0" vs "3"). Width drift (int32 vs int64) is normalized
+        # by the driver's hasher — observed green in CORRECTNESS_r02 — so
+        # compare numpy kind (i/u vs f vs O), not exact dtype.
+        def kind(d):
+            k = d.kind
+            return 'i' if k in 'iu' else k
+        dt = [(c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+              if kind(got[c].dtype) != kind(want[c].dtype)]
+        if dt:
+            print(f"FAIL {name}: dtype kind drift {dt}"); n_fail += 1; continue
         # exact cell compare, in emitted row order (both sides have a total ORDER BY)
         mism = []
         for c in got.columns:
