@@ -223,39 +223,52 @@ object CoverageQueries {
       WHERE pos < 20
       ORDER BY doc_id, pos"""))
 
-  /** Fuzzy near-dup by edit distance: sampled same-language candidate pairs
-    * scored with levenshtein on a 40-char prefix — the character-level
-    * complement to token Jaccard (catches small in-place edits). Scale
-    * posture: levenshtein is O(m·n) per pair, so it only ever runs on
-    * blocked candidate pairs (here: same language over a 1-in-10 sample; in
-    * production the block key would be an LSH band or fingerprint bucket),
-    * never the raw cross product.
+  /** Fuzzy near-dup by edit distance: candidate pairs blocked on a SimHash
+    * LSH band (shared machinery with `dedup_simhash`), then scored with
+    * levenshtein on a 40-char prefix — the character-level complement to
+    * token Jaccard (catches small in-place edits). Scale posture:
+    * levenshtein is O(m·n) per pair, so it only ever runs on band-bucketed
+    * candidates — the block key is (band, band-value, lang), so even a
+    * corpus dominated by one language subdivides into content-fingerprint
+    * buckets and the candidate join stays equi-keyed and near-linear, never
+    * the raw same-language cross product.
     */
   val dedupLevenshtein = QueryDef(
     "dedup_levenshtein",
     (spark, dir) => {
-      val d = load(spark, dir, "documents")
-        .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("lang"),
-          substring(col("text"), 1, 40).as("prefix"))
-      val a = d.select(col("doc_id").as("a_id"), col("lang"),
-        col("prefix").as("a_prefix"))
-      val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-        col("prefix").as("b_prefix"))
-      a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+      val d = load(spark, dir, "documents").filter(col("doc_id") % 10 === 0)
+      val bands = DedupQueries.simhashBands(
+        DedupQueries.simhashFingerprints(d))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val pre = d.select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+      cand
+        .join(pre.select(col("doc_id").as("a_id"), col("prefix").as("a_prefix")), "a_id")
+        .join(pre.select(col("doc_id").as("b_id"), col("prefix").as("b_prefix")), "b_id")
         .select(col("a_id"), col("b_id"),
           levenshtein(col("a_prefix"), col("b_prefix")).cast(LongType).as("edit_dist"))
         .filter(col("edit_dist") <= 28)
         .orderBy(col("a_id"), col("b_id"))
     },
-    Some("""
-      WITH d AS (
-        SELECT doc_id, lang, substr(text, 1, 40) AS prefix
-        FROM documents WHERE doc_id % 10 = 0)
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
-      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE levenshtein(a.prefix, b.prefix) <= 28
+    Some(s"""
+      WITH ${DedupQueries.simhashBandsSql("WHERE doc_id % 10 = 0")},
+      pre AS (
+        SELECT doc_id, substr(text, 1, 40) AS prefix
+        FROM documents WHERE doc_id % 10 = 0),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.lang = b.lang
+         AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id,
+             CAST(levenshtein(pa.prefix, pb.prefix) AS BIGINT) AS edit_dist
+      FROM cand
+      JOIN pre pa ON pa.doc_id = a_id
+      JOIN pre pb ON pb.doc_id = b_id
+      WHERE levenshtein(pa.prefix, pb.prefix) <= 28
       ORDER BY a_id, b_id"""))
 
   /** Multiset set operations — INTERSECT ALL / EXCEPT ALL keep duplicate

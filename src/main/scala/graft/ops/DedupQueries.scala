@@ -214,6 +214,53 @@ object DedupQueries {
       }.reduce(_ + _).as("fp"))
   }
 
+  /** fps → one row per (doc, band): the 3×10-bit LSH band key. Shared by
+    * `dedup_simhash` and `dedup_levenshtein` (which uses the band as its
+    * candidate blocking key).
+    */
+  def simhashBands(fps: DataFrame): DataFrame =
+    fps.select(col("doc_id"), col("lang"), col("fp"), explode(array(
+      (0 until SimhashBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("fp"), b * 10).bitwiseAND(lit(0x3FFL)).as("bv"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("lang"), col("fp"), col("bb.band"), col("bb.bv"))
+
+  /** DuckDB twin of [[simhashFingerprints]]+[[simhashBands]]: the CTE chain
+    * `tf → hashed → bitsums → fps → bands` (no leading WITH), over documents
+    * filtered by `docWhere` (empty string = whole table). Shared by the
+    * simhash and levenshtein oracles so the fingerprint definition cannot
+    * drift between them.
+    */
+  def simhashBandsSql(docWhere: String): String = {
+    val bitSumCols = (0 until SimhashBits)
+      .map(i => s"SUM(CASE WHEN (g >> $i) & 1 = 1 THEN freq ELSE -freq END) AS s$i")
+      .mkString(",\n    ")
+    val fpTerms = (0 until SimhashBits)
+      .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val bandSelects = (0 until SimhashBands)
+      .map(b => s"SELECT doc_id, lang, fp, $b AS band, (fp >> ${b * 10}) & 1023 AS bv FROM fps")
+      .mkString("\n  UNION ALL\n  ")
+    s"""tf AS (
+       |  SELECT doc_id, lang, tok, COUNT(*) AS freq
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents $docWhere)
+       |  GROUP BY doc_id, lang, tok),
+       |hashed AS (
+       |  SELECT doc_id, lang, freq,
+       |         ($SimA * (${tokHashSql("tok")}) + $SimB) % $P AS g
+       |  FROM tf),
+       |bitsums AS (
+       |  SELECT doc_id, lang,
+       |    $bitSumCols
+       |  FROM hashed GROUP BY doc_id, lang),
+       |fps AS (
+       |  SELECT doc_id, lang, $fpTerms AS fp FROM bitsums),
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
   /** SimHash near-dup: 30-bit fingerprint, 3×10-bit band join for candidates,
     * Hamming distance ≤ 4 confirms. Same two-shuffle scale shape as MinHash.
     */
@@ -222,12 +269,7 @@ object DedupQueries {
     (spark, dir) => {
       val docs = load(spark, dir, "documents")
       val fps = simhashFingerprints(docs).cache()
-      val bands = fps.select(col("doc_id"), col("lang"), col("fp"), explode(array(
-        (0 until SimhashBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("fp"), b * 10).bitwiseAND(lit(0x3FFL)).as("bv"))
-        }: _*)).as("bb"))
-        .select(col("doc_id"), col("lang"), col("fp"), col("bb.band"), col("bb.bv"))
+      val bands = simhashBands(fps)
       val pairs = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
@@ -239,32 +281,7 @@ object DedupQueries {
       summarize(docs.select(col("doc_id")), pairs)
     },
     Some {
-      val bitSumCols = (0 until SimhashBits)
-        .map(i => s"SUM(CASE WHEN (g >> $i) & 1 = 1 THEN freq ELSE -freq END) AS s$i")
-        .mkString(",\n    ")
-      val fpTerms = (0 until SimhashBits)
-        .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
-        .mkString(" + ")
-      val bandSelects = (0 until SimhashBands)
-        .map(b => s"SELECT doc_id, lang, fp, $b AS band, (fp >> ${b * 10}) & 1023 AS bv FROM fps")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH tf AS (
-         |  SELECT doc_id, lang, tok, COUNT(*) AS freq
-         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-         |        FROM documents)
-         |  GROUP BY doc_id, lang, tok),
-         |hashed AS (
-         |  SELECT doc_id, lang, freq,
-         |         ($SimA * (${tokHashSql("tok")}) + $SimB) % $P AS g
-         |  FROM tf),
-         |bitsums AS (
-         |  SELECT doc_id, lang,
-         |    $bitSumCols
-         |  FROM hashed GROUP BY doc_id, lang),
-         |fps AS (
-         |  SELECT doc_id, lang, $fpTerms AS fp FROM bitsums),
-         |bands AS (
-         |  $bandSelects),
+      s"""WITH ${simhashBandsSql("")},
          |pairs AS (
          |  SELECT a_id, b_id FROM (
          |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
