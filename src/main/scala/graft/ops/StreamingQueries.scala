@@ -1,0 +1,205 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.QueryDef
+import graft.streaming.EventStreams
+
+/** Streaming queries in the HARD correctness signal: each entry runs a real
+  * Structured Streaming query — file-source `readStream` → stateful
+  * transform from [[graft.streaming.EventStreams]] → memory sink under
+  * `Trigger.AvailableNow` — and returns the sink table as a DataFrame,
+  * oracle'd by the equivalent batch SQL over the same parquet. This pins the
+  * batch/stream equivalence ("backfill and live produce the same table")
+  * with the driver's hash check, not just ScalaTest.
+  *
+  * AvailableNow processes all available input then stops, running the
+  * no-data flush batch so watermark-gated output (append-mode aggregates,
+  * outer joins) is emitted up to the final watermark = max(event time) −
+  * delay. Anything still inside the watermark horizon stays in state — the
+  * append-mode oracles state that horizon explicitly.
+  */
+object StreamingQueries {
+
+  /** Streaming read of the events table. Same TIMESTAMP(NANOS) handling as
+    * [[graft.Tables.load]]: legacy long ns → rebuilt µs timestamp (one batch
+    * schema sniff; the stream itself reads via the file source).
+    */
+  private def streamEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source requires a DIRECTORY (basePath); the test
+    // tables are single parquet files, so expose the file through a
+    // per-sf-dir symlink directory (copy fallback if links unsupported)
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val linkDir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-stream", java.lang.Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(linkDir)
+    val link = linkDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      try java.nio.file.Files.createSymbolicLink(link, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, link) }
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream.schema(schema).parquet(linkDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion (AvailableNow) into a memory
+    * sink and return the sink table. Fresh checkpoint per run so re-runs in
+    * the same JVM (Verify, Bench warm passes) reprocess from scratch. The
+    * memory sink is driver-resident — correct for the correctness gate; a
+    * production sink would be a parquet/Delta path (see
+    * [[graft.streaming.EventStreams.runUpsertSink]]).
+    */
+  private def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-$name-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + lit(0.5)).cast("long")
+
+  /** Streaming tumbling counts, complete mode: the stream result must equal
+    * the batch `events_tumbling` aggregation exactly — same oracle shape.
+    */
+  val streamTumbling = QueryDef(
+    "stream_tumbling",
+    (spark, dir) => {
+      val res = runToTable(EventStreams.tumblingCounts(streamEvents(spark, dir)),
+        "stream_tumbling_sink", OutputMode.Complete)
+      res.select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day, event_type"""))
+
+  /** Streaming tumbling counts, APPEND mode: only windows finalized by the
+    * 1-hour watermark are emitted — i.e. windows whose end ≤ max(ts) − 1h.
+    * The oracle states that finalization horizon in batch SQL, pinning the
+    * watermark semantics themselves (not just the aggregation) in the hard
+    * signal.
+    */
+  val streamTumblingAppend = QueryDef(
+    "stream_tumbling_append",
+    (spark, dir) => {
+      val res = runToTable(EventStreams.tumblingCounts(streamEvents(spark, dir)),
+        "stream_tumbling_append_sink", OutputMode.Append)
+      res.select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events
+      WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+              <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+      GROUP BY 1, 2
+      ORDER BY day, event_type"""))
+
+  /** Stream-stream interval INNER join (purchase ← preceding-hour clicks):
+    * with all data inside the watermark horizon of one AvailableNow run, the
+    * state join must emit exactly the batch join's pairs.
+    */
+  val streamAttribution = QueryDef(
+    "stream_attribution",
+    (spark, dir) => {
+      val res = runToTable(EventStreams.purchaseAttribution(streamEvents(spark, dir)),
+        "stream_attribution_sink", OutputMode.Append)
+      res.select(col("user_id"), col("purchase_id"),
+          unix_millis(col("purchase_ts")).as("purchase_ms"),
+          col("click_id"), unix_millis(col("click_ts")).as("click_ms"),
+          cents(col("value")).as("value_cents"))
+        .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+    },
+    Some("""
+      SELECT p.user_id, p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ms,
+             c.event_id AS click_id, epoch_ms(c.ts) AS click_ms,
+             CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS value_cents
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      ORDER BY 1, 2, 4"""))
+
+  /** Custom keyed state (`flatMapGroupsWithState` gap sessionization): one
+    * AvailableNow batch emits every CLOSED session; each user's final
+    * session stays open in state. The oracle is the batch sessionization
+    * minus the per-user last session (QUALIFY on sess_seq) — the exact
+    * open-session semantics, stated in SQL.
+    */
+  val streamSessionize = QueryDef(
+    "stream_sessionize",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = streamEvents(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val res = runToTable(EventStreams.sessionize(ev, 30L * 60 * 1000).toDF(),
+        "stream_sessionize_sink", OutputMode.Append)
+      res.orderBy(col("user_id"), col("session_start_ms"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS ms,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN ms - LAG(ms) OVER w > 1800000
+                         OR LAG(ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      s AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sess_seq
+        FROM f),
+      agg AS (
+        SELECT user_id, sess_seq, MIN(ms) AS session_start_ms,
+               MAX(ms) AS session_end_ms, COUNT(*) AS n_events,
+               CAST(SUM(value_cents) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, sess_seq)
+      SELECT user_id, session_start_ms, session_end_ms, n_events, value_cents
+      FROM agg
+      QUALIFY sess_seq < MAX(sess_seq) OVER (PARTITION BY user_id)
+      ORDER BY user_id, session_start_ms"""))
+
+  /** Watermarked streaming dedup: the same events file read twice (two file
+    * sources unioned) simulates at-least-once re-delivery;
+    * `dropDuplicatesWithinWatermark` must collapse it back to exactly-once,
+    * so per-type counts equal the plain batch counts over the single table.
+    */
+  val streamDedup = QueryDef(
+    "stream_dedup",
+    (spark, dir) => {
+      val doubled = streamEvents(spark, dir).unionAll(streamEvents(spark, dir))
+      val res = runToTable(EventStreams.dedupStream(doubled),
+        "stream_dedup_sink", OutputMode.Append)
+      res.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
+    streamAttribution, streamSessionize, streamDedup)
+}
