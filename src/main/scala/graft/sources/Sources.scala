@@ -52,6 +52,70 @@ final case class LocalFixturePageFetcher(dir: String) extends PageFetcher {
   }
 }
 
+/** Production page fetcher: HTTP GET of a limit/offset-paginated JSON feed
+  * (the reference's live Socrata call, `Spatially ETL test.py:102-109`) via
+  * `java.net.http.HttpClient`, with bounded retry + exponential backoff on
+  * retryable failures (connect/IO errors, 429, 5xx). A 200 body is parsed as
+  * either a JSON array of records (Socrata's shape — split into one JSON
+  * string per record with Spark's bundled Jackson) or JSONL; any other
+  * terminal status returns None, preserving the reference's dropped-page
+  * semantic (upgradeable to fail-fast via `PagedJsonSource.failOnDroppedPage`).
+  *
+  * Runs inside executor tasks: the case class is Serializable, the
+  * HttpClient is @transient lazy so each executor JVM builds its own.
+  *
+  * @param limitParam/offsetParam query-param names (Socrata: `$limit`/`$offset`)
+  */
+final case class HttpPageFetcher(
+    baseUrl: String,
+    limitParam: String = "$limit",
+    offsetParam: String = "$offset",
+    maxRetries: Int = 3,
+    backoffMs: Long = 100L,
+    timeoutMs: Long = 30000L) extends PageFetcher {
+
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .build()
+
+  private def recordsOf(body: String): Iterator[String] = {
+    val trimmed = body.trim
+    if (trimmed.startsWith("[")) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = mapper.readTree(trimmed)
+      val out = Vector.newBuilder[String]
+      root.forEach(node => out += node.toString)
+      out.result().iterator
+    } else trimmed.linesIterator.filter(_.nonEmpty)
+  }
+
+  override def fetch(offset: Long, limit: Long): Option[Iterator[String]] = {
+    val sep = if (baseUrl.contains("?")) "&" else "?"
+    val uri = java.net.URI.create(
+      s"$baseUrl$sep$limitParam=$limit&$offsetParam=$offset")
+    val req = java.net.http.HttpRequest.newBuilder(uri)
+      .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+    var attempt = 0
+    while (true) {
+      val status =
+        try {
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          if (resp.statusCode == 200) return Some(recordsOf(resp.body))
+          resp.statusCode
+        } catch {
+          case _: java.io.IOException => -1 // connect/reset: retryable
+        }
+      val retryable = status == -1 || status == 429 || status >= 500
+      if (!retryable || attempt >= maxRetries) return None
+      Thread.sleep(backoffMs << attempt) // 100, 200, 400, ...
+      attempt += 1
+    }
+    None // unreachable
+  }
+}
+
 /** Paginated JSON source — executor-side re-design of
   * `fetch_data_to_df` (`Spatially ETL test.py:111-128`).
   *
