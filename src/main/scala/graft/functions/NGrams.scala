@@ -43,7 +43,10 @@ case class NGrams(child: Expression, n: Expression)
     if (s == null) Iterator.empty
     else {
       val size = n.eval(input).asInstanceOf[Int]
-      val toks = s.toString.split(" ")
+      // limit -1 keeps trailing empty tokens, matching Spark's split() and
+      // DuckDB's string_split (Java's default split drops them, which would
+      // skew n-gram counts on text with trailing whitespace)
+      val toks = s.toString.split(" ", -1)
       if (size <= 0 || toks.length < size) Iterator.empty
       else (0 to toks.length - size).iterator.map { i =>
         InternalRow(UTF8String.fromString(

@@ -59,29 +59,43 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
             l.references.subsetOf(right.outputSet))
         case _ => false
       }
+      // typed literal extraction: a null width literal (e.g. CAST(NULL AS
+      // BIGINT), before NullPropagation folds the conjunct) must not match
+      def widthOf(l: Literal): Option[Long] = l match {
+        case Literal(w: Long, LongType)   => Some(w)
+        case Literal(w: Int, IntegerType) => Some(w.toLong)
+        case _                            => None
+      }
       val interval = if (hasEqui) None else conjuncts.collectFirst {
-        case LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(w, t))
-            if (t == LongType || t == IntegerType) &&
+        case LessThanOrEqual(Abs(Subtract(x, y, _), _), l: Literal)
+            if widthOf(l).isDefined &&
               integral(x) && integral(y) && x.deterministic && y.deterministic &&
               x.references.subsetOf(left.outputSet) &&
               y.references.subsetOf(right.outputSet) =>
-          (x, y, w.toString.toLong)
-        case LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(w, t))
-            if (t == LongType || t == IntegerType) &&
+          (x, y, widthOf(l).get)
+        case LessThanOrEqual(Abs(Subtract(x, y, _), _), l: Literal)
+            if widthOf(l).isDefined &&
               integral(x) && integral(y) && x.deterministic && y.deterministic &&
               y.references.subsetOf(left.outputSet) &&
               x.references.subsetOf(right.outputSet) =>
-          (y, x, w.toString.toLong)
+          (y, x, widthOf(l).get)
       }
       interval match {
         case Some((lx, ry, wVal)) if wVal > 0 =>
           val w = Literal(wVal, LongType)
           val lv = asLong(lx)
           val rv = asLong(ry)
-          val buckets = ArrayDistinct(CreateArray(Seq(
-            floorDiv(new Subtract(lv, w), w),
-            floorDiv(lv, w),
-            floorDiv(new Add(lv, w), w))))
+          // neighbor buckets as floorDiv(lv,W)±1, NOT floorDiv(lv±W,W):
+          // identical for W-width buckets, but lv±W can overflow under ANSI
+          // for values within W of Long.MIN/MAX while bucket±1 cannot (the
+          // bucket magnitude is bounded by |Long.MIN|/W for W>1; W=1 keeps
+          // lv itself, same as the original predicate's reach). The three
+          // values are always distinct, so no ArrayDistinct is needed and
+          // each right row matches at most one exploded bucket — no dup pairs.
+          val b = floorDiv(lv, w)
+          val one = Literal(1L, LongType)
+          val buckets = CreateArray(Seq(
+            new Subtract(b, one), b, new Add(b, one)))
           val bucketL = AttributeReference("__graft_bucket", LongType)()
           val leftGen = Generate(Explode(buckets), unrequiredChildIndex = Nil,
             outer = false, qualifier = None,

@@ -105,40 +105,61 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Resolve the current snapshot directory maintained by [[runUpsertSink]]
+    * under `tablePath` (None before the first committed batch).
+    */
+  def snapshotDir(tablePath: String): Option[String] = {
+    val ptr = java.nio.file.Paths.get(tablePath, "_LATEST")
+    if (!java.nio.file.Files.exists(ptr)) None
+    else Some(s"$tablePath/${java.nio.file.Files.readString(ptr).trim}")
+  }
+
+  /** Read the current upsert snapshot (None before the first batch). */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Option[DataFrame] =
+    snapshotDir(tablePath).map(spark.read.parquet(_))
+
   /** foreachBatch upsert sink — the production pattern for "maintain a
     * latest-value-per-key table" when the sink has no native MERGE: each
     * micro-batch reduces to its per-user latest row (max of struct(ts, id,
     * value) — the aggregate-path argmax), merges with the existing snapshot,
-    * keeps the newest version per user, and atomically replaces the
-    * snapshot. foreachBatch re-delivers a batch on recovery, but the merge
-    * is idempotent (same rows → same snapshot), which is exactly why this
-    * shape is safe under at-least-once batch delivery. The snapshot swap
-    * here is cache-then-overwrite for the test environment; production
-    * would write a new versioned directory or use an ACID table format.
+    * keeps the newest version per user, writes the result to a NEW versioned
+    * directory `v<batchId>`, and atomically repoints the `_LATEST` pointer
+    * file. Readers resolving through [[readSnapshot]] never observe a
+    * half-written snapshot, and the previous version stays intact until the
+    * pointer moves — the overwrite-in-place hazard (recompute of an evicted
+    * block reading the directory being rewritten) cannot occur. foreachBatch
+    * re-delivers a batch on recovery, but re-writing `v<batchId>` and
+    * re-pointing is idempotent, which is exactly why this shape is safe
+    * under at-least-once batch delivery. (An ACID table format would
+    * subsume the pointer dance; this is the plain-parquet equivalent.)
     */
   def runUpsertSink(events: DataFrame, tablePath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     events.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val latest = batch
           .groupBy(col("user_id"))
           .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
           .select(col("user_id"), col("m.ts").as("ts"),
             col("m.event_id").as("event_id"), col("m.value").as("value"))
-        val existing =
-          try spark.read.parquet(tablePath)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema) }
+        val existing = readSnapshot(spark, tablePath).getOrElse(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema))
         val merged = existing.unionByName(latest)
           .groupBy(col("user_id"))
           .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
           .select(col("user_id"), col("m.ts").as("ts"),
             col("m.event_id").as("event_id"), col("m.value").as("value"))
-        // materialize before overwriting the directory being read
-        merged.cache(); merged.count()
-        merged.write.mode("overwrite").parquet(tablePath)
-        merged.unpersist()
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").parquet(s"$tablePath/$version")
+        val tmp = java.nio.file.Paths.get(tablePath, "_LATEST.tmp")
+        java.nio.file.Files.writeString(tmp, version)
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get(tablePath, "_LATEST"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         ()
       }
       .option("checkpointLocation", checkpoint)

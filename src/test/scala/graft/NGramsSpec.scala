@@ -24,6 +24,22 @@ class NGramsSpec extends AnyFunSuite {
     assert(out === Seq((0L, "a b c"), (0L, "b c d")))
   }
 
+  test("trailing whitespace keeps empty tokens, matching Spark split semantics") {
+    // Spark's split() (and DuckDB string_split) keep trailing empty tokens;
+    // Java's String.split(" ") drops them — the generator must match Spark
+    val trailing = Seq((0L, "a b ")).toDF("id", "text") // tokens: a, b, ""
+    val viaGen = trailing.select(NGrams($"text", 2).as("ngram"))
+      .collect().map(_.getString(0)).toSeq
+    val viaSplit = trailing.select(explode(transform(
+        sequence(lit(1), size(split($"text", " ")) - 1),
+        i => concat_ws(" ",
+          element_at(split($"text", " "), i),
+          element_at(split($"text", " "), i + 1)))).as("ngram"))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaGen === Seq("a b", "b "))
+    assert(viaGen === viaSplit)
+  }
+
   test("ngrams matches the transform(sequence(...)) array formulation") {
     // sequence(1, size-2) descends when size < 3 (Spark auto-steps -1), so
     // the HOF side must pre-filter short docs; the generator handles them.

@@ -145,10 +145,13 @@ class StreamingSpec extends AnyFunSuite {
         Event(3, ts(30), 1, "view", 9.9),  // newer value for user 1
         Event(4, ts(5), 2, "view", 0.1))   // OLDER event for user 2 → ignored
       q.processAllAvailable()
-      val rows = spark.read.parquet(table)
+      val rows = EventStreams.readSnapshot(spark, table).get
         .select($"user_id", $"event_id", $"value")
         .as[(Long, Long, Double)].collect().toSet
       assert(rows === Set((1L, 3L, 9.9), (2L, 2L, 2.5)), s"got $rows")
+      // versioned snapshots: both batch versions exist, pointer names the newest
+      assert(EventStreams.snapshotDir(table).get.endsWith("v1"))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(table, "v0")))
     } finally q.stop()
   }
 
