@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate: no registry query may silently ship a
+  * scale-killer physical plan. Gates, per query: no CartesianProduct ever;
+  * BroadcastNestedLoopJoin only for the allowlisted queries whose broadcast
+  * side is provably tiny (each entry justified below); and pushdown
+  * sentinels — selective scans must reach the parquet reader as
+  * PushedFilters, and narrow projections must prune ReadSchema.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** BNLJ is acceptable ONLY when the build side is bounded by a constant:
+    * a 1-row global aggregate or a small broadcast lookup that does not grow
+    * with the data. Adding a name here requires writing the justification.
+    */
+  private val bnljAllowed: Map[String, String] = Map(
+    "agg_approx_quantile" -> "broadcast 1-row GK sketch result, re-ranked against the data",
+    "ann_bruteforce" -> "broadcast fixed query-vector set (8 probes) vs corpus",
+    "ann_ivf" -> "broadcast centroid table (8 cells) + query set",
+    "ann_recall" -> "broadcast query set joined to its own ground truth",
+    "kmeans_step" -> "broadcast current centroids (k=8)",
+    "join_range_bucket" -> "broadcast 5-row bucket-boundary dimension",
+    "q11_stockvalue" -> "broadcast 1-row global threshold aggregate (TPC-H Q11 shape)",
+    "q22_idle" -> "broadcast 1-row global avg-balance aggregate (TPC-H Q22 shape)",
+    "text_tfidf" -> "broadcast 1-row corpus doc-count aggregate",
+    "text_bm25" -> "broadcast 1-row corpus avgdl aggregate",
+    "text_hash_embed" -> "broadcast 1-row vocabulary-size aggregate",
+    "text_keywords" -> "broadcast 1-row corpus token-total aggregate")
+
+  /** Streaming queries execute the stream inside fn (their returned plan is
+    * the memory-sink table scan — nothing to gate), and dedup_components
+    * runs its iterative loop eagerly; both are covered by their own specs.
+    */
+  private def gated = SparkEntry.registry
+    .filterNot(_.name.startsWith("stream_"))
+    .filterNot(_.name == "dedup_components")
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  for (q <- gated) {
+    test(s"${q.name}: no CartesianProduct, BNLJ only when allowlisted") {
+      val plan = planOf(q.name)
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct — unbounded at scale")
+      if (!bnljAllowed.contains(q.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans a BroadcastNestedLoopJoin without an allowlist " +
+            "justification — if the build side is provably tiny, add it to " +
+            "bnljAllowed with the reason; otherwise fix the join to an equi key")
+    }
+  }
+
+  test("allowlist carries no stale entries") {
+    val stale = bnljAllowed.keySet.filterNot(n =>
+      planOf(n).contains("BroadcastNestedLoopJoin"))
+    assert(stale.isEmpty, s"no longer BNLJ, remove from allowlist: $stale")
+  }
+
+  /** Pushdown sentinels: these selective scans must push predicates into the
+    * parquet reader. Catches a regression where a filter silently moves
+    * above the scan (e.g. a non-deterministic wrapper or a cast blocking
+    * pushdown) and the scan starts reading everything.
+    */
+  private val pushdownRequired = Seq("q6_revenue", "q14_promo", "q12_late")
+  for (name <- pushdownRequired) {
+    test(s"$name: filters reach the parquet scan") {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+        s"$name has no non-empty PushedFilters in:\n$plan")
+    }
+  }
+
+  test("q6_revenue: projection prunes the lineitem scan to the used columns") {
+    val plan = SparkEntry.queries("q6_revenue")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // 4 columns used (quantity, extendedprice, discount, shipdate) of 16
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_comment"),
+      s"q6 scan is not pruned: $readSchema")
+  }
+}
