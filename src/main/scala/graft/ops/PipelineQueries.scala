@@ -424,7 +424,83 @@ object PipelineQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** PII redaction — the scrub step every shareable corpus needs: replace
+    * numeric literals in the raw property payload with a placeholder, mask
+    * the user identifier to a length-preserving token, and count redacted
+    * digits (the audit metric: how much redaction happened). Pure narrow
+    * map over codegen'd regexp/string functions — no shuffle, scales
+    * linearly. DuckDB's regexp_replace is first-match-only without the 'g'
+    * flag (the cross-engine trap), stated explicitly in the oracle.
+    */
+  val pipelineRedact = QueryDef(
+    "pipeline_redact",
+    (spark, dir) => {
+      load(spark, dir, "events")
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("props_redacted"),
+          expr("concat('u', repeat('*', length(cast(user_id AS string))))")
+            .as("user_masked"),
+          regexp_count(col("props"), lit("[0-9]")).cast(LongType).as("n_digits"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+             regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+             'u' || repeat('*', length(CAST(user_id AS VARCHAR))) AS user_masked,
+             CAST(len(regexp_extract_all(props, '[0-9]')) AS BIGINT) AS n_digits
+      FROM events
+      WHERE event_id % 20 = 0
+      ORDER BY event_id"""))
+
+  /** Temperature resampling of the source mix (the data-mixture step of LLM
+    * corpus assembly, α=0.5): per-source quota ∝ √count, rebalancing
+    * head-heavy sources toward the tail, with selection by the same
+    * reshuffle-proof Knuth-hash order as every sampler here. The quota table
+    * is one row per source — broadcast; the corpus never shuffles beyond
+    * the per-source rank window. kept_doc_sum pins the exact selected SET,
+    * not just its size (√ and ×4 are IEEE-exact, so the quota is
+    * bit-identical cross-engine).
+    */
+  val sampleTemperature = QueryDef(
+    "sample_temperature",
+    (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      val ranked = docs.withColumn("h", knuth32(col("doc_id")))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+      val quotas = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_orig"))
+        .withColumn("quota",
+          ceil(sqrt(col("n_orig").cast("double")) * 4).cast(LongType))
+      ranked.join(broadcast(quotas), "source")
+        .filter(col("rn") <= col("quota"))
+        .groupBy(col("source"))
+        .agg(max(col("n_orig")).as("n_orig"), max(col("quota")).as("quota"),
+          count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_doc_sum"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n_orig
+        FROM documents),
+      q AS (
+        SELECT *, CAST(ceil(sqrt(CAST(n_orig AS DOUBLE)) * 4) AS BIGINT) AS quota
+        FROM ranked)
+      SELECT source, CAST(MAX(n_orig) AS BIGINT) AS n_orig,
+             CAST(MAX(quota) AS BIGINT) AS quota,
+             COUNT(*) AS n_kept,
+             CAST(SUM(doc_id) AS BIGINT) AS kept_doc_sum
+      FROM q
+      WHERE rn <= quota
+      GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
-    pipelinePack, pipelineDecontaminate, textRepetition)
+    pipelinePack, pipelineDecontaminate, textRepetition, pipelineRedact,
+    sampleTemperature)
 }
