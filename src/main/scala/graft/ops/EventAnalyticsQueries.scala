@@ -154,5 +154,123 @@ object EventAnalyticsQueries {
       LEFT JOIN gaps g ON s.user_id = g.user_id
       ORDER BY s.user_id"""))
 
-  val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar)
+  /** Time-series resample + forward fill: each sampled user's activity on a
+    * dense DAILY grid spanning their observed range — missing days carry
+    * the last observed daily total forward (`last(_, ignoreNulls)` over an
+    * unbounded-preceding frame; DuckDB twin `LAST_VALUE ... IGNORE NULLS`).
+    * The grid generates per user from a 2-column span aggregate
+    * (`sequence(min_day, max_day, interval 1 day)` exploded lazily), so the
+    * dense grid never materializes wider than (users × days) — the standard
+    * gap-fill shape for feature time series at scale.
+    */
+  val eventsGapfill = QueryDef(
+    "events_gapfill",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = load(spark, dir, "events")
+        .filter(col("user_id") % 30 === 0)
+        .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("day_cents"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("day_cents"), ignoreNulls = true).over(w).as("filled_cents"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents
+        FROM events WHERE user_id % 30 = 0
+        GROUP BY user_id, date_trunc('day', ts)),
+      grid AS (
+        SELECT user_id, unnest(generate_series(min(day), max(day),
+                 INTERVAL 1 DAY)) AS day
+        FROM daily GROUP BY user_id)
+      SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+             COALESCE(d.n_events, 0) AS n_events,
+             LAST_VALUE(d.day_cents IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+      FROM grid g LEFT JOIN daily d
+        ON d.user_id = g.user_id AND d.day = g.day
+      ORDER BY g.user_id, day"""))
+
+  /** CDC snapshot diff — the MERGE-feed generator: materialize the per-user
+    * latest-state snapshot at two points in time (t1 = 60% through the
+    * stream, t2 = end, both derived in exact integer epoch-ms arithmetic)
+    * and emit the change feed between them: `insert` for users born after
+    * t1, `update` for users whose head row moved. The two snapshots are
+    * aggregate-path argmax (`max(struct(ms, id, cents))` — no sort), the
+    * diff one equi join on the key; the 1-row bounds aggregate is broadcast
+    * (allowlisted BNLJ).
+    */
+  val cdcDiff = QueryDef(
+    "cdc_diff",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val bounds = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+        .select(expr("lo + ((hi - lo) * 3) DIV 5").as("t1"))
+      val withT1 = ev.crossJoin(broadcast(bounds))
+      def snap(pred: org.apache.spark.sql.Column) = withT1.filter(pred)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ms"), col("event_id"), col("cents"))).as("m"))
+      val a = snap(col("ms") <= col("t1"))
+        .select(col("user_id"), col("m.event_id").as("a_event_id"),
+          col("m.cents").as("a_cents"))
+      val b = snap(lit(true))
+        .select(col("user_id"), col("m.event_id").as("b_event_id"),
+          col("m.cents").as("b_cents"))
+      // append-only source => no deletes; snapshot B's keys are a superset
+      b.join(a, Seq("user_id"), "left")
+        .withColumn("op", when(col("a_event_id").isNull, lit("insert"))
+          .when(col("a_event_id") =!= col("b_event_id"), lit("update"))
+          .otherwise(lit("unchanged")))
+        .filter(col("op") =!= "unchanged")
+        .select(col("user_id"), col("op"), col("b_event_id").as("new_event_id"),
+          col("a_cents").as("old_cents"), col("b_cents").as("new_cents"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      bounds AS (
+        SELECT MIN(ms) + ((MAX(ms) - MIN(ms)) * 3) // 5 AS t1 FROM ev),
+      snapa AS (
+        SELECT user_id, event_id AS a_event_id, cents AS a_cents
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ms DESC, event_id DESC) AS rn
+              FROM ev WHERE ms <= (SELECT t1 FROM bounds))
+        WHERE rn = 1),
+      snapb AS (
+        SELECT user_id, event_id AS b_event_id, cents AS b_cents
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ms DESC, event_id DESC) AS rn
+              FROM ev)
+        WHERE rn = 1)
+      SELECT user_id,
+             CASE WHEN a_event_id IS NULL THEN 'insert'
+                  WHEN a_event_id <> b_event_id THEN 'update'
+                  ELSE 'unchanged' END AS op,
+             b_event_id AS new_event_id, a_cents AS old_cents,
+             b_cents AS new_cents
+      FROM snapb LEFT JOIN snapa USING (user_id)
+      WHERE CASE WHEN a_event_id IS NULL THEN 'insert'
+                 WHEN a_event_id <> b_event_id THEN 'update'
+                 ELSE 'unchanged' END <> 'unchanged'
+      ORDER BY user_id"""))
+
+  val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
+    eventsGapfill, cdcDiff)
 }
