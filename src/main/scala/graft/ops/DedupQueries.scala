@@ -37,25 +37,25 @@ object DedupQueries {
     * negligible against a real vocabulary.
     */
   private val TokMod = 1048573L
-  private val P = 2147483647L // 2^31 - 1, prime
+  private[ops] val P = 2147483647L // 2^31 - 1, prime
   private val BandMod = 1099511627776L // 2^40: acc·8191 + m stays < 2^53
 
   /** Deterministic permutation constants, shared verbatim by the Spark plan
     * and the generated oracle SQL (computed once here — they cannot drift).
     */
-  private def permA(s: Int): Long = (s.toLong * 2654435761L) % (P - 1) + 1
-  private def permB(s: Int): Long = (s.toLong * 1779033703L + 1013904223L) % P
+  private[ops] def permA(s: Int): Long = (s.toLong * 2654435761L) % (P - 1) + 1
+  private[ops] def permB(s: Int): Long = (s.toLong * 1779033703L + 1013904223L) % P
   private val SimA = permA(101)
   private val SimB = permB(101)
 
   /** tok column → universal-family hash input h. */
-  private def tokHash(tok: Column): Column = RollingHash(tok) % TokMod
+  private[ops] def tokHash(tok: Column): Column = RollingHash(tok) % TokMod
 
-  private def perm(h: Column, s: Int): Column =
+  private[ops] def perm(h: Column, s: Int): Column =
     (lit(permA(s)) * h + lit(permB(s))) % lit(P)
 
   /** DuckDB twin of [[tokHash]] over a token expression. */
-  private def tokHashSql(tok: String): String =
+  private[ops] def tokHashSql(tok: String): String =
     s"""list_reduce(
        |  list_prepend(0::BIGINT,
        |    list_transform(list_filter(string_split($tok, ''), c -> c <> ''),

@@ -235,5 +235,73 @@ object RankingQueries {
       SELECT lang, rn, term, lift_bp FROM r WHERE rn <= 3
       ORDER BY lang, rn"""))
 
-  val all: Seq[QueryDef] = Seq(textTfidf, textBm25, textHashEmbed, textKeywords)
+  /** Count-min-sketch heavy hitters: estimate token frequencies from a
+    * 3×256-counter CMS (bucket = universal-hash permutation of the token
+    * hash, one shuffle to 768 counter rows) and evaluate the exact top-10
+    * tokens against it — estimate = min over the 3 rows, overcount =
+    * est − exact ≥ 0 (CMS never undercounts). Unlike HLL/GK, every CMS
+    * counter is a plain SUM, so the sketch is merge-order-INdependent and
+    * the whole query — sketch, probe, error — hash-matches an exact DuckDB
+    * oracle. Scale shape: the sketch is O(d·w) regardless of corpus size,
+    * candidates probe it via an equi join on (seed, bucket) after a 3-way
+    * explode; at 100 TB the same CMS would be built by partial aggregation
+    * with no extra shuffle vs a plain count.
+    */
+  val topkSketch = QueryDef(
+    "topk_sketch",
+    (spark, dir) => {
+      import DedupQueries.{perm, tokHash}
+      val W = 256
+      val toks = load(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val hashed = toks.withColumn("h", tokHash(col("tok")))
+      val cms = (0 until 3).map { s =>
+        hashed.groupBy((perm(col("h"), s) % W).as("bucket"))
+          .agg(count(lit(1)).as("c")).withColumn("seed", lit(s))
+      }.reduce(_ unionByName _)
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(10)
+        .withColumn("h", tokHash(col("tok")))
+      val probes = top.select(col("tok"), col("exact_n"), explode(array(
+        (0 until 3).map(s => struct(lit(s).as("seed"),
+          (perm(col("h"), s) % W).as("bucket"))): _*)).as("p"))
+        .select(col("tok"), col("exact_n"), col("p.seed"), col("p.bucket"))
+      probes.join(broadcast(cms), Seq("seed", "bucket"))
+        .groupBy(col("tok"), col("exact_n"))
+        .agg(min(col("c")).as("cms_est"))
+        .select(col("tok"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overcount"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    },
+    Some {
+      import DedupQueries.{permA, permB, tokHashSql, P}
+      val bucketSelects = (0 until 3).map { s =>
+        s"SELECT $s AS seed, ((${permA(s)} * h + ${permB(s)}) % $P) % 256 AS bucket FROM hashed"
+      }.mkString("\n    UNION ALL\n    ")
+      val probeSelects = (0 until 3).map { s =>
+        s"SELECT tok, exact_n, $s AS seed, ((${permA(s)} * h + ${permB(s)}) % $P) % 256 AS bucket FROM top"
+      }.mkString("\n    UNION ALL\n    ")
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hashed AS (
+         |  SELECT tok, ${tokHashSql("tok")} AS h FROM toks),
+         |cms AS (
+         |  SELECT seed, bucket, COUNT(*) AS c FROM (
+         |    $bucketSelects)
+         |  GROUP BY seed, bucket),
+         |top AS (
+         |  SELECT tok, exact_n, ${tokHashSql("tok")} AS h FROM (
+         |    SELECT tok, COUNT(*) AS exact_n FROM toks
+         |    GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10)),
+         |probes AS (
+         |    $probeSelects)
+         |SELECT p.tok, p.exact_n, MIN(c.c) AS cms_est,
+         |       MIN(c.c) - p.exact_n AS overcount
+         |FROM probes p JOIN cms c ON c.seed = p.seed AND c.bucket = p.bucket
+         |GROUP BY p.tok, p.exact_n
+         |ORDER BY exact_n DESC, tok""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(textTfidf, textBm25, textHashEmbed, textKeywords,
+    topkSketch)
 }
