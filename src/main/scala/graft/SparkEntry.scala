@@ -18,7 +18,8 @@ object SparkEntry {
     ops.EventAnalyticsQueries.all ++ ops.WarehouseQueries.all ++
     ops.TextQueries.all ++ ops.TextQueries2.all ++ ops.RankingQueries.all ++
     ops.VectorQueries.all ++
-    ops.DedupQueries.all ++ ops.MultimodalQueries.all ++ ops.StreamingQueries.all
+    ops.DedupQueries.all ++ ops.MultimodalQueries.all ++ ops.StreamingQueries.all ++
+    ops.LayoutQueries.all
 
   /** Flagship: the reference's gold pipeline (BLOB/CSV branch) end-to-end on
     * the bundled BRFSS-shaped fixture. Driver smoke-checks rows > 0.

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.Tables.load
+
+/** Physical-layout operators — the 100 TB concerns that live OUTSIDE the
+  * query: how rows are clustered into files decides how much of the table a
+  * selective scan must read. Both queries are pure integer arithmetic, so
+  * the layout math itself is oracle hash-verified.
+  */
+object LayoutQueries {
+
+  /** Morton (Z-order) interleave of the low `bits` bits of x and y. */
+  private def morton(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+
+  private def mortonSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Z-order clustering audit (the OPTIMIZE ZORDER layout step): interleave
+    * two join/filter dimensions into a Morton key, cut the keyspace into
+    * 256 contiguous z-ranges (= target files), and measure each range's
+    * bounding box over the ORIGINAL dimensions. Z-ordering keeps both
+    * per-file extents small simultaneously — which is what lets min/max
+    * file stats skip on either predicate column; a single-column sort would
+    * make the other column's extent span the full domain. The audit output
+    * (per-range row count + 2-D extents) is the evidence, hash-verified.
+    */
+  val layoutZorder = QueryDef(
+    "layout_zorder",
+    (spark, dir) => {
+      val d = load(spark, dir, "lineitem").select(
+        (col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+      d.withColumn("z", morton(col("x"), col("y"), 10))
+        .withColumn("zrange", expr("z DIV 4096")) // 2^20 keyspace / 256 files
+        .groupBy(col("zrange"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .withColumn("extent",
+          col("max_x") - col("min_x") + col("max_y") - col("min_y"))
+        .orderBy(col("zrange"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),
+      z AS (
+        SELECT x, y, ${mortonSql("x", "y", 10)} AS z FROM d)
+      SELECT z // 4096 AS zrange, COUNT(*) AS n_rows,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y,
+             MAX(x) - MIN(x) + MAX(y) - MIN(y) AS extent
+      FROM z
+      GROUP BY z // 4096
+      ORDER BY zrange"""))
+
+  /** Data-skipping audit: the same table laid out by VALUE RANGE (sorted on
+    * ship date, 30-day buckets ≈ files from repartitionByRange +
+    * sortWithinPartitions) vs by HASH (knuth(orderkey) mod 64 ≈ unclustered
+    * writes), evaluated against a 3-month predicate. A min/max-stats reader
+    * scans only the buckets containing matching rows: range layout touches
+    * the few buckets overlapping the window, hash layout touches all of
+    * them. rows_scanned / rows_matching quantifies the difference — the
+    * reason sorted layout is non-negotiable at 100 TB.
+    */
+  val layoutSkipping = QueryDef(
+    "layout_skipping",
+    (spark, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val d = load(spark, dir, "lineitem").select(
+        datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("day"),
+        pmod(col("l_orderkey") * lit(2654435761L), lit(4294967296L)).mod(64)
+          .as("hash_b"))
+        .withColumn("range_b", expr("day DIV 30"))
+        .withColumn("pred",
+          (col("day") >= datediff(lit("1995-01-01").cast("date"), epoch) &&
+           col("day") <  datediff(lit("1995-04-01").cast("date"), epoch))
+            .cast("long"))
+      def audit(layout: String, bucket: Column) = d.groupBy(bucket.as("b"))
+        .agg(count(lit(1)).as("n"), sum(col("pred")).as("n_match"))
+        .agg(lit(layout).as("layout"),
+          count(lit(1)).as("n_buckets"),
+          sum(when(col("n_match") > 0, 1L).otherwise(0L)).as("n_hit_buckets"),
+          sum(when(col("n_match") > 0, col("n")).otherwise(0L)).as("rows_scanned"),
+          sum(col("n_match")).as("rows_matching"))
+      audit("range", col("range_b")).unionByName(audit("hash", col("hash_b")))
+        .orderBy(col("layout"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
+               ((l_orderkey * 2654435761) % 4294967296) % 64 AS hash_b
+        FROM lineitem),
+      f AS (
+        SELECT day // 30 AS range_b, hash_b,
+               CASE WHEN day >= date_diff('day', DATE '1970-01-01', DATE '1995-01-01')
+                     AND day <  date_diff('day', DATE '1970-01-01', DATE '1995-04-01')
+                    THEN 1 ELSE 0 END AS pred
+        FROM d),
+      r AS (
+        SELECT range_b AS b, COUNT(*) AS n, CAST(SUM(pred) AS BIGINT) AS n_match
+        FROM f GROUP BY range_b),
+      h AS (
+        SELECT hash_b AS b, COUNT(*) AS n, CAST(SUM(pred) AS BIGINT) AS n_match
+        FROM f GROUP BY hash_b)
+      SELECT 'hash' AS layout, COUNT(*) AS n_buckets,
+             CAST(SUM(CASE WHEN n_match > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_buckets,
+             CAST(SUM(CASE WHEN n_match > 0 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+             CAST(SUM(n_match) AS BIGINT) AS rows_matching
+      FROM h
+      UNION ALL
+      SELECT 'range' AS layout, COUNT(*) AS n_buckets,
+             CAST(SUM(CASE WHEN n_match > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_buckets,
+             CAST(SUM(CASE WHEN n_match > 0 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+             CAST(SUM(n_match) AS BIGINT) AS rows_matching
+      FROM r
+      ORDER BY layout"""))
+
+  val all: Seq[QueryDef] = Seq(layoutZorder, layoutSkipping)
+}
