@@ -373,7 +373,35 @@ object CoverageQueries {
              COUNT(DISTINCT doc_id) AS n_docs_preserved
       FROM d"""))
 
+  /** Nested array-of-structs round trip: fold each order's lines into a
+    * deterministically-sorted `array<struct>` (`sort_array(collect_list(
+    * struct(...)))` — collect order is partition-dependent, the sort pins
+    * it), then flatten back with the `inline` generator. The oracle is the
+    * IDENTITY over the base rows, which is exactly the property worth
+    * pinning: nest → inline loses nothing and invents nothing. This is the
+    * document-model surface (orders with embedded line items) that nested
+    * parquet pipelines rely on.
+    */
+  val arrayInline = QueryDef(
+    "array_inline",
+    (spark, dir) => {
+      val nested = load(spark, dir, "lineitem")
+        .filter(col("l_orderkey") % 500 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").cast(LongType).as("lineno"),
+          cents(col("l_extendedprice")).as("price_cents")))).as("lines"))
+      nested.select(col("l_orderkey"), inline(col("lines")))
+        .orderBy(col("l_orderkey"), col("lineno"), col("price_cents"))
+    },
+    Some("""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS lineno,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM lineitem
+      WHERE l_orderkey % 500 = 0
+      ORDER BY l_orderkey, lineno, price_cents"""))
+
   val all: Seq[QueryDef] = Seq(eventsSessionWindow, eventsUnpivot, joinLateral,
     aggGroupingSets, windowNavigation, arrayExplodePos, arrayExplodeOuter,
-    dedupLevenshtein, setopsAll, typedEvents)
+    dedupLevenshtein, setopsAll, typedEvents, arrayInline)
 }
