@@ -54,6 +54,39 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the InjectRuntimeFilter path: a selective filter on the build side of
+    // a shuffle join plants a bloom filter on the probe side's scan, so at
+    // 100 TB the fact table's shuffle writes only rows that can possibly
+    // match (the threshold confs are lowered because the test tables are
+    // far below the production 10 GB application-side default)
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val l = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      assert(j.queryExecution.optimizedPlan.toString.toLowerCase.contains("bloom"),
+        "no bloom filter injected into the optimized plan")
+      // and the filtered join still returns the right rows
+      val expected = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+        .join(Tables.load(spark, "/root/testdata/sf0.01", "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderpriority") === "1-URGENT").count()
+      assert(j.count() === expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("partition pruning: date-partitioned write is pruned by the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {
