@@ -271,6 +271,58 @@ object EventAnalyticsQueries {
                  ELSE 'unchanged' END <> 'unchanged'
       ORDER BY user_id"""))
 
+  /** Rolling z-score (trailing 7-row window per user over daily totals) —
+    * the anomaly-scoring feature of event time series. Cross-engine float
+    * determinism: the naive (x−μ)/σ chains divisions whose intermediate
+    * rounding differs by formulation, so the score is computed as the
+    * algebraically identical (n·x − Σx) / √(n·Σx² − (Σx)²) — both numerator
+    * and the radicand are EXACT BIGINTs from cents sums, leaving one IEEE
+    * sqrt and one division, which are correctly-rounded and bit-identical
+    * in both engines. (At 100 TB, Σx² of raw cents would need DECIMAL or
+    * centered accumulation; the window here is 7 rows, so it cannot.)
+    */
+  val eventsZscore = QueryDef(
+    "events_zscore",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = load(spark, dir, "events")
+        .filter(col("user_id") % 30 === 0)
+        .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("x"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("x")).over(w))
+        .withColumn("ss", sum(col("x") * col("x")).over(w))
+        .withColumn("rad", col("n") * col("ss") - col("s") * col("s"))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("x").as("day_cents"), col("n").as("n_window"),
+          when(col("rad") > 0,
+            (col("n") * col("x") - col("s")).cast("double") / sqrt(col("rad").cast("double")))
+            .as("zscore"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE user_id % 30 = 0
+        GROUP BY user_id, date_trunc('day', ts)),
+      win AS (
+        SELECT user_id, day, x,
+               COUNT(*) OVER w AS n, SUM(x) OVER w AS s, SUM(x * x) OVER w AS ss
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day, x AS day_cents,
+             CAST(n AS BIGINT) AS n_window,
+             CASE WHEN n * ss - s * s > 0
+                  THEN CAST(n * x - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE))
+                  END AS zscore
+      FROM win
+      ORDER BY user_id, day"""))
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
-    eventsGapfill, cdcDiff)
+    eventsGapfill, cdcDiff, eventsZscore)
 }
