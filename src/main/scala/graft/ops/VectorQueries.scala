@@ -381,6 +381,71 @@ object VectorQueries {
       GROUP BY qid
       ORDER BY qid"""))
 
+  /** Product quantization (PQ) — the codebook compression behind
+    * billion-vector ANN indexes: split each 64-d vector into 4 subspaces of
+    * 16, quantize each subvector to its nearest of 4 per-subspace centroids
+    * (deterministic codebook: the subvectors of vec_id < 4, the same
+    * oracle-replayable stand-in as `ann_ivf`'s coarse quantizer), and pack
+    * the 4 two-bit codes into one byte — 64 doubles become 1 byte, 512× —
+    * plus the quantization-error audit. Distances go through the
+    * ‖a‖²−2a·c+‖c‖² expansion in one pinned IEEE op order, floor-scaled to
+    * bp BEFORE the argmin so rank can't depend on sub-bp noise. Scale
+    * shape: codebook is broadcast (16 rows), assignment is a map-side
+    * explode + equi join on the subspace id, output is the code histogram.
+    */
+  val annPq = QueryDef(
+    "ann_pq",
+    (spark, dir) => {
+      val M = 4; val SUB = 16
+      val e = vecs(spark, dir)
+      val sub = e.select(col("vec_id"), explode(array((0 until M).map(j =>
+          struct(lit(j).as("j"), slice(col("v"), j * SUB + 1, SUB).as("s"))): _*)).as("p"))
+        .select(col("vec_id"), col("p.j").as("j"), col("p.s").as("s"))
+      val cent = sub.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cs"), col("j"), col("s").as("cv"))
+      val w = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("dist_bp"), col("cs"))
+      val best = sub.join(broadcast(cent), "j")
+        .select(col("vec_id"), col("j"), col("cs"),
+          floor(((dot(col("s"), col("s")) - lit(2.0) * dot(col("s"), col("cv")))
+            + dot(col("cv"), col("cv"))) * 10000 + lit(0.5)).cast("long")
+            .as("dist_bp"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val codes = best.groupBy(col("vec_id"))
+        .agg(sum(col("cs") * when(col("j") === 0, 1L).when(col("j") === 1, 4L)
+            .when(col("j") === 2, 16L).otherwise(64L)).as("code"),
+          sum(col("dist_bp")).as("err_bp"))
+      codes.groupBy(col("code"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("err_bp")).as("sum_err_bp"))
+        .orderBy(col("code"))
+    },
+    Some(s"""
+      WITH e AS ($DuckVecs),
+      js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(j)),
+      sub AS (
+        SELECT vec_id, j, list_slice(v, j * 16 + 1, j * 16 + 16) AS s
+        FROM e CROSS JOIN js),
+      cent AS (SELECT vec_id AS cs, j, s AS cv FROM sub WHERE vec_id < 4),
+      scored AS (
+        SELECT sub.vec_id, sub.j, cs,
+               CAST(floor(((list_dot_product(s, s) - 2 * list_dot_product(s, cv))
+                 + list_dot_product(cv, cv)) * 10000 + 0.5) AS BIGINT) AS dist_bp
+        FROM sub JOIN cent ON sub.j = cent.j),
+      best AS (
+        SELECT vec_id, j, cs, dist_bp FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+            ORDER BY dist_bp, cs) AS rn FROM scored)
+        WHERE rn = 1),
+      codes AS (
+        SELECT vec_id,
+               CAST(SUM(cs * CASE j WHEN 0 THEN 1 WHEN 1 THEN 4
+                                    WHEN 2 THEN 16 ELSE 64 END) AS BIGINT) AS code,
+               CAST(SUM(dist_bp) AS BIGINT) AS err_bp
+        FROM best GROUP BY vec_id)
+      SELECT code, COUNT(*) AS n_vecs, CAST(SUM(err_bp) AS BIGINT) AS sum_err_bp
+      FROM codes GROUP BY code
+      ORDER BY code"""))
+
   val all: Seq[QueryDef] = Seq(annBruteforce, annIvf, dedupEmbeddingLsh,
-    kmeansStep, vectorStats, vectorQuantize, annRecall)
+    kmeansStep, vectorStats, vectorQuantize, annRecall, annPq)
 }
