@@ -325,7 +325,80 @@ object FunctionQueries {
       FROM r WHERE rn = 1
       ORDER BY o_orderstatus"""))
 
+  /** ANSI-safety battery: Spark 4 runs ANSI mode by default, where overflow,
+    * bad casts and invalid array indexes THROW — `try_*` is the sanctioned
+    * way to keep a pipeline total. Each column exercises one failure class
+    * (zero division, BIGINT overflow on add and multiply — the multiply
+    * straddles the boundary: 3037000499·3037000500 still fits in a Long,
+    * one more and it overflows to null, so BOTH outcomes appear in the
+    * output — non-numeric cast, out-of-bounds element); the oracle states
+    * the null outcomes explicitly (DuckDB would error or diverge on several
+    * of these, so the CASE guards ARE the cross-engine semantics).
+    */
+  val tryFuncs = QueryDef(
+    "try_funcs",
+    (spark, dir) => {
+      load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+      spark.sql("""
+        SELECT l_orderkey, l_linenumber,
+               try_divide(CAST(floor(l_quantity) AS BIGINT), l_linenumber - 1)
+                 AS div_maybe,
+               try_add(9223372036854775807, l_orderkey) AS add_overflow,
+               try_multiply(3037000499, CAST(3037000499 + l_linenumber AS BIGINT))
+                 AS mul_overflow,
+               try_cast(l_returnflag AS INT) AS flag_int,
+               try_element_at(array(1, 2, 3), CAST(l_linenumber + 10 AS INT))
+                 AS elem_missing
+        FROM lineitem
+        WHERE l_orderkey % 100 = 0
+        ORDER BY l_orderkey, l_linenumber, div_maybe NULLS FIRST""")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_linenumber = 1 THEN NULL
+                  ELSE CAST(floor(l_quantity) AS BIGINT) / (l_linenumber - 1)
+                  END AS div_maybe,
+             CASE WHEN l_orderkey > 0 THEN NULL
+                  ELSE 9223372036854775807 END AS add_overflow,
+             CASE WHEN l_linenumber = 1 THEN 9223372033963249500
+                  ELSE CAST(NULL AS BIGINT) END AS mul_overflow,
+             TRY_CAST(l_returnflag AS INT) AS flag_int,
+             ([1, 2, 3])[l_linenumber + 11] AS elem_missing
+      FROM lineitem
+      WHERE l_orderkey % 100 = 0
+      ORDER BY l_orderkey, l_linenumber, div_maybe NULLS FIRST"""))
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of vanishing — the semantics MERGE/dedup pipelines
+    * need when the join key is legitimately nullable. Plans as an ordinary
+    * hash join (null-safe equality is still an equi key, NOT a nested
+    * loop); the per-key aggregates on both sides keep the demo O(keys).
+    */
+  val joinNullSafe = QueryDef(
+    "join_null_safe",
+    (spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+      def keyed(mod: Int) = li.filter(col("l_orderkey") % mod === 0)
+        .groupBy(expr("nullif(l_returnflag, 'N')").as("k"))
+        .agg(count(lit(1)).as("n"))
+      val a = keyed(10).select(col("k"), col("n").as("n_a"))
+      val b = keyed(7).select(col("k").as("kb"), col("n").as("n_b"))
+      a.join(b, a("k") <=> b("kb"))
+        .select(col("k"), col("n_a"), col("n_b"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+    Some("""
+      WITH a AS (
+        SELECT nullif(l_returnflag, 'N') AS k, COUNT(*) AS n_a
+        FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY 1),
+      b AS (
+        SELECT nullif(l_returnflag, 'N') AS k, COUNT(*) AS n_b
+        FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY 1)
+      SELECT a.k, n_a, n_b
+      FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      ORDER BY a.k NULLS FIRST"""))
+
   val all: Seq[QueryDef] = Seq(regexFuncs, datetimeFuncs, nullFuncs,
     bitHashFuncs, statsMoments, aggCollect, structArgminmax, aggApproxQuantile,
-    aggMode)
+    aggMode, tryFuncs, joinNullSafe)
 }
