@@ -302,6 +302,39 @@ object RankingQueries {
          |ORDER BY exact_n DESC, tok""".stripMargin
     })
 
+  /** Inverted-index build (posting lists): token → sorted document list +
+    * document frequency — the structure behind every keyword search system.
+    * Postings are `sort_array(collect_set(...))` (collect order is
+    * partition-dependent; the sort pins it) rendered to a string head of 15
+    * ids, with SUM(DISTINCT doc_id) as the full-list checksum so the head
+    * truncation can't hide a wrong tail. Scale shape: one explode + one
+    * shuffle on the token; per-token posting lists are the natural bucketed
+    * layout at corpus scale (and the head-truncation here is what a real
+    * index does with impact-ordered postings).
+    */
+  val textPostings = QueryDef(
+    "text_postings",
+    (spark, dir) => {
+      load(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"), col("doc_id"))
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          sum_distinct(col("doc_id")).as("doc_sum"),
+          concat_ws(",", slice(sort_array(collect_set(col("doc_id"))), 1, 15))
+            .as("postings_head"))
+        .orderBy(col("df").desc, col("tok"))
+        .limit(20)
+    },
+    Some("""
+      SELECT tok, COUNT(DISTINCT doc_id) AS df,
+             CAST(SUM(DISTINCT doc_id) AS BIGINT) AS doc_sum,
+             array_to_string(list_sort(list(DISTINCT doc_id))[1:15], ',')
+               AS postings_head
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok, doc_id FROM documents)
+      GROUP BY tok
+      ORDER BY df DESC, tok
+      LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(textTfidf, textBm25, textHashEmbed, textKeywords,
-    topkSketch)
+    topkSketch, textPostings)
 }
