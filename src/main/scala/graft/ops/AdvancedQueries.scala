@@ -248,6 +248,46 @@ object AdvancedQueries {
     },
     RelationalQueries.joinAsof.oracle)
 
+  /** The native as-of join with a 30-minute TOLERANCE (pandas merge_asof's
+    * staleness bound): a purchase only matches its latest prior view if that
+    * view is at most 30 min old — stale matches drop inside the merge pass
+    * (zero extra cost: one subtraction per emitted row). The oracle states
+    * the same semantics independently as join+rank+filter.
+    */
+  val joinAsofTolerance = QueryDef(
+    "join_asof_tolerance",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_millis(col("ts")).as("p_ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          unix_millis(col("ts")).as("v_ms"))
+      graft.plans.AsOfJoinOps.asofJoin(spark, p, v,
+          p("user_id"), v("v_user"), p("p_ms"), v("v_ms"), v("view_id"),
+          tolerance = Some(30L * 60 * 1000))
+        .select(col("purchase_id"), col("user_id"),
+          col("view_id").as("prior_view_id"), (col("p_ms") - col("v_ms")).as("gap_ms"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS p_ms
+        FROM events WHERE event_type = 'purchase'),
+      v AS (
+        SELECT event_id AS view_id, user_id, epoch_ms(ts) AS v_ms
+        FROM events WHERE event_type = 'view'),
+      ranked AS (
+        SELECT p.purchase_id, p.user_id, v.view_id, p.p_ms - v.v_ms AS gap_ms,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                 ORDER BY v.v_ms DESC, v.view_id DESC) AS rn
+        FROM p JOIN v ON v.user_id = p.user_id AND v.v_ms < p.p_ms)
+      SELECT purchase_id, user_id, view_id AS prior_view_id, gap_ms
+      FROM ranked
+      WHERE rn = 1 AND gap_ms <= 1800000
+      ORDER BY purchase_id"""))
+
   /** Explicit join-strategy control: SHUFFLE_HASH hint forces a shuffled
     * hash join where the planner would otherwise broadcast or sort-merge —
     * the knob for dimension tables too big to broadcast but cheap to hash.
@@ -340,5 +380,5 @@ object AdvancedQueries {
 
   val all: Seq[QueryDef] = Seq(subqueryScalar, subqueryExists, windowRange,
     windowRanks, eventsPivot, arrayFuncs, stringFuncs, arraySetops,
-    conditionalFuncs, joinAsofNative, joinShuffleHash)
+    conditionalFuncs, joinAsofNative, joinAsofTolerance, joinShuffleHash)
 }

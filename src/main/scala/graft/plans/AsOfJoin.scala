@@ -32,7 +32,8 @@ case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTiebreak: Expression) extends BinaryNode {
+    rightTiebreak: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -43,7 +44,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTiebreak: Expression) extends BinaryExecNode {
+    rightTiebreak: Expression,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -65,9 +67,11 @@ case class AsOfJoinExec(
       val rProj = UnsafeProjection.create(Seq(rKey, rTime), rOut)
       val outProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
       val joined = new JoinedRow
-      // last right row seen with time < current left time, plus its key
+      // last right row seen with time < current left time, plus its key/time
+      val tol = tolerance
       var lastMatch: UnsafeRow = null
       var lastMatchKey = 0L
+      var lastMatchTime = 0L
       var rRow: InternalRow = null
       var rKeyV = 0L; var rTimeV = 0L
       def advanceRight(): Unit =
@@ -86,10 +90,12 @@ case class AsOfJoinExec(
           if (rKeyV == lKeyV) {
             lastMatch = rRow.asInstanceOf[UnsafeRow].copy()
             lastMatchKey = rKeyV
+            lastMatchTime = rTimeV
           }
           advanceRight()
         }
-        if (lastMatch != null && lastMatchKey == lKeyV)
+        if (lastMatch != null && lastMatchKey == lKeyV &&
+            tol.forall(t => lTimeV - lastMatchTime <= t))
           Iterator.single(outProj(joined(lRow, lastMatch)))
         else Iterator.empty
       }
@@ -103,8 +109,8 @@ case class AsOfJoinExec(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, rtb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rtb) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, rtb, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rtb, tol) :: Nil
     case _ => Nil
   }
 }
@@ -112,11 +118,14 @@ object AsOfJoinStrategy extends SparkStrategy {
 object AsOfJoinOps {
   /** DataFrame-level entry: backward as-of inner join of `left` to `right`
     * on long key/time columns. Registers the planner strategy on the session
-    * (idempotent).
+    * (idempotent). `tolerance` (same unit as the time columns) drops matches
+    * older than `leftTime − tolerance` — pandas merge_asof's staleness
+    * bound, evaluated inside the merge pass at zero extra cost.
     */
   def asofJoin(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
       leftKey: Column, rightKey: Column,
-      leftTime: Column, rightTime: Column, rightTiebreak: Column): DataFrame = {
+      leftTime: Column, rightTime: Column, rightTiebreak: Column,
+      tolerance: Option[Long] = None): DataFrame = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
@@ -127,6 +136,6 @@ object AsOfJoinOps {
       GraftSqlBridge.analyzedPlan(leftDf), GraftSqlBridge.analyzedPlan(rightDf),
       GraftSqlBridge.expression(leftKey), GraftSqlBridge.expression(rightKey),
       GraftSqlBridge.expression(leftTime), GraftSqlBridge.expression(rightTime),
-      GraftSqlBridge.expression(rightTiebreak)))
+      GraftSqlBridge.expression(rightTiebreak), tolerance))
   }
 }

@@ -48,6 +48,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === Set.empty[(Long, Long)])
   }
 
+  test("tolerance bound: match at exactly tolerance kept, one past dropped") {
+    val l = Seq((1L, 7L, 100L), (2L, 7L, 300L)).toDF("lid", "lkey", "ltime")
+    val r = Seq((10L, 7L, 70L), (11L, 7L, 260L)).toDF("rid", "rkey", "rtime")
+    val got = AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"),
+        tolerance = Some(30L))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    // lid=1: latest prior is rid=10 at gap 30 == tolerance → kept (inclusive);
+    // lid=2: latest prior is rid=11 at gap 40 > tolerance → dropped, and it
+    // must NOT fall back to an older in-tolerance... (none exists) nor older rows
+    assert(got === Set((1L, 10L)))
+  }
+
+  test("tolerance drops stale matches without re-matching to older rows") {
+    // the latest prior row is stale; an OLDER row would be within tolerance
+    // of nothing — semantics are "latest match or nothing", not "latest
+    // within tolerance" (pandas merge_asof semantics)
+    val l = Seq((1L, 7L, 100L)).toDF("lid", "lkey", "ltime")
+    val r = Seq((10L, 7L, 10L), (11L, 7L, 60L)).toDF("rid", "rkey", "rtime")
+    val got = AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"),
+        tolerance = Some(20L))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(got === Set.empty[(Long, Long)]) // rid=11 stale (gap 40), rid=10 ignored
+  }
+
   test("physical plan uses AsOfJoinExec, not window machinery") {
     val l = Seq((1L, 7L, 100L)).toDF("lid", "lkey", "ltime")
     val r = Seq((10L, 7L, 50L)).toDF("rid", "rkey", "rtime")
