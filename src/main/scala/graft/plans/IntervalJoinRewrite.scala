@@ -6,28 +6,32 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-/** Optimizer rule: turn a pure interval theta-join
-  * `a JOIN b ON abs(a.x − b.y) <= W` (integral x/y, literal W) into the
-  * scalable bucketized form — quantize both sides into W-width buckets,
-  * explode the left side into its ≤3 overlapping buckets, EQUI-join on the
-  * bucket, and keep the original predicate as an exact post-filter.
+/** Optimizer rule: turn a pure interval/band theta-join into the scalable
+  * bucketized form. Matched shapes (integral x from the left, y from the
+  * right, literal widths):
   *
-  * Why: Spark plans a join with no equi-conjunct as a broadcast nested loop
-  * (or cartesian) — O(|A|·|B|) and impossible when both sides are large. The
-  * rewritten plan is an ordinary shuffled join on a dense integer key:
-  * O(true pairs + bucket collisions), evenly partitioned, AQE-skew-handled.
-  * Users write the natural predicate; the engine removes the nested loop.
+  *   - `abs(x − y) <= W`                      → band  y − x ∈ [−W, W]
+  *   - `y >= x − W1 && y <= x + W2`           → band  y − x ∈ [−W1, W2]
+  *     (any algebraic spelling with one ± literal offset per side, strict
+  *     or non-strict — e.g. the attribution idiom
+  *     `c.ts <= p.ts && c.ts >= p.ts − 1h`)
+  *
+  * Why: a join with no equi-conjunct plans as a broadcast nested loop (or
+  * cartesian) — O(|A|·|B|) and impossible when both sides are large. The
+  * rewrite quantizes both sides into span-width buckets (span = U − L),
+  * explodes the left side into the ≤4 buckets its band can overlap,
+  * EQUI-joins on the bucket (an ordinary shuffled join on a dense integer
+  * key, AQE-skew-handled), and re-checks the ORIGINAL predicate verbatim as
+  * an exact post-filter — so the rewrite can never widen the result.
   * (`join_range_interval` states this rewrite by hand; the rule generalizes
   * it to any query through the extensions-enabled session.)
   *
   * Safety: fires only on INNER joins whose condition has no equi-conjunct
-  * (those already hash-join) and exactly one abs-distance conjunct with one
-  * side from each input. Bucketing uses floor division built from
-  * `(v − pmod(v, W)) div W`, exact for negative values too. Null inputs
-  * produce a null bucket → the equi-condition evaluates null → the row drops,
-  * identical to the original predicate's null semantics. The original
-  * condition is re-checked verbatim after the equi-join, so the rewrite can
-  * never widen the result.
+  * (those already hash-join). Bucket indexes are computed as
+  * `floorDiv(v, span) + k` for rule-time-constant k — no `v ± W` arithmetic
+  * that could overflow under ANSI near Long.MIN/MAX. Null inputs produce a
+  * null bucket → the equi-condition evaluates null → the row drops,
+  * identical to the original predicate's null semantics.
   */
 object RewriteIntervalJoin extends Rule[LogicalPlan] {
 
@@ -48,6 +52,77 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
   private def floorDiv(v: Expression, w: Expression): Expression =
     new IntegralDivide(new Subtract(v, new Pmod(v, w)), w)
 
+  private def litLong(l: Literal): Option[Long] = l match {
+    case Literal(w: Long, LongType)   => Some(w)
+    case Literal(w: Int, IntegerType) => Some(w.toLong)
+    case _                            => None
+  }
+
+  /** Decompose `e` as (base ± literal): returns (base, offset). */
+  private def baseOffset(e: Expression): (Expression, Long) = e match {
+    case Add(b, l: Literal, _) if litLong(l).isDefined => (b, litLong(l).get)
+    case Add(l: Literal, b, _) if litLong(l).isDefined => (b, litLong(l).get)
+    case Subtract(b, l: Literal, _) if litLong(l).isDefined => (b, -litLong(l).get)
+    case other => (other, 0L)
+  }
+
+  /** One inequality conjunct → a band bound on (y − x) for x∈left, y∈right:
+    * Some((x, y, isLower, v)) meaning y − x >= v (isLower) or y − x <= v.
+    */
+  private def boundOf(c: Expression, leftSet: AttributeSet,
+      rightSet: AttributeSet): Option[(Expression, Expression, Boolean, Long)] = {
+    // normalize to (lhs <= rhs, strictAdjust)
+    val norm = c match {
+      case LessThanOrEqual(a, b) => Some((a, b, 0L))
+      case GreaterThanOrEqual(a, b) => Some((b, a, 0L))
+      case LessThan(a, b) => Some((a, b, 1L)) // a < b ⇔ a <= b − 1 on integers
+      case GreaterThan(a, b) => Some((b, a, 1L))
+      case _ => None
+    }
+    norm.flatMap { case (lhs, rhs, strict) =>
+      val (bl, ol) = baseOffset(lhs)
+      val (br, or) = baseOffset(rhs)
+      if (!integral(bl) || !integral(br) ||
+          !bl.deterministic || !br.deterministic) None
+      // y + ol <= x + or  ⇒  y − x <= or − ol (− strict)
+      else if (bl.references.nonEmpty && bl.references.subsetOf(rightSet) &&
+               br.references.nonEmpty && br.references.subsetOf(leftSet))
+        Some((br, bl, false, or - ol - strict))
+      // x + ol <= y + or  ⇒  y − x >= ol − or (+ strict)
+      else if (bl.references.nonEmpty && bl.references.subsetOf(leftSet) &&
+               br.references.nonEmpty && br.references.subsetOf(rightSet))
+        Some((bl, br, true, ol - or + strict))
+      else None
+    }
+  }
+
+  /** Find a fully-bounded band (x, y, L, U) in the conjuncts. */
+  private def findBand(conjuncts: Seq[Expression], leftSet: AttributeSet,
+      rightSet: AttributeSet): Option[(Expression, Expression, Long, Long)] = {
+    // the abs-distance shape is a symmetric band
+    val fromAbs = conjuncts.collectFirst {
+      case LessThanOrEqual(Abs(Subtract(x, y, _), _), l: Literal)
+          if litLong(l).exists(_ > 0) && integral(x) && integral(y) &&
+            x.deterministic && y.deterministic &&
+            x.references.subsetOf(leftSet) && y.references.subsetOf(rightSet) =>
+        (x, y, -litLong(l).get, litLong(l).get)
+      case LessThanOrEqual(Abs(Subtract(x, y, _), _), l: Literal)
+          if litLong(l).exists(_ > 0) && integral(x) && integral(y) &&
+            x.deterministic && y.deterministic &&
+            y.references.subsetOf(leftSet) && x.references.subsetOf(rightSet) =>
+        (y, x, -litLong(l).get, litLong(l).get)
+    }
+    if (fromAbs.isDefined) return fromAbs
+    // otherwise pair a lower and an upper bound over the same (x, y)
+    val bounds = conjuncts.flatMap(boundOf(_, leftSet, rightSet))
+    val pairs = for {
+      (x1, y1, true, lo) <- bounds
+      (x2, y2, false, hi) <- bounds
+      if x1.semanticEquals(x2) && y1.semanticEquals(y2) && hi - lo >= 1
+    } yield (x1, y1, lo, hi)
+    pairs.headOption
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjuncts(cond)
@@ -59,43 +134,27 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
             l.references.subsetOf(right.outputSet))
         case _ => false
       }
-      // typed literal extraction: a null width literal (e.g. CAST(NULL AS
-      // BIGINT), before NullPropagation folds the conjunct) must not match
-      def widthOf(l: Literal): Option[Long] = l match {
-        case Literal(w: Long, LongType)   => Some(w)
-        case Literal(w: Int, IntegerType) => Some(w.toLong)
-        case _                            => None
-      }
-      val interval = if (hasEqui) None else conjuncts.collectFirst {
-        case LessThanOrEqual(Abs(Subtract(x, y, _), _), l: Literal)
-            if widthOf(l).isDefined &&
-              integral(x) && integral(y) && x.deterministic && y.deterministic &&
-              x.references.subsetOf(left.outputSet) &&
-              y.references.subsetOf(right.outputSet) =>
-          (x, y, widthOf(l).get)
-        case LessThanOrEqual(Abs(Subtract(x, y, _), _), l: Literal)
-            if widthOf(l).isDefined &&
-              integral(x) && integral(y) && x.deterministic && y.deterministic &&
-              y.references.subsetOf(left.outputSet) &&
-              x.references.subsetOf(right.outputSet) =>
-          (y, x, widthOf(l).get)
-      }
-      interval match {
-        case Some((lx, ry, wVal)) if wVal > 0 =>
-          val w = Literal(wVal, LongType)
+      val band =
+        if (hasEqui) None
+        else findBand(conjuncts, left.outputSet, right.outputSet)
+      band match {
+        case Some((lx, ry, lo, hi)) =>
+          val span = hi - lo // >= 1 guaranteed by findBand
+          val w = Literal(span, LongType)
           val lv = asLong(lx)
           val rv = asLong(ry)
-          // neighbor buckets as floorDiv(lv,W)±1, NOT floorDiv(lv±W,W):
-          // identical for W-width buckets, but lv±W can overflow under ANSI
-          // for values within W of Long.MIN/MAX while bucket±1 cannot (the
-          // bucket magnitude is bounded by |Long.MIN|/W for W>1; W=1 keeps
-          // lv itself, same as the original predicate's reach). The three
-          // values are always distinct, so no ArrayDistinct is needed and
-          // each right row matches at most one exploded bucket — no dup pairs.
+          // y ∈ [x+L, x+U] ⇒ bucket(y) ∈ [b + floorDiv(L,span),
+          // b + floorDiv(U,span) + 1] where b = bucket(x): at most 4
+          // consecutive buckets, offsets constant at rule time — bucket
+          // arithmetic only, no lv ± W that could overflow under ANSI.
           val b = floorDiv(lv, w)
-          val one = Literal(1L, LongType)
-          val buckets = CreateArray(Seq(
-            new Subtract(b, one), b, new Add(b, one)))
+          val kLo = Math.floorDiv(lo, span)
+          val kHi = Math.floorDiv(hi, span) + 1
+          val buckets = CreateArray((kLo to kHi).map { k =>
+            if (k == 0) b
+            else if (k > 0) new Add(b, Literal(k, LongType))
+            else new Subtract(b, Literal(-k, LongType))
+          })
           val bucketL = AttributeReference("__graft_bucket", LongType)()
           val leftGen = Generate(Explode(buckets), unrequiredChildIndex = Nil,
             outer = false, qualifier = None,

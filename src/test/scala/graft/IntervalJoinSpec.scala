@@ -57,6 +57,43 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L)))
   }
 
+  test("one-sided band (attribution idiom) rewrites and matches nested loop") {
+    // y ∈ [x − 20, x]: the `click before purchase within an hour` shape
+    val cond = col("y") <= col("x") && col("y") >= col("x") - lit(20L)
+    val expected = pairs(left.join(right, cond))
+    val got = withRule {
+      val df = left.join(right, cond)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("__graft_bucket"), plan)
+      pairs(df)
+    }
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("asymmetric band with strict bounds matches nested loop") {
+    // y − x ∈ (−15, 8]: mixes strict and non-strict, offsets on both sides
+    val cond = col("y") < col("x") + lit(8L) + lit(1L) - lit(0L) &&
+      col("x") - lit(15L) < col("y")
+    val expected = pairs(left.join(right, cond))
+    val got = withRule(pairs(left.join(right, cond)))
+    assert(got === expected)
+  }
+
+  test("shifted band far from zero rewrites and matches nested loop") {
+    // y ∈ [x + 90, x + 110] — band whose offsets dwarf its span
+    val cond = col("y") >= col("x") + lit(90L) && col("y") <= col("x") + lit(110L)
+    val expected = pairs(left.join(right, cond))
+    val got = withRule {
+      val df = left.join(right, cond)
+      assert(df.queryExecution.executedPlan.toString.contains("__graft_bucket"))
+      pairs(df)
+    }
+    assert(got === expected)
+    assert(got.nonEmpty) // x=7→y=95..117? rid 14 (95): 95−7=88 no; x=−3→y=87..107: 95 ✓
+  }
+
   test("does not fire when an equi-conjunct already exists") {
     withRule {
       val l = Seq((1L, 1L, 5L)).toDF("lid", "k", "x")
