@@ -649,6 +649,41 @@ object RelationalQueries {
       GROUP BY (e_ms // 3600000) % 24
       ORDER BY hour_of_day"""))
 
+  /** The SAME class of interval join written as the NATURAL one-sided theta
+    * predicate — `purchase in the 5 minutes before each error` — with the
+    * bucketization left entirely to [[graft.plans.RewriteIntervalJoin]]
+    * (registered on the session at call time, the way a production session
+    * enables it via extensions). This puts the optimizer RULE itself in the
+    * driver's hash gate: if the rule stopped firing, PlanShapeSpec fails on
+    * the nested loop; if it rewrote incorrectly, this oracle catches it.
+    */
+  val joinRangeRule = QueryDef(
+    "join_range_rule",
+    (spark, dir) => {
+      import graft.plans.RewriteIntervalJoin
+      if (!spark.experimental.extraOptimizations.contains(RewriteIntervalJoin))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ RewriteIntervalJoin
+      val ev = load(spark, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), unix_millis(col("ts")).as("e_ms"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), unix_millis(col("ts")).as("p_ms"))
+      err.join(pur,
+          col("p_ms") >= col("e_ms") - lit(300000L) && col("p_ms") < col("e_ms"))
+        .select(col("e_id"), col("p_id"), (col("e_ms") - col("p_ms")).as("lead_ms"))
+        .orderBy(col("e_id"), col("p_id"))
+    },
+    Some("""
+      WITH err AS (SELECT event_id AS e_id, epoch_ms(ts) AS e_ms FROM events
+                   WHERE event_type = 'error'),
+      pur AS (SELECT event_id AS p_id, epoch_ms(ts) AS p_ms FROM events
+              WHERE event_type = 'purchase')
+      SELECT e_id, p_id, e_ms - p_ms AS lead_ms
+      FROM err JOIN pur
+        ON p_ms >= e_ms - 300000 AND p_ms < e_ms
+      ORDER BY e_id, p_id"""))
+
   /** Sliding (hopping) event-time windows: 1-hour windows every 30 minutes,
     * so each event lands in exactly two windows. Spark's `window()` with a
     * slide plans as a Generate (per-row window expansion) + ordinary
@@ -683,7 +718,7 @@ object RelationalQueries {
 
   val all: Seq[QueryDef] = Seq(
     q1Pricing, q3Shipping, q5NationRevenue, joinSemi, joinAnti, joinRangeBucket,
-    joinRangeInterval, joinAsof, aggRollup, aggDistinct, aggCube,
+    joinRangeInterval, joinRangeRule, joinAsof, aggRollup, aggDistinct, aggCube,
     aggUdafLastValue, aggApprox, windowTopk, windowRunning, topkGlobal, setOps,
     eventsJson, eventsTumbling, eventsSliding, eventsSessionize, eventsDatetime,
     mathFuncs)
