@@ -124,5 +124,49 @@ object LayoutQueries {
       FROM r
       ORDER BY layout"""))
 
-  val all: Seq[QueryDef] = Seq(layoutZorder, layoutSkipping)
+  /** Small-file compaction planner (the OPTIMIZE bin-packing step): from a
+    * per-file inventory (simulated here as 50-doc file groups with byte
+    * sizes), assign files to merge groups by running-size bucketing — the
+    * same window-cumsum shape as sequence packing, applied to file stats.
+    * The plan is per-source (compaction never merges across partitions) and
+    * emits each group's file count, rows and bytes — what an OPTIMIZE
+    * scheduler submits as one merge task. Operates on the INVENTORY (one
+    * row per file), so at 100 TB the planning input is millions of rows,
+    * not the data itself.
+    */
+  val layoutCompaction = QueryDef(
+    "layout_compaction",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val files = load(spark, dir, "documents")
+        .groupBy(col("source"), expr("doc_id DIV 50").as("file_id"))
+        .agg(count(lit(1)).as("rows"),
+          sum(col("n_chars").cast("long")).as("bytes"))
+      val w = Window.partitionBy(col("source")).orderBy(col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      files.withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("merge_group", expr("(cum - bytes) DIV 8000"))
+        .groupBy(col("source"), col("merge_group"))
+        .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("rows"),
+          sum(col("bytes")).as("bytes"))
+        .orderBy(col("source"), col("merge_group"))
+    },
+    Some("""
+      WITH files AS (
+        SELECT source, doc_id // 50 AS file_id, COUNT(*) AS rows,
+               CAST(SUM(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY source, doc_id // 50),
+      c AS (
+        SELECT source, file_id, rows, bytes,
+               SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM files)
+      SELECT source, CAST((cum - bytes) // 8000 AS BIGINT) AS merge_group,
+             COUNT(*) AS n_files, CAST(SUM(rows) AS BIGINT) AS rows,
+             CAST(SUM(bytes) AS BIGINT) AS bytes
+      FROM c
+      GROUP BY source, CAST((cum - bytes) // 8000 AS BIGINT)
+      ORDER BY source, merge_group"""))
+
+  val all: Seq[QueryDef] = Seq(layoutZorder, layoutSkipping, layoutCompaction)
 }

@@ -87,6 +87,31 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ANALYZE TABLE statistics reach the planner (CBO input)") {
+    val t = "graft_cbo_lineitem"
+    Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite").saveAsTable(t)
+    val savedCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true") // rowCount propagates only under CBO
+      val n = spark.table(t).count()
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+      // the catalog-backed row count must surface in the optimized plan's
+      // statistics — this is what cost-based join planning consumes
+      val stats = spark.table(t).queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_.longValue == n),
+        s"expected rowCount=$n in $stats")
+      assert(stats.sizeInBytes > 0)
+    } finally {
+      savedCbo match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("partition pruning: date-partitioned write is pruned by the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {
