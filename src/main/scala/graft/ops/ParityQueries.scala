@@ -32,18 +32,18 @@ object ParityQueries {
 
   private val statesSql = GoldPipeline.usStates.map(s => s"'$s'").mkString(", ")
 
-  // shared tail of both gold oracles: the :240-245 predicates + total order
-  private def goldOracleTail = s"""
+  // the :240-245 gold predicates, shared by both branches and the geo join
+  private def goldWhereSql = s"""
     WHERE year_start >= 2020 AND year_end <= 2022
       AND location_abbreviation IN ($statesSql)
-      AND NOT regexp_matches(stratification_category_1, '(?i)total')
+      AND NOT regexp_matches(stratification_category_1, '(?i)total')"""
+
+  // shared tail of both gold oracles: predicates + total order
+  private def goldOracleTail = s"""$goldWhereSql
     ORDER BY ${goldOutCols.sorted.map(c => s"$c NULLS FIRST").mkString(", ")}"""
 
-  val goldCsv = QueryDef(
-    "gold_csv",
-    (spark, _) => flattenGold(
-      GoldPipeline.run(spark, CsvSource(s"$FixtureDir/brfss.csv"))),
-    Some(s"""
+  /** DuckDB twin of the CSV-branch normalization, CTEs `raw` → `n`. */
+  private def goldCsvNormalizeSql = s"""
       WITH raw AS (
         SELECT * FROM read_csv('$FixtureDir/brfss.csv', header=true, all_varchar=true)
       ), n AS (
@@ -65,7 +65,13 @@ object ParityQueries {
           stratificationcategory1 AS stratification_category_1,
           stratification1 AS stratification_1
         FROM raw
-      )
+      )"""
+
+  val goldCsv = QueryDef(
+    "gold_csv",
+    (spark, _) => flattenGold(
+      GoldPipeline.run(spark, CsvSource(s"$FixtureDir/brfss.csv"))),
+    Some(s"""$goldCsvNormalizeSql
       SELECT * FROM n $goldOracleTail"""),
     notes = "BLOB branch end-to-end (Spatially ETL test.py:131,156-245)")
 
@@ -129,5 +135,59 @@ object ParityQueries {
       WHERE lang IN ('en', 'fr', 'es') AND NOT regexp_matches(lang, '(?i)^z')
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(goldCsv, goldApi, parityFuncs)
+  /** Spatial neighbor join over the gold table's geolocation points (the
+    * "Spatially" in the reference's name): all pairs of distinct locations
+    * within ε=2° of each other, via 2-D grid bucketing — cell = (⌊lat/ε⌋,
+    * ⌊lon/ε⌋), left side explodes its 3×3 neighbor cells, EQUI-join on the
+    * cell, exact squared-distance post-filter. The planar-distance math is
+    * only `* - +` (IEEE exact cross-engine — haversine's trig is NOT
+    * libm-portable, which is why the comparison stays in squared degree
+    * space, floor-scaled to bp). This is the standard distributed spatial
+    * join: candidates are bounded by cell occupancy, never all points².
+    */
+  val geoNeighborJoin = QueryDef(
+    "geo_neighbor_join",
+    (spark, _) => {
+      val eps = 2.0
+      val pts = flattenGold(
+        GoldPipeline.run(spark, CsvSource(s"$FixtureDir/brfss.csv")))
+        .filter(col("geo_latitude").isNotNull && col("geo_longitude").isNotNull)
+        .select(col("location_abbreviation").as("loc"),
+          col("geo_latitude").as("lat"), col("geo_longitude").as("lon"))
+        .distinct()
+        .withColumn("cla", floor(col("lat") / eps).cast("long"))
+        .withColumn("clo", floor(col("lon") / eps).cast("long"))
+      val probes = pts.select(col("loc").as("a_loc"), col("lat").as("a_lat"),
+        col("lon").as("a_lon"), explode(array(
+          (for (dla <- -1 to 1; dlo <- -1 to 1) yield
+            struct((col("cla") + dla).as("cla"), (col("clo") + dlo).as("clo"))): _*))
+          .as("c"))
+        .select(col("a_loc"), col("a_lat"), col("a_lon"),
+          col("c.cla").as("cla"), col("c.clo").as("clo"))
+      val d2 = (col("a_lat") - col("lat")) * (col("a_lat") - col("lat")) +
+        (col("a_lon") - col("lon")) * (col("a_lon") - col("lon"))
+      probes.join(pts, Seq("cla", "clo"))
+        .filter(col("a_loc") < col("loc") && d2 <= lit(eps * eps))
+        .select(col("a_loc"), col("loc").as("b_loc"),
+          floor(d2 * 10000 + lit(0.5)).cast("long").as("dist_bp"))
+        .orderBy(col("a_loc"), col("b_loc"))
+    },
+    Some(s"""$goldCsvNormalizeSql,
+      g AS (SELECT * FROM n $goldWhereSql),
+      pts AS (
+        SELECT DISTINCT location_abbreviation AS loc,
+               geo_latitude AS lat, geo_longitude AS lon
+        FROM g
+        WHERE geo_latitude IS NOT NULL AND geo_longitude IS NOT NULL)
+      SELECT a.loc AS a_loc, b.loc AS b_loc,
+             CAST(floor(((a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lon - b.lon) * (a.lon - b.lon)) * 10000 + 0.5) AS BIGINT)
+               AS dist_bp
+      FROM pts a JOIN pts b
+        ON a.loc < b.loc
+       AND (a.lat - b.lat) * (a.lat - b.lat)
+         + (a.lon - b.lon) * (a.lon - b.lon) <= 4.0::DOUBLE
+      ORDER BY a_loc, b_loc"""))
+
+  val all: Seq[QueryDef] = Seq(goldCsv, goldApi, parityFuncs, geoNeighborJoin)
 }
