@@ -54,6 +54,20 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE coalesces undersized shuffle partitions after the map stage") {
+    import spark.implicits._
+    // 32 configured shuffle partitions over a few KB of data: AQE must
+    // merge them to ~1 advisory-sized partition instead of scheduling 32
+    // near-empty reducers — the knob that keeps 100 TB configs from
+    // drowning small stages in task overhead
+    val df = spark.range(0, 1000).select(($"id" % 50).as("k"))
+      .groupBy($"k").count()
+    assert(df.collect().length === 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"expected coalesced AQEShuffleRead in:\n${plan.take(1200)}")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // the InjectRuntimeFilter path: a selective filter on the build side of
     // a shuffle join plants a bloom filter on the probe side's scan, so at
