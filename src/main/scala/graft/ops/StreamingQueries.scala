@@ -200,6 +200,52 @@ object StreamingQueries {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** EventTimeTimeout sessionization: sessions also FLUSH when the final
+    * watermark (max event time − 1h) passes their gap deadline — the
+    * production path for "emit the session even if the user never returns".
+    * The oracle states the full semantics in batch SQL: a session emits iff
+    * it was closed by an observed gap (not the user's last session) OR its
+    * timeout deadline `end + gap` is strictly below the final watermark.
+    */
+  val streamSessionizeFlush = QueryDef(
+    "stream_sessionize_flush",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = streamEvents(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val res = runToTable(
+        EventStreams.sessionizeWithTimeout(ev, 30L * 60 * 1000).toDF(),
+        "stream_sessionize_flush_sink", OutputMode.Append)
+      res.orderBy(col("user_id"), col("session_start_ms"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS ms,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN ms - LAG(ms) OVER w > 1800000
+                         OR LAG(ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      s AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sess_seq
+        FROM f),
+      agg AS (
+        SELECT user_id, sess_seq, MIN(ms) AS session_start_ms,
+               MAX(ms) AS session_end_ms, COUNT(*) AS n_events,
+               CAST(SUM(value_cents) AS BIGINT) AS value_cents,
+               MAX(sess_seq) OVER (PARTITION BY user_id) AS last_seq
+        FROM s GROUP BY user_id, sess_seq),
+      wm AS (SELECT MAX(ms) - 3600000 AS w FROM ev)
+      SELECT user_id, session_start_ms, session_end_ms, n_events, value_cents
+      FROM agg
+      WHERE sess_seq < last_seq
+         OR session_end_ms + 1800000 < (SELECT w FROM wm)
+      ORDER BY user_id, session_start_ms"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
-    streamAttribution, streamSessionize, streamDedup)
+    streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush)
 }

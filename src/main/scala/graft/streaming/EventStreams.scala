@@ -166,6 +166,53 @@ object EventStreams {
       .start()
   }
 
+  /** [[sessionize]] upgraded with EVENT-TIME TIMEOUT: the production flush
+    * path. Each open session arms a timeout at `endMs + gapMs`; when the
+    * watermark passes it, Spark calls the function once more for that key
+    * with `state.hasTimedOut` set and no rows, and the session emits even
+    * though no further event for that user ever arrived. Output = sessions
+    * closed by an observed gap PLUS sessions flushed by watermark passage;
+    * only sessions still inside the watermark horizon remain in state.
+    */
+  def sessionizeWithTimeout(events: Dataset[Event], gapMs: Long,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.startMs, s.endMs, s.n, s.cents))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var open = state.getOption
+            for (e <- sorted) {
+              val ms = e.ts.getTime
+              val cents = math.floor(e.value * 100 + 0.5).toLong
+              open match {
+                case Some(s) if ms - s.endMs <= gapMs =>
+                  open = Some(s.copy(endMs = ms, n = s.n + 1, cents = s.cents + cents))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.startMs, s.endMs, s.n, s.cents)
+                  open = Some(OpenSession(ms, ms, 1L, cents))
+                case None =>
+                  open = Some(OpenSession(ms, ms, 1L, cents))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization with explicit keyed state: one [[OpenSession]]
     * per user held in the state store; a gap > `gapMs` closes and emits the
     * session. State is O(users), partition-local after the user_id shuffle —
