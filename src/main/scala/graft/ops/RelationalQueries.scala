@@ -649,6 +649,36 @@ object RelationalQueries {
       GROUP BY (e_ms // 3600000) % 24
       ORDER BY hour_of_day"""))
 
+  /** HLL sketches MERGED across a rollup hierarchy: approx_count_distinct
+    * under ROLLUP(returnflag, linestatus) forces partial-sketch merges at
+    * every grouping level (the map-side HLL registers combine once per
+    * level), next to the exact distinct counts — each level's estimate
+    * asserted within ±5% as an oracle-constant flag, the same contract as
+    * `agg_approx`. This is the sketch property that matters at 100 TB:
+    * merge first, count once, never re-scan per level.
+    */
+  val aggApproxRollup = QueryDef(
+    "agg_approx_rollup",
+    (spark, dir) => {
+      load(spark, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("exact_orders"),
+          (abs(col("ao") - col("exact_orders")) * 100 <= col("exact_orders") * 5)
+            .cast("int").as("approx_ok"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             COUNT(DISTINCT l_orderkey) AS exact_orders,
+             1 AS approx_ok
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
   /** The SAME class of interval join written as the NATURAL one-sided theta
     * predicate — `purchase in the 5 minutes before each error` — with the
     * bucketization left entirely to [[graft.plans.RewriteIntervalJoin]]
@@ -719,7 +749,8 @@ object RelationalQueries {
   val all: Seq[QueryDef] = Seq(
     q1Pricing, q3Shipping, q5NationRevenue, joinSemi, joinAnti, joinRangeBucket,
     joinRangeInterval, joinRangeRule, joinAsof, aggRollup, aggDistinct, aggCube,
-    aggUdafLastValue, aggApprox, windowTopk, windowRunning, topkGlobal, setOps,
+    aggUdafLastValue, aggApprox, aggApproxRollup, windowTopk, windowRunning,
+    topkGlobal, setOps,
     eventsJson, eventsTumbling, eventsSliding, eventsSessionize, eventsDatetime,
     mathFuncs)
 }
