@@ -294,5 +294,59 @@ object DedupQueries {
     },
     notes = "SimHash(30) + 3×10 banding, Hamming ≤ 4; full DuckDB oracle")
 
-  val all: Seq[QueryDef] = Seq(dedupMinhashLsh, dedupSimhash)
+  /** Containment near-dup: |A∩B| / min(|A|,|B|) over token sets — the
+    * ASYMMETRIC complement to Jaccard that catches subset duplicates (a doc
+    * quoted wholesale inside a larger one scores ~1.0 here but low on
+    * Jaccard, which the union denominator dilutes). Candidates come from
+    * the shared SimHash band blocking; the exact set-intersection verify
+    * runs only on band-bucketed pairs. Scores are integerized to basis
+    * points with integer division BEFORE filtering, so both engines make
+    * identical keep/drop decisions.
+    */
+  val dedupContainment = QueryDef(
+    "dedup_containment",
+    (spark, dir) => {
+      val d = load(spark, dir, "documents").filter(col("doc_id") % 10 === 0)
+      val bands = simhashBands(simhashFingerprints(d))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val toks = d.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("ts"))
+      cand
+        .join(toks.select(col("doc_id").as("a_id"), col("ts").as("ta")), "a_id")
+        .join(toks.select(col("doc_id").as("b_id"), col("ts").as("tb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_common"),
+          expr("CAST(size(array_intersect(ta, tb)) * 10000 AS BIGINT) " +
+            "DIV least(size(ta), size(tb))").as("containment_bp"))
+        .filter(col("containment_bp") >= 8000)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH ${simhashBandsSql("WHERE doc_id % 10 = 0")},
+      toks AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+        FROM documents WHERE doc_id % 10 = 0),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.lang = b.lang
+         AND a.doc_id < b.doc_id),
+      scored AS (
+        SELECT a_id, b_id,
+               CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS n_common,
+               (CAST(len(list_intersect(ta.ts, tb.ts)) * 10000 AS BIGINT))
+                 // least(len(ta.ts), len(tb.ts)) AS containment_bp
+        FROM cand
+        JOIN toks ta ON ta.doc_id = a_id
+        JOIN toks tb ON tb.doc_id = b_id)
+      SELECT a_id, b_id, n_common, CAST(containment_bp AS BIGINT) AS containment_bp
+      FROM scored
+      WHERE containment_bp >= 8000
+      ORDER BY a_id, b_id"""))
+
+  val all: Seq[QueryDef] = Seq(dedupMinhashLsh, dedupSimhash, dedupContainment)
 }
