@@ -39,7 +39,12 @@ object Bench {
     }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.map { case (name, v) => name -> math.min(v, p2(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the full per-query line well under the
+    // driver's stdout tail window (r1-r3 all had "parsed": null because the
+    // ~6 KB full-precision line got its head clipped by that window).
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // headline total = batch queries only: each stream_* query pays a fixed
     // multi-second micro-batch bootstrap (checkpoint dir, query start/stop)
@@ -48,15 +53,26 @@ object Bench {
     val (streamRes, batchRes) = results.partition(_._1.startsWith("stream_"))
     val total = if (batchRes.nonEmpty) batchRes.values.sum else 0.0
     val streamTotal = if (streamRes.nonEmpty) streamRes.values.sum else 0.0
+    // Compact summary first (totals + counts + top-10 slowest): always fits
+    // the tail window on its own, so the driver gets a parseable record even
+    // if the full line below is clipped. Same schema ("queries" present).
+    val top10 = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top10,""" +
+      s""""streaming_total":${f3(streamTotal)},"batch_count":${batchRes.size},""" +
+      s""""stream_count":${streamRes.size},"summary":"top10_slowest","sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""streaming_total":$streamTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s""""streaming_total":${f3(streamTotal)},"sf":"$sfDir"}"""
     // stdout is the driver's parse source, but it is at the mercy of log
-    // interleaving/truncation — persist the same line to a file as well
+    // interleaving/truncation — persist the full line to a file as well
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")), line)
     catch { case _: Throwable => () }
+    println(summary)
     println(line)
     spark.stop()
   }

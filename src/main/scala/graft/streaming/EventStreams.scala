@@ -129,37 +129,45 @@ object EventStreams {
     * half-written snapshot, and the previous version stays intact until the
     * pointer moves — the overwrite-in-place hazard (recompute of an evicted
     * block reading the directory being rewritten) cannot occur. foreachBatch
-    * re-delivers a batch on recovery, but re-writing `v<batchId>` and
-    * re-pointing is idempotent, which is exactly why this shape is safe
-    * under at-least-once batch delivery. (An ACID table format would
-    * subsume the pointer dance; this is the plain-parquet equivalent.)
+    * re-delivers a batch on recovery; the one non-idempotent corner is a
+    * crash AFTER the pointer moved to `v<batchId>` but BEFORE the checkpoint
+    * commit — the redelivery would then lazily read `existing` from
+    * `v<batchId>` and overwrite that same directory mid-read. Guarded below:
+    * if the pointer already names this batch's version, the batch's effect
+    * is fully applied and the redelivery is a no-op. (An ACID table format
+    * would subsume the pointer dance; this is the plain-parquet equivalent.)
     */
   def runUpsertSink(events: DataFrame, tablePath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val latest = batch
-          .groupBy(col("user_id"))
-          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
-          .select(col("user_id"), col("m.ts").as("ts"),
-            col("m.event_id").as("event_id"), col("m.value").as("value"))
-        val existing = readSnapshot(spark, tablePath).getOrElse(
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema))
-        val merged = existing.unionByName(latest)
-          .groupBy(col("user_id"))
-          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
-          .select(col("user_id"), col("m.ts").as("ts"),
-            col("m.event_id").as("event_id"), col("m.value").as("value"))
         val version = s"v$batchId"
-        merged.write.mode("overwrite").parquet(s"$tablePath/$version")
-        val tmp = java.nio.file.Paths.get(tablePath, "_LATEST.tmp")
-        java.nio.file.Files.writeString(tmp, version)
-        java.nio.file.Files.move(tmp,
-          java.nio.file.Paths.get(tablePath, "_LATEST"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // Idempotent-recovery guard: pointer already at this version means the
+        // previous attempt completed both the write and the repoint; rewriting
+        // would read from and overwrite the same directory.
+        if (!snapshotDir(tablePath).contains(s"$tablePath/$version")) {
+          val latest = batch
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+            .select(col("user_id"), col("m.ts").as("ts"),
+              col("m.event_id").as("event_id"), col("m.value").as("value"))
+          val existing = readSnapshot(spark, tablePath).getOrElse(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema))
+          val merged = existing.unionByName(latest)
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+            .select(col("user_id"), col("m.ts").as("ts"),
+              col("m.event_id").as("event_id"), col("m.value").as("value"))
+          merged.write.mode("overwrite").parquet(s"$tablePath/$version")
+          val tmp = java.nio.file.Paths.get(tablePath, "_LATEST.tmp")
+          java.nio.file.Files.writeString(tmp, version)
+          java.nio.file.Files.move(tmp,
+            java.nio.file.Paths.get(tablePath, "_LATEST"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
