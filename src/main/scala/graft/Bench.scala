@@ -42,7 +42,9 @@ object Bench {
     // 3-decimal rounding keeps the full per-query line well under the
     // driver's stdout tail window (r1-r3 all had "parsed": null because the
     // ~6 KB full-precision line got its head clipped by that window).
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default locale can use a comma decimal separator,
+    // which would make every number in the JSON line unparseable.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -53,27 +55,35 @@ object Bench {
     val (streamRes, batchRes) = results.partition(_._1.startsWith("stream_"))
     val total = if (batchRes.nonEmpty) batchRes.values.sum else 0.0
     val streamTotal = if (streamRes.nonEmpty) streamRes.values.sum else 0.0
-    // Compact summary first (totals + counts + top-10 slowest): always fits
-    // the tail window on its own, so the driver gets a parseable record even
-    // if the full line below is clipped. Same schema ("queries" present).
+    // Micro-batch execution seconds (sum of triggerExecution durations from
+    // the last run of each streaming query): separates real processing time
+    // from the fixed AvailableNow bootstrap included in streaming_total.
+    val streamExecTotal = ops.StreamingQueries.lastExecSec.values.sum
     val top10 = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val summary =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top10,""" +
-      s""""streaming_total":${f3(streamTotal)},"batch_count":${batchRes.size},""" +
+      s""""streaming_total":${f3(streamTotal)},"streaming_exec_total":${f3(streamExecTotal)},""" +
+      s""""batch_count":${batchRes.size},""" +
       s""""stream_count":${streamRes.size},"summary":"top10_slowest","sf":"$sfDir"}"""
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-      s""""streaming_total":${f3(streamTotal)},"sf":"$sfDir"}"""
+      s""""streaming_total":${f3(streamTotal)},"streaming_exec_total":${f3(streamExecTotal)},""" +
+      s""""sf":"$sfDir"}"""
     // stdout is the driver's parse source, but it is at the mercy of log
     // interleaving/truncation — persist the full line to a file as well
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")), line)
     catch { case _: Throwable => () }
-    println(summary)
+    // Print order matters: the driver's parse window keeps the TAIL of
+    // stdout, so the full per-query line goes FIRST and the compact summary
+    // (totals + top-10 slowest, always small enough to survive the window)
+    // goes LAST. If the full line's head gets clipped, its fragment is
+    // unparseable and the intact summary — same schema — still parses.
     println(line)
+    println(summary)
     spark.stop()
   }
 }

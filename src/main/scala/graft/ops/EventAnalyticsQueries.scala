@@ -271,6 +271,77 @@ object EventAnalyticsQueries {
                  ELSE 'unchanged' END <> 'unchanged'
       ORDER BY user_id"""))
 
+  /** MERGE-apply: the post-MERGE snapshot itself, not just the change
+    * classification — the native stand-in for the reference's Delta MERGE
+    * sink (`Spatially ETL test.py:237`, `USING DELTA`). A CDC feed derived
+    * from the late 2/5 of the stream (per-user latest row; an `error`-typed
+    * latest row is a DELETE tombstone, anything else an UPSERT) is applied
+    * to the base snapshot with full MERGE semantics: matched+delete removes,
+    * matched+upsert replaces, unmatched+upsert inserts, unmatched+delete is
+    * a no-op. The apply is ONE full-outer shuffle join on the merge key plus
+    * a projection — the scalable shape (at 100 TB both sides hash-partition
+    * on user_id; no per-row lookups, no driver loop), exactly what an ACID
+    * table format executes under the hood for a non-selective MERGE.
+    */
+  val cdcMergeApply = QueryDef(
+    "cdc_merge_apply",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
+          col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val bounds = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+        .select(expr("lo + ((hi - lo) * 3) DIV 5").as("t1"))
+      val withT1 = ev.crossJoin(broadcast(bounds))
+      def latest(pred: org.apache.spark.sql.Column) = withT1.filter(pred)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ms"), col("event_id"), col("event_type"),
+          col("cents"))).as("m"))
+      val base = latest(col("ms") <= col("t1"))
+        .select(col("user_id"), col("m.event_id").as("event_id"),
+          col("m.cents").as("cents"))
+      val changes = latest(col("ms") > col("t1"))
+        .select(col("user_id"), col("m.event_id").as("c_event_id"),
+          col("m.cents").as("c_cents"),
+          when(col("m.event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"))
+      base.join(changes, Seq("user_id"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "delete")
+        .select(col("user_id"),
+          when(col("op") === "upsert", col("c_event_id"))
+            .otherwise(col("event_id")).as("event_id"),
+          when(col("op") === "upsert", col("c_cents"))
+            .otherwise(col("cents")).as("cents"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      bounds AS (
+        SELECT MIN(ms) + ((MAX(ms) - MIN(ms)) * 3) // 5 AS t1 FROM ev),
+      base AS (
+        SELECT user_id, event_id, cents
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ms DESC, event_id DESC) AS rn
+              FROM ev WHERE ms <= (SELECT t1 FROM bounds))
+        WHERE rn = 1),
+      changes AS (
+        SELECT user_id, event_id AS c_event_id, cents AS c_cents,
+               CASE WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'upsert' END AS op
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ms DESC, event_id DESC) AS rn
+              FROM ev WHERE ms > (SELECT t1 FROM bounds))
+        WHERE rn = 1)
+      SELECT user_id,
+             CASE WHEN op = 'upsert' THEN c_event_id ELSE event_id END AS event_id,
+             CASE WHEN op = 'upsert' THEN c_cents ELSE cents END AS cents
+      FROM base FULL JOIN changes USING (user_id)
+      WHERE op IS NULL OR op <> 'delete'
+      ORDER BY user_id"""))
+
   /** Rolling z-score (trailing 7-row window per user over daily totals) —
     * the anomaly-scoring feature of event time series. Cross-engine float
     * determinism: the naive (x−μ)/σ chains divisions whose intermediate
@@ -324,5 +395,5 @@ object EventAnalyticsQueries {
       ORDER BY user_id, day"""))
 
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
-    eventsGapfill, cdcDiff, eventsZscore)
+    eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore)
 }

@@ -69,6 +69,14 @@ object StreamingQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Per-sink micro-batch execution seconds from the last [[runToTable]]
+    * run (sum of trigger `triggerExecution` durations). [[graft.Bench]]
+    * sums this into `streaming_exec_total` to split real processing time
+    * from the fixed AvailableNow bootstrap (checkpoint setup, query
+    * start/stop) that dominates small-scale runs.
+    */
+  @volatile var lastExecSec: Map[String, Double] = Map.empty
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink and return the sink table. Fresh checkpoint per run so re-runs in
     * the same JVM (Verify, Bench warm passes) reprocess from scratch. The
@@ -76,35 +84,32 @@ object StreamingQueries {
     * production sink would be a parquet/Delta path (see
     * [[graft.streaming.EventStreams.runUpsertSink]]).
     */
-  /** Per-query micro-batch execution seconds from the last [[runToTable]]
-    * run (sum of trigger `triggerExecution` durations). Bench reads this to
-    * split real processing time from the fixed AvailableNow bootstrap
-    * (checkpoint setup, query start/stop) that dominates small-scale runs.
-    */
-  @volatile var lastExecSec: Map[String, Double] = Map.empty
-
   private def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     // Stateful operators create one state store PER SHUFFLE PARTITION per
     // micro-batch (a stream-stream join creates four); at the batch-engine
     // default of 32 that is pure fixed overhead for a ~100k-row AvailableNow
     // run, and on a real cluster the partition count is a per-query sizing
-    // decision anyway. The value is baked into the checkpoint at first start,
-    // so it is set only for the stream's own planning, then restored.
+    // decision anyway. The value is baked into the checkpoint at first start.
+    // The restore happens only AFTER awaitTermination(): the stream thread
+    // captures the conf into the first batch's OffsetSeqMetadata
+    // asynchronously after start() returns, so restoring any earlier races
+    // that capture (queries run sequentially, so holding the conf until
+    // termination costs nothing).
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
-    val q = try {
-      df.writeStream.format("memory").queryName(name).outputMode(mode)
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
         .option("checkpointLocation",
           Files.createTempDirectory(s"graft-$name-ck").toString)
         .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val execMs = q.recentProgress.iterator
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+        .sum
+      lastExecSec += name -> execMs / 1e3
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination()
-    val execMs = q.recentProgress.iterator
-      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-      .sum
-    lastExecSec += name -> execMs / 1e3
     spark.table(name)
   }
 
@@ -290,6 +295,78 @@ object StreamingQueries {
          OR session_end_ms + 1800000 < (SELECT w FROM wm)
       ORDER BY user_id, session_start_ms"""))
 
+  /** Stream-static enrichment: the live event stream joined (left outer)
+    * against a broadcast customer-dimension snapshot. Stateless — the dim is
+    * re-broadcast per micro-batch and the stream side never shuffles. The
+    * dim is restricted to c_custkey < 100 so users 100–149 exercise the
+    * outer-null path; the oracle is the identical batch left join.
+    */
+  val streamEnrich = QueryDef(
+    "stream_enrich",
+    (spark, dir) => {
+      val dim = graft.Tables.load(spark, dir, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"),
+          col("c_nationkey").as("nation_key"))
+      val ev = streamEvents(spark, dir)
+        .select(col("event_id"), col("user_id"))
+      val res = runToTable(EventStreams.enrich(ev, dim),
+        "stream_enrich_sink", OutputMode.Append)
+      res.select(col("event_id"), col("user_id"), col("segment"),
+          col("nation_key"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+             c.c_nationkey AS nation_key
+      FROM events e
+      LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
+        ON c.c_custkey = e.user_id
+      ORDER BY e.event_id"""))
+
+  /** Stream-stream LEFT OUTER interval join (click → converting purchase
+    * within the hour). The semantics a hash gate should pin: matched pairs
+    * emit as soon as both rows are in state, but an UNMATCHED click's null
+    * row may only emit once the watermark proves no matching purchase can
+    * still arrive — i.e. when `click_ts + 1h` has fallen behind the final
+    * global watermark, min(max click_ts, max purchase_ts) − 2h under
+    * AvailableNow's no-data flush. Clicks younger than that stay in state
+    * and emit NOTHING. The oracle states exactly that horizon in batch SQL.
+    */
+  val streamJoinOuter = QueryDef(
+    "stream_join_outer",
+    (spark, dir) => {
+      val res = runToTable(EventStreams.clickOutcomes(streamEvents(spark, dir)),
+        "stream_join_outer_sink", OutputMode.Append)
+      res.select(col("click_user"), col("click_id"),
+          unix_millis(col("click_ts")).as("click_ms"),
+          col("purchase_id"), cents(col("value")).as("value_cents"))
+        .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+    },
+    Some("""
+      WITH c AS (
+        SELECT user_id AS click_user, ts AS click_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+        FROM events WHERE event_type = 'purchase'),
+      wm AS (
+        SELECT least((SELECT max(click_ts) FROM c),
+                     (SELECT max(purchase_ts) FROM p))
+               - INTERVAL 2 HOUR AS w)
+      SELECT c.click_user, c.click_id, epoch_ms(c.click_ts) AS click_ms,
+             p.purchase_id,
+             CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS value_cents
+      FROM c LEFT JOIN p
+        ON p.user_id = c.click_user
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+      WHERE p.purchase_id IS NOT NULL
+         OR c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+      ORDER BY c.click_id, p.purchase_id NULLS FIRST"""))
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
-    streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush)
+    streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
+    streamEnrich, streamJoinOuter)
 }

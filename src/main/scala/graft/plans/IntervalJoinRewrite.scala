@@ -28,10 +28,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   * Safety: fires only on INNER joins whose condition has no equi-conjunct
   * (those already hash-join). Bucket indexes are computed as
-  * `floorDiv(v, span) + k` for rule-time-constant k — no `v ± W` arithmetic
-  * that could overflow under ANSI near Long.MIN/MAX. Null inputs produce a
-  * null bucket → the equi-condition evaluates null → the row drops,
-  * identical to the original predicate's null semantics.
+  * `floorDiv(v, span) + k` for rule-time-constant k, where floorDiv is the
+  * overflow-free form (truncating div + negative-remainder correction — no
+  * `v − pmod` or `v ± W` subtraction that could overflow near Long.MIN/MAX)
+  * and the `+ k` probe arithmetic runs in LEGACY (wrapping) eval mode so
+  * ANSI mode can never throw mid-probe. Wrapping is benign here: for any
+  * pair actually satisfying the band, bucket(y) = bucket(x) + k fits in a
+  * Long (it equals a valid bucket of the Long value y), so real matches
+  * never wrap; a wrapped probe is a garbage bucket whose spurious
+  * candidates the verbatim re-check of the original predicate rejects.
+  * Null inputs produce a null bucket → the equi-condition evaluates null →
+  * the row drops, identical to the original predicate's null semantics.
   */
 object RewriteIntervalJoin extends Rule[LogicalPlan] {
 
@@ -46,11 +53,25 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
   private def asLong(e: Expression): Expression =
     if (e.dataType == LongType) e else Cast(e, LongType)
 
-  /** Exact floor division (IntegralDivide truncates toward zero; pmod fixes
-    * the negative case): floorDiv(v, w) = (v − pmod(v, w)) div w.
+  /** All rewrite-introduced arithmetic evaluates in LEGACY (wrapping) mode:
+    * the rewrite must never make a query throw that the original would not.
+    */
+  private val legacyEval = NumericEvalContext(EvalMode.LEGACY)
+
+  /** Exact floor division for w >= 1, overflow-free on the FULL Long domain:
+    * floorDiv(v, w) = (v div w) − (1 if v % w != 0 and v < 0 else 0).
+    * IntegralDivide truncates toward zero; the correction lowers negative
+    * non-exact quotients. No subtraction on `v` itself, so Long.MIN is safe
+    * (the −1 correction at v div w = Long.MIN requires w = 1, where the
+    * remainder is 0 and the correction is 0).
     */
   private def floorDiv(v: Expression, w: Expression): Expression =
-    new IntegralDivide(new Subtract(v, new Pmod(v, w)), w)
+    new Subtract(
+      new IntegralDivide(v, w, legacyEval),
+      If(And(Not(EqualTo(new Remainder(v, w, legacyEval), Literal(0L))),
+          LessThan(v, Literal(0L))),
+        Literal(1L), Literal(0L)),
+      legacyEval)
 
   private def litLong(l: Literal): Option[Long] = l match {
     case Literal(w: Long, LongType)   => Some(w)
@@ -145,15 +166,16 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
           val rv = asLong(ry)
           // y ∈ [x+L, x+U] ⇒ bucket(y) ∈ [b + floorDiv(L,span),
           // b + floorDiv(U,span) + 1] where b = bucket(x): at most 4
-          // consecutive buckets, offsets constant at rule time — bucket
-          // arithmetic only, no lv ± W that could overflow under ANSI.
+          // consecutive buckets, offsets constant at rule time. The b ± k
+          // probes wrap (LEGACY eval) instead of throwing near Long.MIN/MAX;
+          // see the class doc for why wrapped probes cannot change results.
           val b = floorDiv(lv, w)
           val kLo = Math.floorDiv(lo, span)
           val kHi = Math.floorDiv(hi, span) + 1
           val buckets = CreateArray((kLo to kHi).map { k =>
             if (k == 0) b
-            else if (k > 0) new Add(b, Literal(k, LongType))
-            else new Subtract(b, Literal(-k, LongType))
+            else if (k > 0) new Add(b, Literal(k, LongType), legacyEval)
+            else new Subtract(b, Literal(-k, LongType), legacyEval)
           })
           val bucketL = AttributeReference("__graft_bucket", LongType)()
           val leftGen = Generate(Explode(buckets), unrequiredChildIndex = Nil,

@@ -130,19 +130,30 @@ object EventStreams {
     * pointer moves — the overwrite-in-place hazard (recompute of an evicted
     * block reading the directory being rewritten) cannot occur. foreachBatch
     * re-delivers a batch on recovery; the one non-idempotent corner is a
-    * crash AFTER the pointer moved to `v<batchId>` but BEFORE the checkpoint
-    * commit — the redelivery would then lazily read `existing` from
-    * `v<batchId>` and overwrite that same directory mid-read. Guarded below:
-    * if the pointer already names this batch's version, the batch's effect
-    * is fully applied and the redelivery is a no-op. (An ACID table format
-    * would subsume the pointer dance; this is the plain-parquet equivalent.)
+    * crash AFTER the pointer moved to this batch's version but BEFORE the
+    * checkpoint commit — the redelivery would then lazily read `existing`
+    * from that version and overwrite that same directory mid-read. Guarded
+    * below: if the pointer already names this batch's version, the batch's
+    * effect is fully applied and the redelivery is a no-op. Version names
+    * are scoped to the CHECKPOINT (`<ckptTag>-v<batchId>`), not just the
+    * batch id: a fresh checkpoint pointed at a reused tablePath restarts
+    * batch ids at 0, and an unscoped `v0` guard would silently drop that
+    * run's first batch (and its write would collide with the old run's
+    * directories). With the tag, a recovery of the SAME checkpoint still
+    * matches the guard, while a new run merges cleanly on top of the old
+    * snapshot under fresh directory names. (An ACID table format would
+    * subsume the pointer dance; this is the plain-parquet equivalent.)
     */
   def runUpsertSink(events: DataFrame, tablePath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ckptTag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(java.nio.file.Paths.get(checkpoint).toAbsolutePath.toString
+        .getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
     events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val version = s"v$batchId"
+        val version = s"$ckptTag-v$batchId"
         // Idempotent-recovery guard: pointer already at this version means the
         // previous attempt completed both the write and the repoint; rewriting
         // would read from and overwrite the same directory.

@@ -20,6 +20,7 @@ class PlanShapeSpec extends AnyFunSuite {
   private val bnljAllowed: Map[String, String] = Map(
     "agg_approx_quantile" -> "broadcast 1-row GK sketch result, re-ranked against the data",
     "cdc_diff" -> "broadcast 1-row stream-bounds aggregate (t1 cutoff)",
+    "cdc_merge_apply" -> "broadcast 1-row stream-bounds aggregate (t1 cutoff)",
     "ann_bruteforce" -> "broadcast fixed query-vector set (8 probes) vs corpus",
     "ann_ivf" -> "broadcast centroid table (8 cells) + query set",
     "ann_recall" -> "broadcast query set joined to its own ground truth",

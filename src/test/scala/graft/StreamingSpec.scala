@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -149,10 +150,38 @@ class StreamingSpec extends AnyFunSuite {
         .select($"user_id", $"event_id", $"value")
         .as[(Long, Long, Double)].collect().toSet
       assert(rows === Set((1L, 3L, 9.9), (2L, 2L, 2.5)), s"got $rows")
-      // versioned snapshots: both batch versions exist, pointer names the newest
-      assert(EventStreams.snapshotDir(table).get.endsWith("v1"))
-      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(table, "v0")))
+      // versioned snapshots: both batch versions exist, pointer names the
+      // newest; names are checkpoint-scoped (<ckptTag>-v<batchId>)
+      assert(EventStreams.snapshotDir(table).get.endsWith("-v1"))
+      val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(table))
+        .iterator().asScala.map(_.getFileName.toString).toSet
+      assert(dirs.exists(_.endsWith("-v0")), s"got $dirs")
     } finally q.stop()
+  }
+
+  test("upsert sink: fresh checkpoint against a reused tablePath keeps old data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_upsert2").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_upsert2_ck1").toString
+    val in1 = MemoryStream[Event]
+    val q1 = EventStreams.runUpsertSink(in1.toDF(), table, ck1)
+    try {
+      in1.addData(Event(1, ts(10), 1, "view", 1.5))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a NEW checkpoint restarts batch ids at 0; the checkpoint-scoped guard
+    // must not mistake this run's batch 0 for the old run's completed one
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_upsert2_ck2").toString
+    val in2 = MemoryStream[Event]
+    val q2 = EventStreams.runUpsertSink(in2.toDF(), table, ck2)
+    try {
+      in2.addData(Event(2, ts(20), 2, "view", 2.5))
+      q2.processAllAvailable()
+      val rows = EventStreams.readSnapshot(spark, table).get
+        .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+      assert(rows === Set((1L, 1L), (2L, 2L)), s"got $rows")
+    } finally q2.stop()
   }
 
   test("checkpoint restart: window state survives a query stop/start") {
