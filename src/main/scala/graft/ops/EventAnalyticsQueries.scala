@@ -394,6 +394,87 @@ object EventAnalyticsQueries {
       FROM win
       ORDER BY user_id, day"""))
 
+  /** Robust (median/MAD) anomaly detection per event type — the outlier
+    * filter that actually survives skewed value distributions, where the
+    * mean/stddev z-score (`events_zscore`) gets dragged by the outliers it
+    * is meant to find. Medians are LOWER medians computed by rank
+    * (`value at row_number = (n+1) DIV 2`), not interpolated percentiles:
+    * every intermediate stays an exact BIGINT, so both engines make
+    * identical keep/flag decisions (interpolated medians and the 1.4826
+    * normal-consistency factor are float and summation-order-dependent —
+    * the integer 3×MAD fence trades the textbook constant for cross-engine
+    * exactness).
+    *
+    * Scale shape: two rank-window passes over the fact partitioned by
+    * event_type + two single-row-per-type broadcast joins back. At 100 TB
+    * the rank window over a hot type is the pressure point — swap the exact
+    * lower median for an `approx_percentile` sketch (one aggregate, no
+    * window) and keep the same fence logic.
+    */
+  val eventsAnomalyMad = QueryDef(
+    "events_anomaly_mad",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val ev = load(spark, dir, "events")
+        .select(col("event_id"), col("event_type"), cents.as("v"))
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("v"), col("event_id"))
+      val med = ev
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("v").as("med"), col("n"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("v") - col("med")))
+      val wd = Window.partitionBy(col("event_type")).orderBy(col("dev"), col("event_id"))
+      val mad = dev
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("dev").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("med")).as("median_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          sum(when(col("dev") > lit(3) * col("mad"), col("event_id")))
+            .as("outlier_id_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY v, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev),
+      med AS (
+        SELECT event_type, v AS med, n FROM ranked WHERE rn = (n + 1) // 2),
+      dev AS (
+        SELECT ev.event_id, ev.event_type, ev.v, med.med, med.n,
+               abs(ev.v - med.med) AS dev
+        FROM ev JOIN med USING (event_type)),
+      dranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY dev, event_id) AS rn
+        FROM dev),
+      mad AS (
+        SELECT event_type, dev AS mad FROM dranked WHERE rn = (n + 1) // 2)
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(med) AS BIGINT) AS median_cents,
+             CAST(MAX(mad.mad) AS BIGINT) AS mad_cents,
+             CAST(SUM(CASE WHEN dev.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+             CAST(SUM(CASE WHEN dev.dev > 3 * mad.mad THEN event_id END) AS BIGINT)
+               AS outlier_id_sum
+      FROM dev JOIN mad USING (event_type)
+      GROUP BY event_type
+      ORDER BY event_type"""),
+    notes = "integer-exact median/MAD outlier fence; window-rank lower medians")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
-    eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore)
+    eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad)
 }

@@ -499,8 +499,72 @@ object PipelineQueries {
       GROUP BY source
       ORDER BY source"""))
 
+  /** Explicit target-mixture sampling — the complement of
+    * [[sampleTemperature]]'s √count heuristic: the training recipe PINS the
+    * language mix (basis-point weights summing to 10000) and each language's
+    * quota is `budget · w_bp DIV 10000`, capped at availability (a language
+    * short of its quota under-fills rather than silently re-weighting —
+    * the shortfall is reported, the recipe owner decides). Selection inside
+    * each language is the same reshuffle-proof Knuth-hash order as every
+    * sampler here, so the chosen SET (pinned by kept_doc_sum) is stable
+    * under repartitioning and corpus append.
+    *
+    * Scale shape: quota table is one row per language (broadcast); the
+    * corpus pays one rank window per language partition and never shuffles
+    * beyond it.
+    */
+  val sampleMixture = QueryDef(
+    "sample_mixture",
+    (spark, dir) => {
+      val budget = 300L
+      val wBp = expr(
+        """CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 2000
+           WHEN 'es' THEN 1500 WHEN 'de' THEN 1500 ELSE 1000 END""")
+      val docs = load(spark, dir, "documents")
+      val quotas = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_orig"))
+        .withColumn("w_bp", wBp.cast(LongType))
+        .withColumn("quota",
+          least(expr(s"($budget * w_bp) div 10000"), col("n_orig")))
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      docs.withColumn("h", knuth32(col("doc_id")))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .join(broadcast(quotas), "lang")
+        .filter(col("rn") <= col("quota"))
+        .groupBy(col("lang"))
+        .agg(max(col("n_orig")).as("n_orig"), max(col("w_bp")).as("w_bp"),
+          max(col("quota")).as("quota"), count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_doc_sum"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n_orig
+        FROM documents),
+      q AS (
+        SELECT *,
+               CAST(CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 2000
+                    WHEN 'es' THEN 1500 WHEN 'de' THEN 1500 ELSE 1000 END
+                 AS BIGINT) AS w_bp
+        FROM ranked),
+      q2 AS (
+        SELECT *, least((300 * w_bp) // 10000, n_orig) AS quota FROM q)
+      SELECT lang, CAST(MAX(n_orig) AS BIGINT) AS n_orig,
+             CAST(MAX(w_bp) AS BIGINT) AS w_bp,
+             CAST(MAX(quota) AS BIGINT) AS quota,
+             COUNT(*) AS n_kept,
+             CAST(SUM(doc_id) AS BIGINT) AS kept_doc_sum
+      FROM q2
+      WHERE rn <= quota
+      GROUP BY lang
+      ORDER BY lang"""),
+    notes = "pinned language-mixture quotas (bp weights), Knuth-hash selection")
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
     pipelinePack, pipelineDecontaminate, textRepetition, pipelineRedact,
-    sampleTemperature)
+    sampleTemperature, sampleMixture)
 }

@@ -272,6 +272,99 @@ object RelationalQueries2 {
       GROUP BY l_returnflag
       ORDER BY key"""))
 
+  /** Skew-salted JOIN — the join-side counterpart of [[aggSalted]]. When one
+    * join key is a heavy hitter and neither side broadcasts, a plain
+    * shuffle join lands the entire hot key on one task. Salting spreads it:
+    * the big (probe) side derives a deterministic salt in [0, S) from a
+    * NON-key column (so rows of the same hot key scatter across S buckets),
+    * the build side is exploded ×S, and the join key becomes (key, salt).
+    * The `shuffle_hash` hint forces the shuffle path so the salt actually
+    * governs partitioning (with broadcast the salt would be a no-op).
+    * Result is provably identical to the plain join — that identity is
+    * exactly what the oracle (an UNSALTED join) checks.
+    *
+    * At 100 TB: S is sized to the observed skew (hottest-key rows / healthy
+    * partition size); AQE's skew-split handles moderate skew automatically,
+    * salting is the explicit fix for the pathological single-key case AQE
+    * cannot split (one key, one reducer).
+    */
+  val joinSalted = QueryDef(
+    "join_salted",
+    (spark, dir) => {
+      val S = 8
+      val li = load(spark, dir, "lineitem")
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+          lit(S)).cast("int"))
+      val part = load(spark, dir, "part")
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+        .hint("shuffle_hash")
+      li.join(part,
+          col("l_partkey") === col("p_partkey") && li("salt") === part("salt"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n_items,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand"""),
+    notes = "salted shuffle join == plain join; salt spreads hot keys over 8 buckets")
+
+  /** One PageRank power-iteration step over the customer→supplier trade
+    * graph (an edge per distinct (custkey, suppkey) pair that traded).
+    * Everything is INTEGER basis-point arithmetic — contribution =
+    * 10000 DIV outdeg, rank = 1500 + 85·Σcontrib DIV 100 — so the oracle is
+    * exact (float PageRank would be summation-order-dependent cross-engine).
+    *
+    * Scale shape: edges come from one orders⋈lineitem join (both shuffled
+    * on orderkey), outdegree is one groupBy on the source key, and the
+    * contribution join shuffles on custkey — each step is a standard
+    * shuffle, never an adjacency matrix. Full PageRank = this step
+    * iterated, same pointer-doubling economics as `dedup_components`
+    * (O(log) rounds, convergence checked by an aggregate, no driver loop
+    * over rows).
+    */
+  val graphPagerank = QueryDef(
+    "graph_pagerank",
+    (spark, dir) => {
+      val edges = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(load(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .distinct()
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val contrib = edges.join(outdeg, "src")
+        .select(col("dst"), expr("10000L div outdeg").as("c"))
+      contrib.groupBy(col("dst"))
+        .agg(count(lit(1)).as("in_deg"),
+          (lit(1500L) + expr("(85L * sum(c)) div 100L")).as("rank_bp"))
+        .select(col("dst").as("supp_key"), col("in_deg"), col("rank_bp"))
+        .orderBy(col("rank_bp").desc, col("supp_key"))
+        .limit(100)
+    },
+    Some("""
+      WITH edges AS (
+        SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      outdeg AS (
+        SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      contrib AS (
+        SELECT dst, 10000 // outdeg AS c
+        FROM edges JOIN outdeg USING (src))
+      SELECT dst AS supp_key, COUNT(*) AS in_deg,
+             CAST(1500 + (85 * SUM(c)) // 100 AS BIGINT) AS rank_bp
+      FROM contrib
+      GROUP BY dst
+      ORDER BY rank_bp DESC, dst
+      LIMIT 100"""),
+    notes = "integer-exact PageRank step; iterate for full PR (see dedup_components)")
+
   val all: Seq[QueryDef] = Seq(q13CustDist, joinFullOuter, q15TopSupp,
-    q8Share, q20Excess, q21SoleLate, aggSalted)
+    q8Share, q20Excess, q21SoleLate, aggSalted, joinSalted, graphPagerank)
 }

@@ -366,7 +366,48 @@ object StreamingQueries {
          OR c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
       ORDER BY c.click_id, p.purchase_id NULLS FIRST"""))
 
+  /** foreachBatch upsert sink ([[EventStreams.runUpsertSink]]) in the hard
+    * signal: stream the events table into the versioned-parquet latest-value
+    * table, then return the final snapshot. The batch twin is per-user argmax
+    * over (ts, event_id, value) — `max(struct(...))` compares
+    * lexicographically, so the oracle's ORDER BY mirrors that tie-break
+    * exactly. This pins the MERGE-like sink end to end (micro-batch reduce,
+    * snapshot merge, atomic pointer swap), not just in ScalaTest.
+    */
+  val streamUpsert = QueryDef(
+    "stream_upsert",
+    (spark, dir) => {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+      try {
+        val tablePath = Files.createTempDirectory("graft-upsert-table").toString
+        val ckpt = Files.createTempDirectory("graft-upsert-ck").toString
+        val q = EventStreams.runUpsertSink(streamEvents(spark, dir), tablePath, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        val execMs = q.recentProgress.iterator
+          .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+          .sum
+        lastExecSec += "stream_upsert" -> execMs / 1e3
+        EventStreams.readSnapshot(spark, tablePath)
+          .getOrElse(sys.error(s"upsert sink produced no snapshot at $tablePath"))
+          .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+            col("event_id"), cents(col("value")).as("value_cents"))
+          .orderBy(col("user_id"))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    },
+    Some("""
+      SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+      FROM events
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) = 1
+      ORDER BY user_id"""),
+    notes = "versioned-parquet upsert sink, final snapshot vs per-user argmax")
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
-    streamEnrich, streamJoinOuter)
+    streamEnrich, streamJoinOuter, streamUpsert)
 }

@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence harness: measures whether the banded dedup/ANN paths'
+  * per-row cost stays flat when the corpus grows 10×.
+  *
+  * The 100 TB argument so far rests on plan shapes (banded candidate
+  * generation, broadcast centroids, no all-pairs joins). This tool adds the
+  * measurement: it synthesizes a FACTOR× `documents`/`embeddings` corpus and
+  * times the target queries at 1× vs FACTOR×, reporting per-row cost growth.
+  *
+  * Corpus construction — the replicas must model ORGANIC growth, not
+  * verbatim duplication (replicating text 10× verbatim makes every duplicate
+  * cluster 10× larger, which quadratically inflates candidate pairs and
+  * measures a corpus no real pipeline has):
+  *  - documents: each replica keeps the base corpus' intra-replica near-dup
+  *    structure exactly but is decorrelated from other replicas by salting
+  *    every token with the replica id (`tok` → `tok§r<k>`). Token-level
+  *    sketches (MinHash, SimHash, containment) see identical within-replica
+  *    geometry and unrelated cross-replica hashes.
+  *  - embeddings: each replica circularly rotates the vector by `k`
+  *    positions — norms and within-replica pairwise cosines are preserved
+  *    bit-exactly, cross-replica correlations are scrambled.
+  *  - ids are offset by `k * 10_000_000` so blocking keys never collide by id.
+  *
+  * Usage: runMain graft.tools.ScaleEvidence [baseSfDir] [scaledDir] [query ...]
+  */
+object ScaleEvidence {
+
+  private val IdOffset = 10000000L
+
+  def scaleDocuments(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val docs = graft.Tables.load(spark, baseDir, "documents")
+    val reps = spark.range(factor).select(col("id").as("replica"))
+    docs.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("replica") * IdOffset).as("doc_id"),
+        when(col("replica") === 0, col("text")).otherwise(
+          array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("§r"), col("replica").cast("string"))),
+            " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def scaleEmbeddings(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val e = graft.Tables.load(spark, baseDir, "embeddings")
+    val reps = spark.range(factor).select(col("id").as("replica"))
+    val dim = size(col("embedding"))
+    e.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("replica") * IdOffset).as("vec_id"),
+        when(col("replica") === 0, col("embedding")).otherwise(concat(
+          slice(col("embedding"), (col("replica") % dim) + 1,
+            dim - (col("replica") % dim)),
+          slice(col("embedding"), lit(1), col("replica") % dim))).as("embedding"),
+        col("label"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.drop(1).headOption.getOrElse("/tmp/graft_scale10x")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val defaults = Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_containment",
+      "dedup_exact", "ann_ivf", "ann_bruteforce")
+    val targets = if (args.length > 2) args.drop(2).toSeq else defaults
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/documents.parquet"))) {
+      scaleDocuments(spark, baseDir, factor)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      scaleEmbeddings(spark, baseDir, factor)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+    val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    println(s"scaled corpus at $outDir: documents=$nDocs embeddings=$nVecs (factor=$factor)")
+
+    val registry = graft.SparkEntry.queries
+    def time(name: String, dir: String): Double = {
+      val fn = registry(name)
+      fn(spark, dir).count() // warm: codegen + page faults outside the timer
+      def once(): Double = {
+        val t0 = System.nanoTime(); fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    println(f"${"query"}%-22s ${"t_1x"}%8s ${"t_10x"}%8s ${"growth"}%8s ${"perRow"}%8s")
+    val rows = targets.map { q =>
+      val t1 = time(q, baseDir)
+      val tN = time(q, outDir)
+      val growth = tN / t1
+      val perRow = growth / factor
+      println(f"$q%-22s $t1%8.2f $tN%8.2f $growth%7.1fx $perRow%7.2fx")
+      (q, t1, tN, growth, perRow)
+    }
+    val json = rows.map { case (q, t1, tN, g, pr) =>
+      f"""  "$q": {"t_1x": $t1%.3f, "t_${factor}x": $tN%.3f, "growth": $g%.2f, "per_row_cost": $pr%.2f}"""
+    }.mkString("{\n", ",\n", "\n}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/scale_evidence.json"), json)
+    catch { case _: Throwable => () }
+    println(json)
+    spark.stop()
+  }
+}
