@@ -475,6 +475,108 @@ object EventAnalyticsQueries {
       ORDER BY event_type"""),
     notes = "integer-exact median/MAD outlier fence; window-rank lower medians")
 
+  /** MATCH_RECOGNIZE-style adjacency pattern: a `click` whose NEXT event for
+    * the same user is a `purchase` within 30 minutes (strict adjacency — an
+    * intervening event of any type breaks the match; that is what separates
+    * this from `events_funnel`'s any-later-event semantics). One `lead()`
+    * window per user is the whole plan: at 100 TB this is a single shuffle
+    * on user_id, and longer patterns (A B* C) compile to the same shape —
+    * lead/lag chains or one `flatMapGroups` pass per user, never a
+    * self-join of the fact against itself per pattern step.
+    */
+  val eventsSequencePattern = QueryDef(
+    "events_sequence_pattern",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // everything in epoch-ms: Spark sees µs-truncated timestamps and DuckDB
+      // ns ones, so ordering/adjacency at raw precision could disagree on
+      // sub-ms ties — ms is the shared exact granularity (same rule as the
+      // sessionize oracles)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      load(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("next_ms", lead(col("ms"), 1).over(w))
+        .withColumn("next_id", lead(col("event_id"), 1).over(w))
+        .filter(col("event_type") === "click" && col("next_type") === "purchase" &&
+          col("next_ms") <= col("ms") + lit(1800000L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("ms")).as("first_click_ms"),
+          sum(col("next_id")).as("purchase_id_sum"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      seq AS (
+        SELECT user_id, event_id, event_type, ms,
+               LEAD(event_type) OVER w AS next_type,
+               LEAD(ms) OVER w AS next_ms,
+               LEAD(event_id) OVER w AS next_id
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+      SELECT user_id, COUNT(*) AS n_matches,
+             MIN(ms) AS first_click_ms,
+             CAST(SUM(next_id) AS BIGINT) AS purchase_id_sum
+      FROM seq
+      WHERE event_type = 'click' AND next_type = 'purchase'
+        AND next_ms <= ms + 1800000
+      GROUP BY user_id
+      ORDER BY user_id"""),
+    notes = "strict-adjacency event pattern (MATCH_RECOGNIZE shape) via one lead() window")
+
+  /** Behavioral path mining: each user's ENTRY PATH (first five event types
+    * in time order, joined `a>b>c`), then the cohort size per distinct path.
+    * The order-SENSITIVE aggregation shape: `collect_list` alone is
+    * nondeterministic under partition racing, so the list is collected as
+    * (ms, event_id, type) structs and `array_sort`ed — lexicographic struct
+    * ordering gives the deterministic time-then-id sequence on every run and
+    * every partitioning (the DuckDB twin is `list(... ORDER BY ms,
+    * event_id)`).
+    *
+    * Scale shape: one shuffle on user_id; per-user state is capped by the
+    * slice (the sort is per-group, not global). For unbounded histories the
+    * same result comes from a window row_number ≤ 5 pre-filter before the
+    * collect — noted here because collect-then-slice on a hot user IS the
+    * OOM shape at 100 TB.
+    */
+  val eventsPaths = QueryDef(
+    "events_paths",
+    (spark, dir) => {
+      load(spark, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          col("event_id"), col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_join(
+            transform(
+              slice(array_sort(collect_list(
+                struct(col("ms"), col("event_id"), col("event_type")))), 1, 5),
+              x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"),
+          min(col("user_id")).as("example_user"))
+        .orderBy(col("n_users").desc, col("path"))
+    },
+    Some("""
+      WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               array_to_string(
+                 list_slice(list(event_type ORDER BY epoch_ms(ts), event_id),
+                            1, 5), '>') AS path
+        FROM events
+        GROUP BY user_id)
+      SELECT path, COUNT(*) AS n_users,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             MIN(user_id) AS example_user
+      FROM per_user
+      GROUP BY path
+      ORDER BY n_users DESC, path"""),
+    notes = "deterministic ordered collect (struct array_sort); entry-path cohorts")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
-    eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad)
+    eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
+    eventsSequencePattern, eventsPaths)
 }

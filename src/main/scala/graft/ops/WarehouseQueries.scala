@@ -102,5 +102,56 @@ object WarehouseQueries {
       FROM changes
       ORDER BY user_id, version_no"""))
 
-  val all: Seq[QueryDef] = Seq(qualityExpectations, scd2Snapshot)
+  /** Point-in-time (AS OF) lookup against the [[scd2Snapshot]] dimension:
+    * the version of each user valid at an anchor instant — `valid_from ≤ T`
+    * and `(valid_to > T or open)`. THE temporal-table query (what `FOR
+    * SYSTEM_TIME AS OF` compiles to), and the reason SCD2 carries interval
+    * columns at all. Comparisons are in epoch-ms on both engines (µs-vs-ns
+    * parquet precision would otherwise make boundary rows disagree).
+    *
+    * Scale shape: the snapshot build is one window pass per user; the AS OF
+    * filter is a residual predicate on that output — no join. A fact-table
+    * AS OF enrichment against this dimension is `join_range_interval` /
+    * `join_asof` (already covered); this pins the dimension-side semantics.
+    */
+  val scd2Asof = QueryDef(
+    "scd2_asof",
+    (spark, dir) => {
+      val asOfMs = 1705320000000L // 2024-01-15T12:00:00Z, mid-corpus
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      load(spark, dir, "events")
+        .filter(col("event_type") === "view" && col("user_id") % 20 === 0)
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          col("event_id"), col("value"))
+        .withColumn("version_no", row_number().over(w))
+        .withColumn("valid_to_ms", lead(col("ms"), 1).over(w))
+        .filter(col("ms") <= asOfMs &&
+          (col("valid_to_ms").isNull || col("valid_to_ms") > asOfMs))
+        .select(col("user_id"), col("version_no").cast("long").as("version_no"),
+          col("ms").as("valid_from_ms"), col("valid_to_ms"),
+          cents(col("value")).as("value_cents"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH changes AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id, value
+        FROM events
+        WHERE event_type = 'view' AND user_id % 20 = 0),
+      versions AS (
+        SELECT user_id, ms, event_id, value,
+               ROW_NUMBER() OVER w AS version_no,
+               LEAD(ms, 1) OVER w AS valid_to_ms
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+      SELECT user_id, CAST(version_no AS BIGINT) AS version_no,
+             ms AS valid_from_ms, valid_to_ms,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+      FROM versions
+      WHERE ms <= 1705320000000
+        AND (valid_to_ms IS NULL OR valid_to_ms > 1705320000000)
+      ORDER BY user_id"""),
+    notes = "temporal AS OF point lookup over the SCD2 dimension")
+
+  val all: Seq[QueryDef] = Seq(qualityExpectations, scd2Snapshot, scd2Asof)
 }

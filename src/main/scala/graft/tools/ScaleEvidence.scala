@@ -91,12 +91,17 @@ object ScaleEvidence {
       val fn = registry(name)
       fn(spark, dir).count() // warm: codegen + page faults outside the timer
       def once(): Double = {
+        // drop plan-matched InMemoryRelations between runs: queries that
+        // .cache() an intermediate (minhash signatures) would otherwise be
+        // timed on a cache hit, excluding exactly the linear compute this
+        // tool exists to measure
+        spark.catalog.clearCache()
         val t0 = System.nanoTime(); fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
       math.min(once(), once())
     }
-    println(f"${"query"}%-22s ${"t_1x"}%8s ${"t_10x"}%8s ${"growth"}%8s ${"perRow"}%8s")
+    println(f"${"query"}%-22s ${"t_1x"}%8s ${s"t_${factor}x"}%8s ${"growth"}%8s ${"perRow"}%8s")
     val rows = targets.map { q =>
       val t1 = time(q, baseDir)
       val tN = time(q, outDir)
