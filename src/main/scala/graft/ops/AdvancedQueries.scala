@@ -288,6 +288,59 @@ object AdvancedQueries {
       WHERE rn = 1 AND gap_ms <= 1800000
       ORDER BY purchase_id"""))
 
+  /** As-of join, NEAREST direction (merge_asof direction='nearest' with a
+    * 30-min tolerance): each purchase matches the view whose timestamp is
+    * CLOSEST in either direction, ties to the earlier view then the smaller
+    * id. Completes the as-of direction set (backward = `join_asof`/
+    * `join_asof_native`, backward+tolerance = `join_asof_tolerance`).
+    * The join condition is an equi key (user) + symmetric band
+    * (|gap| ≤ 30 min), so it plans as a hash join on user with the band as
+    * residual — candidates stay bounded by the tolerance window, never a
+    * per-user cross product.
+    */
+  val joinAsofNearest = QueryDef(
+    "join_asof_nearest",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = load(spark, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_millis(col("ts")).as("p_ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          unix_millis(col("ts")).as("v_ms"))
+      val w = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("abs_gap_ms"), col("v_ms"), col("view_id"))
+      p.join(v, col("v_user") === col("user_id") &&
+          abs(col("v_ms") - col("p_ms")) <= lit(1800000L))
+        .withColumn("abs_gap_ms", abs(col("v_ms") - col("p_ms")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("purchase_id"), col("user_id"),
+          col("view_id").as("nearest_view_id"),
+          (col("p_ms") - col("v_ms")).as("gap_ms"), col("abs_gap_ms"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS p_ms
+        FROM events WHERE event_type = 'purchase'),
+      v AS (
+        SELECT event_id AS view_id, user_id, epoch_ms(ts) AS v_ms
+        FROM events WHERE event_type = 'view'),
+      ranked AS (
+        SELECT p.purchase_id, p.user_id, v.view_id,
+               p.p_ms - v.v_ms AS gap_ms, abs(v.v_ms - p.p_ms) AS abs_gap_ms,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                 ORDER BY abs(v.v_ms - p.p_ms), v.v_ms, v.view_id) AS rn
+        FROM p JOIN v ON v.user_id = p.user_id
+          AND abs(v.v_ms - p.p_ms) <= 1800000)
+      SELECT purchase_id, user_id, view_id AS nearest_view_id, gap_ms, abs_gap_ms
+      FROM ranked
+      WHERE rn = 1
+      ORDER BY purchase_id"""),
+    notes = "merge_asof direction=nearest; equi+band join, tie to earlier view")
+
   /** Explicit join-strategy control: SHUFFLE_HASH hint forces a shuffled
     * hash join where the planner would otherwise broadcast or sort-merge —
     * the knob for dimension tables too big to broadcast but cheap to hash.
@@ -380,5 +433,6 @@ object AdvancedQueries {
 
   val all: Seq[QueryDef] = Seq(subqueryScalar, subqueryExists, windowRange,
     windowRanks, eventsPivot, arrayFuncs, stringFuncs, arraySetops,
-    conditionalFuncs, joinAsofNative, joinAsofTolerance, joinShuffleHash)
+    conditionalFuncs, joinAsofNative, joinAsofTolerance, joinAsofNearest,
+    joinShuffleHash)
 }

@@ -576,7 +576,51 @@ object EventAnalyticsQueries {
       ORDER BY n_users DESC, path"""),
     notes = "deterministic ordered collect (struct array_sort); entry-path cohorts")
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next_type | type) as integer basis points (`10000 · n_pair DIV
+    * n_from`). The estimation shape behind session simulation and
+    * next-action prediction baselines. Same one-lead()-window plan as
+    * [[eventsSequencePattern]] — the fact shuffles once on user_id, the
+    * transition matrix is |types|² rows.
+    */
+  val eventsMarkov = QueryDef(
+    "events_markov",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val wFrom = Window.partitionBy(col("event_type"))
+      load(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_pair"))
+        .withColumn("n_from", sum(col("n_pair")).over(wFrom))
+        .select(col("event_type"), col("next_type"), col("n_pair"),
+          col("n_from"), expr("(10000L * n_pair) div n_from").as("p_bp"))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_ms(ts), event_id) AS next_type
+        FROM events),
+      pairs AS (
+        SELECT event_type, next_type, COUNT(*) AS n_pair
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type)
+      SELECT event_type, next_type, n_pair,
+             CAST(SUM(n_pair) OVER (PARTITION BY event_type) AS BIGINT) AS n_from,
+             CAST((10000 * n_pair) //
+               SUM(n_pair) OVER (PARTITION BY event_type) AS BIGINT) AS p_bp
+      FROM pairs
+      ORDER BY event_type, next_type"""),
+    notes = "integer-bp Markov transition matrix from one lead() window")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
-    eventsSequencePattern, eventsPaths)
+    eventsSequencePattern, eventsPaths, eventsMarkov)
 }

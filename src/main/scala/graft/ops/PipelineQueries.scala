@@ -563,8 +563,65 @@ object PipelineQueries {
       ORDER BY lang"""),
     notes = "pinned language-mixture quotas (bp weights), Knuth-hash selection")
 
+  /** Sequential filter-chain ATTRITION audit — the per-rule accounting every
+    * curation pipeline publishes beside its output ("N in → dropped X by
+    * length, Y by repetition, Z by stopword-profile → M out"). Each document
+    * is charged to its FIRST failing rule (the chain short-circuits, so
+    * downstream rules never see it — that is what makes per-rule counts sum
+    * to the total drop). One narrow map computes the verdict; the audit is
+    * a |rules|-row aggregate — no shuffle of the corpus at any scale.
+    * Thresholds are the `text_quality` ones, recast as an ordered gate.
+    */
+  val pipelineAttrition = QueryDef(
+    "pipeline_attrition",
+    (spark, dir) => {
+      val toks = split(col("text"), " ")
+      val stop = Seq("the", "a", "and", "of", "in")
+      val verdict = load(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast(LongType).as("n_tok"),
+          size(array_distinct(toks)).cast(LongType).as("n_dis"),
+          size(filter(toks, t => t.isin(stop: _*))).cast(LongType).as("n_stop"))
+        .withColumn("dis_bp", floor(col("n_dis") * 10000 / col("n_tok")).cast(LongType))
+        .withColumn("stop_bp", floor(col("n_stop") * 10000 / col("n_tok")).cast(LongType))
+        .withColumn("verdict",
+          when(col("n_tok") < 30, "1_short")
+            .when(col("dis_bp") < 2500, "2_repetitive")
+            .when(col("stop_bp") < 200 || col("stop_bp") > 2500, "3_stop_profile")
+            .otherwise("4_kept"))
+      verdict.groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(col("doc_id")).as("doc_id_sum"))
+        .orderBy(col("verdict"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
+               CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','and','of','in'], t))) AS BIGINT) AS n_stop
+        FROM documents),
+      v AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok < 30 THEN '1_short'
+                    WHEN CAST(floor(n_dis * 10000 / n_tok) AS BIGINT) < 2500
+                      THEN '2_repetitive'
+                    WHEN CAST(floor(n_stop * 10000 / n_tok) AS BIGINT) < 200
+                      OR CAST(floor(n_stop * 10000 / n_tok) AS BIGINT) > 2500
+                      THEN '3_stop_profile'
+                    ELSE '4_kept' END AS verdict
+        FROM scored)
+      SELECT verdict, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+      FROM v
+      GROUP BY verdict
+      ORDER BY verdict"""),
+    notes = "first-failing-rule attrition accounting; rules from text_quality as an ordered gate")
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
     pipelinePack, pipelineDecontaminate, textRepetition, pipelineRedact,
-    sampleTemperature, sampleMixture)
+    sampleTemperature, sampleMixture, pipelineAttrition)
 }

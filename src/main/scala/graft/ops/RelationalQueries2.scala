@@ -332,14 +332,19 @@ object RelationalQueries2 {
   val graphPagerank = QueryDef(
     "graph_pagerank",
     (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val edges = load(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(load(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
         .distinct()
-      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val contrib = edges.join(outdeg, "src")
+      // outdegree as an unordered window over the deduped edges, NOT an
+      // aggregate re-joined back: the join form materializes the whole
+      // edge-build subplan twice (scan+join+distinct on each side of an
+      // SMJ) — 2× the dominant cost at any scale
+      val contrib = edges
+        .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
         .select(col("dst"), expr("10000L div outdeg").as("c"))
       contrib.groupBy(col("dst"))
         .agg(count(lit(1)).as("in_deg"),

@@ -446,6 +446,153 @@ object VectorQueries {
       FROM codes GROUP BY code
       ORDER BY code"""))
 
+  /** IVF+PQ — the production ANN composite (what FAISS's IndexIVFPQ runs):
+    * coarse quantizer prunes the corpus to 4 of 16 probed cells, PQ codes
+    * (4 subspaces × 4 centroids, from [[annPq]]'s codebook construction)
+    * give an ASYMMETRIC-distance approximation via a per-query lookup table
+    * (8 queries × 4 subspaces × 4 centroids = 128 broadcast rows — the ADC
+    * table), the top-20 approximate candidates per query are re-ranked with
+    * exact cosine, top-10 kept. The full-precision corpus is touched only
+    * for probed-cell residents; at real scale codes live in memory and the
+    * exact re-rank is the only full-vector I/O.
+    *
+    * Every ranking key is integer (floor-bp distances, vec_id tiebreaks),
+    * so both engines agree exactly at each of the three pruning stages.
+    */
+  val annIvfPq = QueryDef(
+    "ann_ivf_pq",
+    (spark, dir) => {
+      val M = 4; val SUB = 16
+      val e = vecs(spark, dir)
+      // coarse quantizer + cell assignment (ann_ivf shape)
+      val coarse = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assignW = Window.partitionBy(col("vec_id")).orderBy(col("sbp").desc, col("cid"))
+      val assign = e.join(broadcast(coarse), lit(true))
+        .select(col("vec_id"), col("cid"),
+          basisPoints(cosine(col("v"), col("cv"))).as("sbp"))
+        .withColumn("arn", row_number().over(assignW))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cid"))
+      // PQ codebook + per-vector codes (ann_pq shape), kept per subspace
+      val sub = e.select(col("vec_id"), explode(array((0 until M).map(j =>
+          struct(lit(j).as("j"), slice(col("v"), j * SUB + 1, SUB).as("s"))): _*)).as("p"))
+        .select(col("vec_id"), col("p.j").as("j"), col("p.s").as("s"))
+      val cb = sub.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cs"), col("j"), col("s").as("cv"))
+      val codeW = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("dist_bp"), col("cs"))
+      val codes = sub.join(broadcast(cb), "j")
+        .select(col("vec_id"), col("j"), col("cs"),
+          floor(((dot(col("s"), col("s")) - lit(2.0) * dot(col("s"), col("cv")))
+            + dot(col("cv"), col("cv"))) * 10000 + lit(0.5)).cast("long")
+            .as("dist_bp"))
+        .withColumn("rn", row_number().over(codeW)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("j"), col("cs"))
+      // queries: probed cells + ADC lookup table
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val probeW = Window.partitionBy(col("qid")).orderBy(col("sbp").desc, col("cid"))
+      val probes = q.join(broadcast(coarse), lit(true))
+        .select(col("qid"), col("cid"),
+          basisPoints(cosine(col("qv"), col("cv"))).as("sbp"))
+        .withColumn("prn", row_number().over(probeW))
+        .filter(col("prn") <= 4)
+        .select(col("qid"), col("cid"))
+      val qsub = q.select(col("qid"), explode(array((0 until M).map(j =>
+          struct(lit(j).as("j"), slice(col("qv"), j * SUB + 1, SUB).as("qs"))): _*)).as("p"))
+        .select(col("qid"), col("p.j").as("j"), col("p.qs").as("qs"))
+      val adc = qsub.join(broadcast(cb), "j")
+        .select(col("qid"), col("j"), col("cs"),
+          floor(((dot(col("qs"), col("qs")) - lit(2.0) * dot(col("qs"), col("cv")))
+            + dot(col("cv"), col("cv"))) * 10000 + lit(0.5)).cast("long")
+            .as("adist_bp"))
+      // probed candidates → approx distance via ADC → top-20 → exact re-rank
+      val cand = probes.join(assign, "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
+      val approxW = Window.partitionBy(col("qid")).orderBy(col("approx_bp"), col("vec_id"))
+      val shortlist = cand.join(codes, "vec_id")
+        .join(broadcast(adc), Seq("qid", "j", "cs"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("adist_bp")).as("approx_bp"))
+        .withColumn("arn", row_number().over(approxW))
+        .filter(col("arn") <= 20)
+        .select(col("qid"), col("vec_id"), col("approx_bp"))
+      val rankW = Window.partitionBy(col("qid")).orderBy(col("sim_bp").desc, col("vec_id"))
+      shortlist
+        .join(q, "qid")
+        .join(e, "vec_id")
+        .select(col("qid"), col("vec_id"), col("approx_bp"),
+          basisPoints(cosine(col("qv"), col("v"))).as("sim_bp"))
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("rn"), col("vec_id"), col("sim_bp"), col("approx_bp"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(s"""
+      WITH e AS ($DuckVecs),
+      coarse AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      ascore AS (SELECT e.vec_id, cid, ${duckSim("e.v", "cv")} AS sbp
+                 FROM e CROSS JOIN coarse),
+      assign AS (SELECT vec_id, cid FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY sbp DESC, cid) AS arn FROM ascore)
+                 WHERE arn = 1),
+      js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(j)),
+      sub AS (
+        SELECT vec_id, j, list_slice(v, j * 16 + 1, j * 16 + 16) AS s
+        FROM e CROSS JOIN js),
+      cb AS (SELECT vec_id AS cs, j, s AS cv FROM sub WHERE vec_id < 4),
+      cscore AS (
+        SELECT sub.vec_id, sub.j, cs,
+               CAST(floor(((list_dot_product(s, s) - 2 * list_dot_product(s, cv))
+                 + list_dot_product(cv, cv)) * 10000 + 0.5) AS BIGINT) AS dist_bp
+        FROM sub JOIN cb ON sub.j = cb.j),
+      codes AS (
+        SELECT vec_id, j, cs FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+            ORDER BY dist_bp, cs) AS rn FROM cscore)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+      pscore AS (SELECT qid, cid, ${duckSim("qv", "cv")} AS sbp
+                 FROM q CROSS JOIN coarse),
+      probes AS (SELECT qid, cid FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY sbp DESC, cid) AS prn FROM pscore)
+                 WHERE prn <= 4),
+      qsub AS (
+        SELECT qid, j, list_slice(qv, j * 16 + 1, j * 16 + 16) AS qs
+        FROM q CROSS JOIN js),
+      adc AS (
+        SELECT qid, qsub.j, cs,
+               CAST(floor(((list_dot_product(qs, qs) - 2 * list_dot_product(qs, cv))
+                 + list_dot_product(cv, cv)) * 10000 + 0.5) AS BIGINT) AS adist_bp
+        FROM qsub JOIN cb ON qsub.j = cb.j),
+      cand AS (
+        SELECT qid, vec_id FROM probes JOIN assign USING (cid)
+        WHERE vec_id <> qid),
+      shortlist AS (
+        SELECT qid, vec_id, approx_bp FROM (
+          SELECT c.qid, c.vec_id,
+                 CAST(SUM(adist_bp) AS BIGINT) AS approx_bp,
+                 ROW_NUMBER() OVER (PARTITION BY c.qid
+                   ORDER BY CAST(SUM(adist_bp) AS BIGINT), c.vec_id) AS arn
+          FROM cand c
+          JOIN codes ON codes.vec_id = c.vec_id
+          JOIN adc ON adc.qid = c.qid AND adc.j = codes.j AND adc.cs = codes.cs
+          GROUP BY c.qid, c.vec_id)
+        WHERE arn <= 20),
+      reranked AS (
+        SELECT s.qid, s.vec_id, s.approx_bp, ${duckSim("qv", "v")} AS sim_bp
+        FROM shortlist s JOIN q ON q.qid = s.qid JOIN e ON e.vec_id = s.vec_id)
+      SELECT qid, rn, vec_id, sim_bp, approx_bp FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY sim_bp DESC, vec_id) AS rn FROM reranked)
+      WHERE rn <= 10
+      ORDER BY qid, rn"""),
+    notes = "FAISS IndexIVFPQ shape: coarse probe -> ADC approx rank -> exact re-rank")
+
   val all: Seq[QueryDef] = Seq(annBruteforce, annIvf, dedupEmbeddingLsh,
-    kmeansStep, vectorStats, vectorQuantize, annRecall, annPq)
+    kmeansStep, vectorStats, vectorQuantize, annRecall, annPq, annIvfPq)
 }
