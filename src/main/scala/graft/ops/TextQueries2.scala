@@ -114,44 +114,53 @@ object TextQueries2 {
     * The DuckDB oracle computes the same closure with a recursive CTE —
     * independent formulation, identical clusters.
     */
+  /** (id, root) component labels for every doc that appears in a near-dup
+    * edge (Jaccard ≥ 0.5 pairs on the doc_id % 20 corpus slice) — the
+    * min-label pointer-doubling loop shared by `dedup_components` (cluster
+    * census) and `dedup_keep_best` (the apply step).
+    */
+  def componentLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = TextQueries.dedupJaccardTokens.fn(spark, dir)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("root", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 10) {
+      val neighborMin = edges
+        .join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("root")).as("nb_root"))
+      val stepped = labels
+        .join(neighborMin, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("root"), coalesce(col("nb_root"), col("root"))).as("root"),
+          (col("nb_root") < col("root")).cast("long").as("moved"))
+      // pointer doubling: follow one hop of the label table itself
+      val rootOf = stepped.select(col("id").as("r_id"), col("root").as("r_root"))
+      val next = stepped
+        .join(rootOf, col("root") === col("r_id"), "left")
+        .select(col("id"),
+          least(col("root"), coalesce(col("r_root"), col("root"))).as("root"),
+          col("moved"))
+      val materialized = next.localCheckpoint()
+      changed = materialized.agg(sum(col("moved"))).first().getLong(0)
+      labels = materialized.select(col("id"), col("root"))
+      rounds += 1
+    }
+    labels
+  }
+
   val dedupComponents = QueryDef(
     "dedup_components",
-    (spark, dir) => {
-      val pairs = TextQueries.dedupJaccardTokens.fn(spark, dir)
-        .select(col("a_id"), col("b_id"))
-      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("root", col("id"))
-        .localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 10) {
-        val neighborMin = edges
-          .join(labels, col("src") === col("id"))
-          .groupBy(col("dst")).agg(min(col("root")).as("nb_root"))
-        val stepped = labels
-          .join(neighborMin, col("id") === col("dst"), "left")
-          .select(col("id"),
-            least(col("root"), coalesce(col("nb_root"), col("root"))).as("root"),
-            (col("nb_root") < col("root")).cast("long").as("moved"))
-        // pointer doubling: follow one hop of the label table itself
-        val rootOf = stepped.select(col("id").as("r_id"), col("root").as("r_root"))
-        val next = stepped
-          .join(rootOf, col("root") === col("r_id"), "left")
-          .select(col("id"),
-            least(col("root"), coalesce(col("r_root"), col("root"))).as("root"),
-            col("moved"))
-        val materialized = next.localCheckpoint()
-        changed = materialized.agg(sum(col("moved"))).first().getLong(0)
-        labels = materialized.select(col("id"), col("root"))
-        rounds += 1
-      }
-      labels.groupBy(col("root"))
+    (spark, dir) =>
+      componentLabels(spark, dir).groupBy(col("root"))
         .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
-        .orderBy(col("root"))
-    },
+        .orderBy(col("root")),
     Some("""
       WITH RECURSIVE
       d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
@@ -294,6 +303,76 @@ object TextQueries2 {
       FROM sized
       ORDER BY doc_id, chunk_idx"""))
 
+  /** The APPLY step of near-dup dedup — what the census queries
+    * ([[dedupComponents]] and the sketch summaries) feed: every near-dup
+    * cluster keeps exactly ONE document (the longest, ties to the lower id
+    * — the "best quality" stand-in), singletons keep themselves, and the
+    * output accounts for every kept doc with its cluster size and the
+    * dropped-id checksum. This is the operator that actually shrinks the
+    * corpus; at 100 TB it is the same labels join + one per-cluster
+    * row_number, both keyed by the cluster root.
+    */
+  val dedupKeepBest = QueryDef(
+    "dedup_keep_best",
+    (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("n_chars"))
+      val labels = componentLabels(spark, dir)
+      val labeled = docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("root"), col("doc_id")).as("root"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("root"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labeled
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("root"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+          max(when(col("rn") === 1, col("n_chars"))).as("kept_chars"),
+          coalesce(sum(when(col("rn") > 1, col("doc_id"))), lit(0L))
+            .as("dropped_id_sum"))
+        .orderBy(col("root"))
+    },
+    Some("""
+      WITH RECURSIVE
+      d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents WHERE doc_id % 20 = 0),
+      e AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+      c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+            FROM e a JOIN e b ON a.tok = b.tok AND a.lang = b.lang
+                              AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      n AS (SELECT doc_id, len(toks) AS n FROM d),
+      pairs AS (
+        SELECT a_id, b_id
+        FROM c JOIN n na ON c.a_id = na.doc_id JOIN n nb ON c.b_id = nb.doc_id
+        WHERE CAST(floor(common / (na.n + nb.n - common) * 10000 + 0.5) AS BIGINT) >= 5000),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+      labeled AS (
+        SELECT doc.doc_id, doc.n_chars, COALESCE(comp.root, doc.doc_id) AS root
+        FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id % 20 = 0) doc
+        LEFT JOIN comp ON comp.id = doc.doc_id),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY root
+                    ORDER BY n_chars DESC, doc_id) AS rn
+        FROM labeled)
+      SELECT root, COUNT(*) AS n_members,
+             MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+             MAX(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars,
+             CAST(COALESCE(SUM(CASE WHEN rn > 1 THEN doc_id END), 0) AS BIGINT)
+               AS dropped_id_sum
+      FROM ranked
+      GROUP BY root
+      ORDER BY root"""),
+    notes = "dedup apply-step: one survivor per cluster (longest, tie lower id) + singleton passthrough")
+
   val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents,
-    textNormalize, textNgrams, textChunk)
+    dedupKeepBest, textNormalize, textNgrams, textChunk)
 }

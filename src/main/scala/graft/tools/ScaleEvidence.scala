@@ -60,12 +60,33 @@ object ScaleEvidence {
         col("label"))
   }
 
+  /** FACTOR× events: replicas are disjoint user populations (user and event
+    * ids offset per replica), so every per-user window/session/sequence has
+    * the base corpus' exact shape — the corpus just has FACTOR× more users,
+    * which is precisely how an event fact grows in production.
+    * `ts` is written as raw epoch-ns int64 (the driver fixtures'
+    * TIMESTAMP(NANOS) convention) so [[graft.Tables.load]]'s ns→µs rebuild
+    * applies unchanged to the scaled dir.
+    */
+  def scaleEvents(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val e = graft.Tables.load(spark, baseDir, "events")
+    val reps = spark.range(factor).select(col("id").as("replica"))
+    e.crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("replica") * IdOffset).as("event_id"),
+        (unix_micros(col("ts")) * 1000).as("ts"),
+        (col("user_id") + col("replica") * IdOffset).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.drop(1).headOption.getOrElse("/tmp/graft_scale10x")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val defaults = Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_containment",
-      "dedup_exact", "ann_ivf", "ann_bruteforce")
+      "dedup_exact", "ann_ivf", "ann_bruteforce",
+      "events_sessionize", "events_paths", "events_markov", "window_running",
+      "events_anomaly_mad", "join_asof_nearest")
     val targets = if (args.length > 2) args.drop(2).toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -82,9 +103,15 @@ object ScaleEvidence {
       scaleEmbeddings(spark, baseDir, factor)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/events.parquet"))) {
+      scaleEvents(spark, baseDir, factor)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
     val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$outDir/embeddings.parquet").count()
-    println(s"scaled corpus at $outDir: documents=$nDocs embeddings=$nVecs (factor=$factor)")
+    val nEvents = spark.read.parquet(s"$outDir/events.parquet").count()
+    println(s"scaled corpus at $outDir: documents=$nDocs embeddings=$nVecs " +
+      s"events=$nEvents (factor=$factor)")
 
     val registry = graft.SparkEntry.queries
     def time(name: String, dir: String): Double = {
