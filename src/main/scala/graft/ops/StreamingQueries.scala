@@ -407,7 +407,54 @@ object StreamingQueries {
       ORDER BY user_id"""),
     notes = "versioned-parquet upsert sink, final snapshot vs per-user argmax")
 
+  /** Stateful sequence extraction ([[EventStreams.transitions]]): one
+    * micro-batch emits every consecutive-pair transition per user; the sink
+    * is re-aggregated to the SAME transition matrix as the batch
+    * `events_markov` — the oracle IS that query's SQL, pinning that a
+    * one-record-per-user state stream reproduces the batch lead() window
+    * exactly (including cross-micro-batch pairs, carried by the state).
+    */
+  val streamMarkov = QueryDef(
+    "stream_markov",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = streamEvents(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val res = runToTable(EventStreams.transitions(ev).toDF(),
+        "stream_markov_sink", OutputMode.Append)
+      val wFrom = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      res
+        .groupBy(col("from_type").as("event_type"),
+          col("to_type").as("next_type"))
+        .agg(count(lit(1)).as("n_pair"))
+        .withColumn("n_from", sum(col("n_pair")).over(wFrom))
+        .select(col("event_type"), col("next_type"), col("n_pair"),
+          col("n_from"), expr("(10000L * n_pair) div n_from").as("p_bp"))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_ms(ts), event_id) AS next_type
+        FROM events),
+      pairs AS (
+        SELECT event_type, next_type, COUNT(*) AS n_pair
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type)
+      SELECT event_type, next_type, n_pair,
+             CAST(SUM(n_pair) OVER (PARTITION BY event_type) AS BIGINT) AS n_from,
+             CAST((10000 * n_pair) //
+               SUM(n_pair) OVER (PARTITION BY event_type) AS BIGINT) AS p_bp
+      FROM pairs
+      ORDER BY event_type, next_type"""),
+    notes = "streaming transition extraction == batch events_markov matrix")
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
-    streamEnrich, streamJoinOuter, streamUpsert)
+    streamEnrich, streamJoinOuter, streamUpsert, streamMarkov)
 }

@@ -38,6 +38,38 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_cents"))
 
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Last event seen per user — the carry-over state for [[transitions]]. */
+  case class LastEvent(ms: Long, eventId: Long, eventType: String)
+
+  /** Stateful SEQUENCE EXTRACTION: emit one (from→to) transition per
+    * consecutive event pair per user, across micro-batch boundaries — the
+    * streaming feeder of the batch `events_markov` transition matrix. The
+    * per-user state is ONE record (the last event seen), so state size is
+    * O(users) regardless of history length — the pattern for any
+    * "compare each event with the previous one" feature (deltas, dwell
+    * times, transition counts) on a live stream.
+    */
+  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[LastEvent]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var last = state.getOption
+          for (e <- sorted) {
+            last.foreach(l => out += Transition(userId, l.eventType, e.event_type))
+            last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-static enrichment: join a live event stream against a broadcast
     * dimension snapshot. The static side is re-broadcast per micro-batch, so
     * at scale the dim must stay broadcast-sized (or switch to a keyed state
