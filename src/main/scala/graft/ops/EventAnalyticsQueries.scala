@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.Tables.load
@@ -636,7 +636,125 @@ object EventAnalyticsQueries {
       ORDER BY event_type, next_type"""),
     notes = "integer-bp Markov transition matrix from one lead() window")
 
+  /** Exact per-group percentiles (P25/P50/P75/P95) via the SAME histogram-
+    * cumsum pattern as [[eventsAnomalyMad]], generalized to arbitrary ranks:
+    * the value at rank `ceil(p·n/100)` is read off the (type, value)→count
+    * histogram's running total — nearest-rank percentiles, every
+    * intermediate an exact BIGINT, value-cardinality-sized windows instead
+    * of fact-sized sorts. The daily-latency-dashboard shape, scale-safe.
+    */
+  val eventsPercentiles = QueryDef(
+    "events_percentiles",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val hist = load(spark, dir, "events")
+        .select(col("event_type"), cents.as("v"))
+        .groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("event_type"))
+        .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      def atRank(rankExpr: String): Column =
+        max(when(col("cum") - col("cnt") < expr(rankExpr) &&
+          col("cum") >= expr(rankExpr), col("v")))
+      cum.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          atRank("(25 * n + 99) div 100").as("p25_cents"),
+          atRank("(50 * n + 99) div 100").as("p50_cents"),
+          atRank("(75 * n + 99) div 100").as("p75_cents"),
+          atRank("(95 * n + 99) div 100").as("p95_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH hist AS (
+        SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               COUNT(*) AS cnt
+        FROM events
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT *,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM hist)
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN cum - cnt < (25 * n + 99) // 100
+                       AND cum >= (25 * n + 99) // 100 THEN v END) AS p25_cents,
+             MAX(CASE WHEN cum - cnt < (50 * n + 99) // 100
+                       AND cum >= (50 * n + 99) // 100 THEN v END) AS p50_cents,
+             MAX(CASE WHEN cum - cnt < (75 * n + 99) // 100
+                       AND cum >= (75 * n + 99) // 100 THEN v END) AS p75_cents,
+             MAX(CASE WHEN cum - cnt < (95 * n + 99) // 100
+                       AND cum >= (95 * n + 99) // 100 THEN v END) AS p95_cents
+      FROM cum
+      GROUP BY event_type
+      ORDER BY event_type"""),
+    notes = "nearest-rank percentiles off the value histogram; fact never sorted")
+
+  /** Linear multi-touch attribution: each purchase's value splits EQUALLY
+    * across the same user's clicks in the preceding hour, integer-exactly —
+    * per-click share = value_cents DIV n_touches, with the division
+    * REMAINDER credited to the earliest click (deterministic, and the
+    * credits provably re-sum to every purchase's exact value). The batch
+    * twin of `stream_attribution` upgraded from pairing to credit
+    * assignment; same equi+interval join shape, bounded by the 1-hour
+    * window.
+    */
+  val eventsAttributionLinear = QueryDef(
+    "events_attribution_linear",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = load(spark, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_millis(col("ts")).as("p_ms"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("value_cents"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          unix_millis(col("ts")).as("c_ms"))
+      val w = Window.partitionBy(col("purchase_id"))
+      val wRank = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("c_ms"), col("click_id"))
+      p.join(c, col("c_user") === col("user_id") &&
+          col("c_ms") <= col("p_ms") && col("c_ms") >= col("p_ms") - lit(3600000L))
+        .withColumn("n_touches", count(lit(1)).over(w))
+        .withColumn("touch_rank", row_number().over(wRank))
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          col("touch_rank"), col("n_touches"),
+          (expr("value_cents div n_touches") +
+            when(col("touch_rank") === 1, expr("value_cents % n_touches"))
+              .otherwise(lit(0L))).as("credit_cents"))
+        .orderBy(col("purchase_id"), col("touch_rank"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS p_ms,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT event_id AS click_id, user_id, epoch_ms(ts) AS c_ms
+        FROM events WHERE event_type = 'click'),
+      touches AS (
+        SELECT p.purchase_id, p.user_id, c.click_id, p.value_cents, c.c_ms,
+               COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                 ORDER BY c.c_ms, c.click_id) AS touch_rank
+        FROM p JOIN c ON c.user_id = p.user_id
+          AND c.c_ms <= p.p_ms AND c.c_ms >= p.p_ms - 3600000)
+      SELECT purchase_id, user_id, click_id, touch_rank,
+             CAST(n_touches AS BIGINT) AS n_touches,
+             CAST(value_cents // n_touches
+                  + CASE WHEN touch_rank = 1 THEN value_cents % n_touches
+                         ELSE 0 END AS BIGINT) AS credit_cents
+      FROM touches
+      ORDER BY purchase_id, touch_rank"""),
+    notes = "integer-exact linear multi-touch credit; remainder to earliest click")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
-    eventsSequencePattern, eventsPaths, eventsMarkov)
+    eventsSequencePattern, eventsPaths, eventsMarkov, eventsPercentiles,
+    eventsAttributionLinear)
 }
