@@ -449,7 +449,58 @@ object FunctionQueries {
       ORDER BY l_returnflag"""),
     notes = "mergeable-bitmap exact distinct; oracle mirrors Spark's 32768-wide buckets incl. the x<=0 bucket-0 rule")
 
+  /** HLL sketch SET ALGEBRA (Datasketches `hll_sketch_agg` / `hll_union` /
+    * `hll_sketch_estimate`): distinct counts of two sets, their union via
+    * sketch MERGE (never re-scanning the fact), and their intersection via
+    * inclusion–exclusion — the sketch-algebra workflow behind audience
+    * overlap / contamination-rate dashboards. Mergeability is the 100 TB
+    * point: per-partition sketches union associatively, so |A∪B| costs one
+    * byte-array merge. Same oracle strategy as `agg_approx`: exact distinct
+    * counts as ground truth plus integer within-band flags the oracle
+    * states as constant 1 (±5% per sketch, ±10% for the subtracted
+    * intersection where errors compound).
+    */
+  val aggHllSetops = QueryDef(
+    "agg_hll_setops",
+    (spark, dir) => {
+      load(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"))
+        .agg(
+          expr("hll_sketch_estimate(hll_sketch_agg(CASE WHEN l_returnflag = 'R' THEN l_partkey END))").as("est_a"),
+          expr("hll_sketch_estimate(hll_sketch_agg(CASE WHEN l_returnflag = 'N' THEN l_partkey END))").as("est_b"),
+          expr("""hll_sketch_estimate(hll_union(
+               hll_sketch_agg(CASE WHEN l_returnflag = 'R' THEN l_partkey END),
+               hll_sketch_agg(CASE WHEN l_returnflag = 'N' THEN l_partkey END)))""").as("est_u"),
+          expr("count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_partkey END)").as("exact_a"),
+          expr("count(DISTINCT CASE WHEN l_returnflag = 'N' THEN l_partkey END)").as("exact_b"),
+          expr("count(DISTINCT CASE WHEN l_returnflag IN ('R','N') THEN l_partkey END)").as("exact_union"))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"),
+          (col("exact_a") + col("exact_b") - col("exact_union")).as("exact_intersect"),
+          (abs(col("est_a") - col("exact_a")) * 100 <= col("exact_a") * 5)
+            .cast("long").as("ok_a"),
+          (abs(col("est_b") - col("exact_b")) * 100 <= col("exact_b") * 5)
+            .cast("long").as("ok_b"),
+          (abs(col("est_u") - col("exact_union")) * 100 <= col("exact_union") * 5)
+            .cast("long").as("ok_union"),
+          (abs((col("est_a") + col("est_b") - col("est_u")) -
+            (col("exact_a") + col("exact_b") - col("exact_union"))) * 100
+            <= (col("exact_a") + col("exact_b") - col("exact_union")) * 10)
+            .cast("long").as("ok_intersect"))
+    },
+    Some("""
+      SELECT
+        COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_partkey END) AS exact_a,
+        COUNT(DISTINCT CASE WHEN l_returnflag = 'N' THEN l_partkey END) AS exact_b,
+        COUNT(DISTINCT CASE WHEN l_returnflag IN ('R','N') THEN l_partkey END) AS exact_union,
+        CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_partkey END)
+           + COUNT(DISTINCT CASE WHEN l_returnflag = 'N' THEN l_partkey END)
+           - COUNT(DISTINCT CASE WHEN l_returnflag IN ('R','N') THEN l_partkey END)
+           AS BIGINT) AS exact_intersect,
+        1 AS ok_a, 1 AS ok_b, 1 AS ok_union, 1 AS ok_intersect
+      FROM lineitem"""),
+    notes = "Datasketches HLL union + inclusion-exclusion intersection, band-flagged vs exact")
+
   val all: Seq[QueryDef] = Seq(regexFuncs, datetimeFuncs, nullFuncs,
     bitHashFuncs, statsMoments, aggCollect, structArgminmax, aggApproxQuantile,
-    aggMode, tryFuncs, joinNullSafe, aggBitmapDistinct)
+    aggMode, tryFuncs, joinNullSafe, aggBitmapDistinct, aggHllSetops)
 }

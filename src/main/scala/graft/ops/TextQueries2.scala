@@ -373,6 +373,52 @@ object TextQueries2 {
       ORDER BY root"""),
     notes = "dedup apply-step: one survivor per cluster (longest, tie lower id) + singleton passthrough")
 
+  /** Corpus bigram language-model statistics: adjacent-token pair counts
+    * and the integer-bp conditional P(b|a) — the count tables every n-gram
+    * LM (and data-quality perplexity proxy) is built from. Pair extraction
+    * is positional (`explode(sequence(1, n−1))` + `element_at`), a narrow
+    * map; the count table shuffles at bigram-vocabulary cardinality, and
+    * the conditional denominator is a window over the `a`-margin — the
+    * same two-aggregate shape as `events_markov`, applied to text. Top-100
+    * by frequency with full tiebreaks keeps the output deterministic.
+    */
+  val textBigramLm = QueryDef(
+    "text_bigram_lm",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val pairs = load(spark, dir, "documents")
+        .select(toks.as("toks"))
+        .select(explode(sequence(lit(1), size(col("toks")) - 1)).as("i"), col("toks"))
+        .select(element_at(col("toks"), col("i")).as("a"),
+          element_at(col("toks"), col("i") + 1).as("b"))
+      val wA = Window.partitionBy(col("a"))
+      pairs.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .withColumn("n_a", sum(col("n_pair")).over(wA))
+        .select(col("a"), col("b"), col("n_pair"), col("n_a"),
+          expr("(10000L * n_pair) div n_a").as("p_bp"))
+        .orderBy(col("n_pair").desc, col("a"), col("b"))
+        .limit(100)
+    },
+    Some("""
+      WITH d AS (
+        SELECT string_split(text, ' ') AS toks FROM documents),
+      pos AS (
+        SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM d),
+      pairs AS (
+        SELECT toks[i] AS a, toks[i + 1] AS b FROM pos),
+      counts AS (
+        SELECT a, b, COUNT(*) AS n_pair FROM pairs GROUP BY a, b)
+      SELECT a, b, n_pair,
+             CAST(SUM(n_pair) OVER (PARTITION BY a) AS BIGINT) AS n_a,
+             CAST((10000 * n_pair) // SUM(n_pair) OVER (PARTITION BY a)
+               AS BIGINT) AS p_bp
+      FROM counts
+      ORDER BY n_pair DESC, a, b
+      LIMIT 100"""),
+    notes = "bigram LM count table + integer-bp conditionals; positional pair extraction")
+
   val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents,
-    dedupKeepBest, textNormalize, textNgrams, textChunk)
+    dedupKeepBest, textNormalize, textNgrams, textChunk, textBigramLm)
 }
