@@ -401,7 +401,66 @@ object CoverageQueries {
       WHERE l_orderkey % 500 = 0
       ORDER BY l_orderkey, lineno, price_cents"""))
 
+  final case class TypedEv(event_id: Long, user_id: Long, ms: Long)
+
+  /** Typed `cogroup` — the two-sided keyed escape hatch [[typedEvents]]'s
+    * `mapGroups` can't express: each user's purchases and clicks arrive as
+    * two SEPARATE sorted iterators in one function call, the shape for
+    * merge-style per-key logic (conversion matching, interval diffing)
+    * without materializing a join's row pairs. Here: per-user purchase/click
+    * counts plus how many purchases have ANY preceding click — one pass over
+    * each side, no pairwise blow-up however hot the user. The oracle states
+    * the same facts relationally (min-click-ms comparison).
+    */
+  val typedCogroup = QueryDef(
+    "typed_cogroup",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ms"), col("event_type"))
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("ms")).as[TypedEv]
+      side("purchase").groupByKey(_.user_id)
+        .cogroup(side("click").groupByKey(_.user_id)) {
+          (uid: Long, ps: Iterator[TypedEv], cs: Iterator[TypedEv]) =>
+            val purchases = ps.toSeq
+            val clicks = cs.toSeq
+            if (purchases.isEmpty && clicks.isEmpty) Iterator.empty
+            else {
+              val minClick = if (clicks.isEmpty) Long.MaxValue else clicks.map(_.ms).min
+              Iterator.single((uid, purchases.size.toLong, clicks.size.toLong,
+                purchases.count(_.ms >= minClick).toLong))
+            }
+        }
+        .toDF("user_id", "n_purchases", "n_clicks", "n_converted")
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH p AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+                 WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+            WHERE event_type = 'click'),
+      users AS (SELECT user_id FROM p UNION SELECT user_id FROM c),
+      pa AS (SELECT user_id, COUNT(*) AS n_purchases FROM p GROUP BY user_id),
+      ca AS (SELECT user_id, COUNT(*) AS n_clicks, MIN(ms) AS min_click
+             FROM c GROUP BY user_id),
+      conv AS (SELECT p.user_id, COUNT(*) AS n_converted
+               FROM p JOIN ca ON ca.user_id = p.user_id
+               WHERE p.ms >= ca.min_click
+               GROUP BY p.user_id)
+      SELECT u.user_id,
+             COALESCE(pa.n_purchases, 0) AS n_purchases,
+             COALESCE(ca.n_clicks, 0) AS n_clicks,
+             COALESCE(conv.n_converted, 0) AS n_converted
+      FROM users u
+      LEFT JOIN pa USING (user_id)
+      LEFT JOIN ca USING (user_id)
+      LEFT JOIN conv USING (user_id)
+      ORDER BY u.user_id"""),
+    notes = "typed two-sided keyed merge (Dataset.cogroup); no pairwise join blow-up")
+
   val all: Seq[QueryDef] = Seq(eventsSessionWindow, eventsUnpivot, joinLateral,
     aggGroupingSets, windowNavigation, arrayExplodePos, arrayExplodeOuter,
-    dedupLevenshtein, setopsAll, typedEvents, arrayInline)
+    dedupLevenshtein, setopsAll, typedEvents, arrayInline, typedCogroup)
 }
