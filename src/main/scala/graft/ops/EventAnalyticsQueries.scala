@@ -753,8 +753,78 @@ object EventAnalyticsQueries {
       ORDER BY purchase_id, touch_rank"""),
     notes = "integer-exact linear multi-touch credit; remainder to earliest click")
 
+  /** Two-sample A/B comparison per event type (variant = user parity — the
+    * deterministic stand-in for an assignment column): Welch z-statistic
+    * computed entirely from exact integer sums (n, Σcents, Σcents²) with the
+    * float division/sqrt applied once at the end in a fixed expression
+    * order — the same cross-engine bit-exactness recipe as
+    * [[eventsZscore]]. One aggregate over the fact (map-side partials);
+    * the statistic is |types|×2 rows of arithmetic.
+    */
+  val eventsAbTest = QueryDef(
+    "events_ab_test",
+    (spark, dir) => {
+      val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val agg = load(spark, dir, "events")
+        .select(col("event_type"), (col("user_id") % 2).as("variant"), cents.as("x"))
+        .groupBy(col("event_type"), col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("ss"))
+      agg.groupBy(col("event_type"))
+        .agg(
+          max(when(col("variant") === 0, col("n"))).as("n_a"),
+          max(when(col("variant") === 1, col("n"))).as("n_b"),
+          max(when(col("variant") === 0, col("s"))).as("s_a"),
+          max(when(col("variant") === 1, col("s"))).as("s_b"),
+          max(when(col("variant") === 0, col("ss"))).as("ss_a"),
+          max(when(col("variant") === 1, col("ss"))).as("ss_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+          (col("s_a").cast("double") / col("n_a").cast("double") -
+            col("s_b").cast("double") / col("n_b").cast("double")).as("mean_diff"),
+          ((col("s_a").cast("double") / col("n_a").cast("double") -
+            col("s_b").cast("double") / col("n_b").cast("double")) /
+            sqrt(
+              (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
+                (col("n_a").cast("double") * col("n_a").cast("double") *
+                  (col("n_a").cast("double") - 1.0)) +
+              (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
+                (col("n_b").cast("double") * col("n_b").cast("double") *
+                  (col("n_b").cast("double") - 1.0)))).as("z"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH agg AS (
+        SELECT event_type, user_id % 2 AS variant, COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS ss
+        FROM events
+        GROUP BY 1, 2),
+      pivoted AS (
+        SELECT event_type,
+               MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+               MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+               MAX(CASE WHEN variant = 0 THEN s END) AS s_a,
+               MAX(CASE WHEN variant = 1 THEN s END) AS s_b,
+               MAX(CASE WHEN variant = 0 THEN ss END) AS ss_a,
+               MAX(CASE WHEN variant = 1 THEN ss END) AS ss_b
+        FROM agg GROUP BY event_type)
+      SELECT event_type, n_a, n_b, s_a, s_b,
+             CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_diff,
+             (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(
+                 CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+               + CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+                   / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))) AS z
+      FROM pivoted
+      ORDER BY event_type"""),
+    notes = "Welch z from exact integer sums; one float expression in pinned order")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
     eventsSequencePattern, eventsPaths, eventsMarkov, eventsPercentiles,
-    eventsAttributionLinear)
+    eventsAttributionLinear, eventsAbTest)
 }
