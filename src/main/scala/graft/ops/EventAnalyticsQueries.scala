@@ -434,6 +434,8 @@ object EventAnalyticsQueries {
           .orderBy(col(valueCol)).rowsBetween(Window.unboundedPreceding, 0)
         h.withColumn("cum", sum(col("cnt")).over(wCum))
           .withColumn("n", sum(col("cnt")).over(wType))
+          // `div` (trunc) vs oracle `//` (floor) agree here because n is a
+          // COUNT — rank operands are structurally nonnegative
           .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
             col("cum") >= expr("(n + 1) div 2"))
           .select(col("event_type"), col(valueCol).as("m"), col("n"))
@@ -614,6 +616,7 @@ object EventAnalyticsQueries {
         .agg(count(lit(1)).as("n_pair"))
         .withColumn("n_from", sum(col("n_pair")).over(wFrom))
         .select(col("event_type"), col("next_type"), col("n_pair"),
+          // `div` (trunc) vs oracle `//` (floor) agree: counts ≥ 0
           col("n_from"), expr("(10000L * n_pair) div n_from").as("p_bp"))
         .orderBy(col("event_type"), col("next_type"))
     },
@@ -657,6 +660,8 @@ object EventAnalyticsQueries {
       val cum = hist
         .withColumn("cum", sum(col("cnt")).over(wCum))
         .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      // `div` (trunc) vs oracle `//` (floor) agree in every rankExpr below:
+      // n is a COUNT, so all operands are structurally nonnegative
       def atRank(rankExpr: String): Column =
         max(when(col("cum") - col("cnt") < expr(rankExpr) &&
           col("cum") >= expr(rankExpr), col("v")))
@@ -701,7 +706,11 @@ object EventAnalyticsQueries {
     * credits provably re-sum to every purchase's exact value). The batch
     * twin of `stream_attribution` upgraded from pairing to credit
     * assignment; same equi+interval join shape, bounded by the 1-hour
-    * window.
+    * window. Division semantics: Spark `div` truncates toward zero while
+    * DuckDB `//` floors — they differ on negative operands, so the oracle
+    * computes the truncating quotient explicitly as (a − a%b) // b (exact
+    * for all signs; both engines' % is C-style). The credit identity
+    * Σcredits = value_cents holds for negative values (refunds) too.
     */
   val eventsAttributionLinear = QueryDef(
     "events_attribution_linear",
@@ -746,7 +755,12 @@ object EventAnalyticsQueries {
           AND c.c_ms <= p.p_ms AND c.c_ms >= p.p_ms - 3600000)
       SELECT purchase_id, user_id, click_id, touch_rank,
              CAST(n_touches AS BIGINT) AS n_touches,
-             CAST(value_cents // n_touches
+             -- (a - a%b) // b = truncating division for ALL signs: DuckDB //
+             -- floors while Spark `div` truncates, so a bare // would break
+             -- equivalence on negative value_cents (refunds). Both engines'
+             -- integer % is C-style (sign of dividend), so a - a%b is exactly
+             -- trunc(a/b)*b and the // on it is exact.
+             CAST((value_cents - (value_cents % n_touches)) // n_touches
                   + CASE WHEN touch_rank = 1 THEN value_cents % n_touches
                          ELSE 0 END AS BIGINT) AS credit_cents
       FROM touches
@@ -759,7 +773,11 @@ object EventAnalyticsQueries {
     * float division/sqrt applied once at the end in a fixed expression
     * order — the same cross-engine bit-exactness recipe as
     * [[eventsZscore]]. One aggregate over the fact (map-side partials);
-    * the statistic is |types|×2 rows of arithmetic.
+    * the statistic is |types|×2 rows of arithmetic. The variance term
+    * n·Σx² − (Σx)² is widened to DECIMAL(38,0) (oracle: HUGEINT) before the
+    * products: on BIGINT it overflows once a group passes ~1e5 rows at
+    * cents ~5e4, so the exact-sums claim now holds to ~1e38, i.e. any
+    * realistic scale factor.
     */
   val eventsAbTest = QueryDef(
     "events_ab_test",
@@ -784,10 +802,18 @@ object EventAnalyticsQueries {
           ((col("s_a").cast("double") / col("n_a").cast("double") -
             col("s_b").cast("double") / col("n_b").cast("double")) /
             sqrt(
-              (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
+              // n*ss - s*s overflows BIGINT once a group passes ~1e5 rows at
+              // cents ~5e4 (n*ss > 9.2e18): widen to DECIMAL(38,0) BEFORE the
+              // products — exact to 1e38, cast to double once, matching the
+              // oracle's exact HUGEINT arithmetic bit-for-bit.
+              (col("n_a").cast("decimal(38,0)") * col("ss_a").cast("decimal(38,0)") -
+                col("s_a").cast("decimal(38,0)") * col("s_a").cast("decimal(38,0)"))
+                .cast("double") /
                 (col("n_a").cast("double") * col("n_a").cast("double") *
                   (col("n_a").cast("double") - 1.0)) +
-              (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
+              (col("n_b").cast("decimal(38,0)") * col("ss_b").cast("decimal(38,0)") -
+                col("s_b").cast("decimal(38,0)") * col("s_b").cast("decimal(38,0)"))
+                .cast("double") /
                 (col("n_b").cast("double") * col("n_b").cast("double") *
                   (col("n_b").cast("double") - 1.0)))).as("z"))
         .orderBy(col("event_type"))
@@ -815,9 +841,9 @@ object EventAnalyticsQueries {
              (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
                - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
              / sqrt(
-                 CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+                 CAST(CAST(n_a AS HUGEINT) * ss_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE)
                    / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
-               + CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+               + CAST(CAST(n_b AS HUGEINT) * ss_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE)
                    / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))) AS z
       FROM pivoted
       ORDER BY event_type"""),

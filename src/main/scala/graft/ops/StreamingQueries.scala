@@ -371,7 +371,10 @@ object StreamingQueries {
     * table, then return the final snapshot. The batch twin is per-user argmax
     * over (ts, event_id, value) — `max(struct(...))` compares
     * lexicographically, so the oracle's ORDER BY mirrors that tie-break
-    * exactly. This pins the MERGE-like sink end to end (micro-batch reduce,
+    * exactly; it orders by `epoch_us(ts)` (not bare `ts`) because Spark
+    * timestamps are µs while DuckDB's comparison is ns-precise — two events
+    * in the same µs but different ns would otherwise pick different winners.
+    * This pins the MERGE-like sink end to end (micro-batch reduce,
     * snapshot merge, atomic pointer swap), not just in ScalaTest.
     */
   val streamUpsert = QueryDef(
@@ -403,7 +406,7 @@ object StreamingQueries {
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
       FROM events
       QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
-                ORDER BY ts DESC, event_id DESC) = 1
+                ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
       ORDER BY user_id"""),
     notes = "versioned-parquet upsert sink, final snapshot vs per-user argmax")
 

@@ -50,6 +50,17 @@ object EventStreams {
     * O(users) regardless of history length — the pattern for any
     * "compare each event with the previous one" feature (deltas, dwell
     * times, transition counts) on a live stream.
+    *
+    * Ordering contract: exactness vs the batch lead() window holds when
+    * micro-batch boundaries respect per-user event-time order (true for the
+    * single-batch AvailableNow runs that gate this, and for any source that
+    * partitions by user and preserves time order). A LATE event — one whose
+    * (ms, event_id) sorts at or before the state's last event — arriving in
+    * a later batch would otherwise fabricate transitions the batch window
+    * never produces, so it is DROPPED explicitly here (the one-record state
+    * cannot splice it into history; dropping is the bounded-state policy,
+    * the same trade watermarked dedup makes). Within a batch, events are
+    * sorted, so intra-batch disorder is always repaired.
     */
   def transitions(events: Dataset[Event]): Dataset[Transition] = {
     import events.sparkSession.implicits._
@@ -62,8 +73,13 @@ object EventStreams {
           val out = Seq.newBuilder[Transition]
           var last = state.getOption
           for (e <- sorted) {
-            last.foreach(l => out += Transition(userId, l.eventType, e.event_type))
-            last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+            val isLate = last.exists(l =>
+              l.ms > e.ts.getTime ||
+                (l.ms == e.ts.getTime && l.eventId >= e.event_id))
+            if (!isLate) {
+              last.foreach(l => out += Transition(userId, l.eventType, e.event_type))
+              last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+            }
           }
           last.foreach(state.update)
           out.result().iterator
