@@ -25,7 +25,16 @@ object Repeat {
     for (i <- 1 to n) {
       val t0 = System.nanoTime()
       val rows = q.fn(spark, sfDir).count()
-      println(f"[repeat] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($rows rows)")
+      // For stream_* queries, split real micro-batch execution from the
+      // fixed AvailableNow bootstrap (checkpoint dir + query start/stop):
+      // wall-clock drift on these queries is almost always bootstrap, and
+      // the exec number is the one comparable across hosts/rounds.
+      // keyed by sink name ("<query>_sink") for most streams, bare name for
+      // stream_upsert — prefix match covers both
+      val execNote = graft.ops.StreamingQueries.lastExecSec
+        .find(_._1.startsWith(name)).map { case (_, e) => f" exec=$e%.3f s" }
+        .getOrElse("")
+      println(f"[repeat] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($rows rows)$execNote")
     }
     spark.stop()
   }
