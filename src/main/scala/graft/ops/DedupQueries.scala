@@ -273,15 +273,25 @@ object DedupQueries {
     * drift between them.
     */
   def simhashBandsSql(docWhere: String): String = {
+    val bandSelects = (0 until SimhashBands)
+      .map(b => s"SELECT doc_id, lang, fp, $b AS band, (fp >> ${b * 10}) & 1023 AS bv FROM fps")
+      .mkString("\n  UNION ALL\n  ")
+    s"""${simhashFpsSql(docWhere)},
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** The width-independent half of [[simhashBandsSql]]: the CTE chain
+    * `tf → hashed → bitsums → fps` (no leading WITH, no bands). The
+    * containment oracle appends its own DYNAMIC-width bands CTE on top.
+    */
+  def simhashFpsSql(docWhere: String): String = {
     val bitSumCols = (0 until SimhashBits)
       .map(i => s"SUM(CASE WHEN (g >> $i) & 1 = 1 THEN freq ELSE -freq END) AS s$i")
       .mkString(",\n    ")
     val fpTerms = (0 until SimhashBits)
       .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
-    val bandSelects = (0 until SimhashBands)
-      .map(b => s"SELECT doc_id, lang, fp, $b AS band, (fp >> ${b * 10}) & 1023 AS bv FROM fps")
-      .mkString("\n  UNION ALL\n  ")
     s"""tf AS (
        |  SELECT doc_id, lang, tok, COUNT(*) AS freq
        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
@@ -296,10 +306,20 @@ object DedupQueries {
        |    $bitSumCols
        |  FROM hashed GROUP BY doc_id, lang),
        |fps AS (
-       |  SELECT doc_id, lang, $fpTerms AS fp FROM bitsums),
-       |bands AS (
-       |  $bandSelects)""".stripMargin
+       |  SELECT doc_id, lang, $fpTerms AS fp FROM bitsums)""".stripMargin
   }
+
+  /** LSH band width derived from corpus size — the auto-sizing rule for the
+    * one measured superlinear knob (ScaleEvidence r5: 10-bit containment
+    * grew 5.2× wall at 100× corpus because ~2^10 buckets densify; 15-bit
+    * restored ~40% of that wall). Rule: keep expected bucket occupancy ≤ ~1
+    * (2^bits ≥ nDocs), clamped to the widths that divide the 30-bit
+    * fingerprint — 10 bits (3 bands, max recall) up to 1024 docs, 15 bits
+    * (2 bands, sparse buckets) beyond. At 100 TB the count feeding this is
+    * parquet-metadata-only (count(*) never scans data pages), i.e. the same
+    * cost class as AQE's runtime stats.
+    */
+  def autoBandBits(nDocs: Long): Int = if (nDocs <= 1024L) 10 else 15
 
   /** SimHash near-dup: 30-bit fingerprint, 3×10-bit band join for candidates,
     * Hamming distance ≤ 4 confirms. Same two-shuffle scale shape as MinHash.

@@ -410,6 +410,77 @@ object StreamingQueries {
       ORDER BY user_id"""),
     notes = "versioned-parquet upsert sink, final snapshot vs per-user argmax")
 
+  /** SNAPSHOT TIME TRAVEL over the versioned upsert sink: the events table
+    * is split into three deterministic slices (`event_id % 3`) fed as three
+    * files through `maxFilesPerTrigger=1`, so [[EventStreams.runUpsertSink]]
+    * commits three micro-batches → three retained snapshot versions v0/v1/v2.
+    * The query then reads the table AS OF version 1
+    * ([[EventStreams.readSnapshotAsOf]]) — i.e. the per-user latest-value
+    * state after exactly the first two slices — and the oracle replays that
+    * prefix (`event_id % 3 <= 1`) with the same (ts, event_id) argmax. This
+    * pins Delta-style `VERSION AS OF` semantics natively: old versions are
+    * immutable directories, so time travel is a pure read of the version
+    * index, no log replay. Scale: version dirs hold only the latest-per-key
+    * state (O(keys), not O(events)), and the AS OF read scans exactly one
+    * version — same cost as reading the live table.
+    */
+  val snapshotAsof = QueryDef(
+    "snapshot_asof",
+    (spark, dir) => {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+      try {
+        val ev = graft.Tables.load(spark, dir, "events")
+        val stage = Files.createTempDirectory("graft-tt-stage")
+        val incoming = Files.createTempDirectory("graft-tt-in")
+        // one file per slice, strictly increasing mtimes: the file source
+        // (latestFirst=false) processes oldest-first, so slice i IS batch i
+        val baseMs = System.currentTimeMillis() - 60000L
+        for (i <- 0 until 3) {
+          val sliceDir = stage.resolve(s"s$i").toString
+          ev.filter(col("event_id") % 3 === lit(i)).coalesce(1)
+            .write.mode("overwrite").parquet(sliceDir)
+          val part = new java.io.File(sliceDir).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file in $sliceDir"))
+          val dst = incoming.resolve(s"slice-$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(baseMs + i * 2000L)
+        }
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(incoming.toString)
+        val tablePath = Files.createTempDirectory("graft-tt-table").toString
+        val ckpt = Files.createTempDirectory("graft-tt-ck").toString
+        val q = EventStreams.runUpsertSink(stream, tablePath, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        val execMs = q.recentProgress.iterator
+          .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+          .sum
+        lastExecSec += "snapshot_asof" -> execMs / 1e3
+        val versions = EventStreams.snapshotVersions(tablePath)
+        require(versions.map(_._1) == Seq(0L, 1L, 2L),
+          s"expected versions v0..v2, got ${versions.map(_._1)}")
+        EventStreams.readSnapshotAsOf(spark, tablePath, 1L)
+          .getOrElse(sys.error(s"no snapshot as of v1 at $tablePath"))
+          .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+            col("event_id"), cents(col("value")).as("value_cents"))
+          .orderBy(col("user_id"))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    },
+    Some("""
+      SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+      FROM events
+      WHERE event_id % 3 <= 1
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+      ORDER BY user_id"""),
+    notes = "Delta-style VERSION AS OF over the versioned-parquet upsert sink")
+
   /** Stateful sequence extraction ([[EventStreams.transitions]]): one
     * micro-batch emits every consecutive-pair transition per user; the sink
     * is re-aggregated to the SAME transition matrix as the batch
@@ -459,5 +530,5 @@ object StreamingQueries {
 
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
-    streamEnrich, streamJoinOuter, streamUpsert, streamMarkov)
+    streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMarkov)
 }

@@ -167,6 +167,35 @@ object EventStreams {
       tablePath: String): Option[DataFrame] =
     snapshotDir(tablePath).map(spark.read.parquet(_))
 
+  private val VersionDirName = """.*-v(\d+)""".r
+
+  /** All retained snapshot versions under `tablePath`, (batchId, dir),
+    * ascending. [[runUpsertSink]] writes each batch to a fresh
+    * `<ckptTag>-v<batchId>` directory and never deletes old ones, so the
+    * full version history is on disk — this is what makes time travel a
+    * pure read. (A retention sweep would drop versions older than N here;
+    * Delta's VACUUM analogue.)
+    */
+  def snapshotVersions(tablePath: String): Seq[(Long, String)] =
+    Option(new java.io.File(tablePath).listFiles()).toSeq.flatten
+      .filter(_.isDirectory)
+      .flatMap(f => f.getName match {
+        case VersionDirName(n) => Some(n.toLong -> f.getAbsolutePath)
+        case _ => None
+      })
+      .sortBy(_._1)
+
+  /** TIME-TRAVEL read: the snapshot AS OF batch `asOfBatch` — the greatest
+    * retained version ≤ the requested one, Delta `VERSION AS OF` semantics
+    * over the plain-parquet versioned sink (the native stand-in for the
+    * reference's `USING DELTA` table format, `Spatially ETL test.py:237`).
+    * None if no version that old exists.
+    */
+  def readSnapshotAsOf(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, asOfBatch: Long): Option[DataFrame] =
+    snapshotVersions(tablePath).takeWhile(_._1 <= asOfBatch).lastOption
+      .map { case (_, dir) => spark.read.parquet(dir) }
+
   /** foreachBatch upsert sink — the production pattern for "maintain a
     * latest-value-per-key table" when the sink has no native MERGE: each
     * micro-batch reduces to its per-user latest row (max of struct(ts, id,

@@ -159,6 +159,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshot time travel: AS OF reads the floor version, immutable history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tt_ck").toString
+    val input = MemoryStream[Event]
+    val q = EventStreams.runUpsertSink(input.toDF(), table, ckpt)
+    try {
+      input.addData(Event(1, ts(10), 1, "view", 1.0))
+      q.processAllAvailable()          // v0: user1 -> event 1
+      input.addData(Event(2, ts(20), 1, "view", 2.0))
+      q.processAllAvailable()          // v1: user1 -> event 2
+      input.addData(Event(3, ts(30), 2, "view", 3.0))
+      q.processAllAvailable()          // v2: + user2
+      assert(EventStreams.snapshotVersions(table).map(_._1) == Seq(0L, 1L, 2L))
+      def ids(v: Long) = EventStreams.readSnapshotAsOf(spark, table, v).get
+        .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+      assert(ids(0) == Set((1L, 1L)))              // history is immutable
+      assert(ids(1) == Set((1L, 2L)))
+      assert(ids(2) == Set((1L, 2L), (2L, 3L)))
+      assert(ids(99) == ids(2))                    // AS OF floors to newest ≤ v
+      assert(EventStreams.readSnapshotAsOf(spark, table, -1L).isEmpty)
+      // live read == newest version
+      assert(EventStreams.readSnapshot(spark, table).get
+        .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet == ids(2))
+    } finally q.stop()
+  }
+
   test("upsert sink: fresh checkpoint against a reused tablePath keeps old data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
