@@ -362,14 +362,31 @@ object DedupQueries {
     * runs only on band-bucketed pairs. Scores are integerized to basis
     * points with integer division BEFORE filtering, so both engines make
     * identical keep/drop decisions.
+    *
+    * The band width is AUTO-SIZED from the corpus count ([[autoBandBits]]):
+    * both engines derive the same width from the same count — Spark via one
+    * metadata-only count job before planning, the oracle via a scalar `w`
+    * CTE — so the geometry stays in lockstep at every scale factor without
+    * a hardcoded knob (the r5 scale run measured fixed-10-bit growing 5.2×
+    * at 100× corpus; the auto rule picks 15-bit there).
     */
   val dedupContainment = QueryDef(
     "dedup_containment",
-    (spark, dir) =>
-      containmentPairs(
-        load(spark, dir, "documents").filter(col("doc_id") % 10 === 0), 10),
+    (spark, dir) => {
+      val docs = load(spark, dir, "documents").filter(col("doc_id") % 10 === 0)
+      containmentPairs(docs, autoBandBits(docs.count()))
+    },
     Some(s"""
-      WITH ${simhashBandsSql("WHERE doc_id % 10 = 0")},
+      WITH ${simhashFpsSql("WHERE doc_id % 10 = 0")},
+      w AS (
+        SELECT CASE WHEN COUNT(*) <= 1024 THEN 10 ELSE 15 END AS bits,
+               CASE WHEN COUNT(*) <= 1024 THEN 3 ELSE 2 END AS nb
+        FROM documents WHERE doc_id % 10 = 0),
+      bands AS (
+        SELECT doc_id, lang, fp, band,
+               (fp >> (band * bits)) & ((1::BIGINT << bits) - 1) AS bv
+        FROM fps, w, (SELECT unnest([0, 1, 2]) AS band) bs
+        WHERE band < nb),
       toks AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
         FROM documents WHERE doc_id % 10 = 0),

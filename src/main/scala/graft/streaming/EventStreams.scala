@@ -196,6 +196,28 @@ object EventStreams {
     snapshotVersions(tablePath).takeWhile(_._1 <= asOfBatch).lastOption
       .map { case (_, dir) => spark.read.parquet(dir) }
 
+  /** RETENTION sweep — Delta's VACUUM analogue for the versioned sink:
+    * delete all but the newest `keepLast` snapshot versions. The `_LATEST`
+    * pointer target is always within the kept suffix (it names the highest
+    * version), so a concurrent reader following the pointer is never
+    * broken; time travel older than the retention horizon becomes
+    * unavailable, exactly Delta's contract. Returns the dropped batch ids.
+    */
+  def vacuumSnapshots(tablePath: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must retain at least the live version")
+    val versions = snapshotVersions(tablePath)
+    val drop = versions.dropRight(keepLast)
+    drop.foreach { case (_, dir) =>
+      val root = java.nio.file.Paths.get(dir)
+      // children first, then the version dir itself
+      val files = java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      try files.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally files.close()
+    }
+    drop.map(_._1)
+  }
+
   /** foreachBatch upsert sink — the production pattern for "maintain a
     * latest-value-per-key table" when the sink has no native MERGE: each
     * micro-batch reduces to its per-user latest row (max of struct(ts, id,

@@ -86,8 +86,10 @@ object ScaleEvidence {
     val defaults = Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_containment",
       "dedup_exact", "ann_ivf", "ann_bruteforce",
       "events_sessionize", "events_paths", "events_markov", "window_running",
-      "events_anomaly_mad", "join_asof_nearest")
-    val targets = if (args.length > 2) args.drop(2).toSeq else defaults
+      "events_anomaly_mad", "join_asof_nearest",
+      "stream_sessionize", "stream_join_outer")
+    val allTargets = if (args.length > 2) args.drop(2).toSeq else defaults
+    val (streamTargets, targets) = allTargets.partition(_.startsWith("stream_"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -106,6 +108,23 @@ object ScaleEvidence {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/events.parquet"))) {
       scaleEvents(spark, baseDir, factor)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
+    // Streaming axis: the file-stream source wants dir/events.parquet to be
+    // ONE file (like the driver fixtures), so the scaled events are re-laid
+    // out as a single file under a sibling dir — one AvailableNow batch at
+    // both scales, isolating STATE-STORE growth (the scale risk batch
+    // queries don't have) from file-count effects.
+    val streamDir = s"$outDir/stream1"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$streamDir/events.parquet"))) {
+      val tmp = s"$streamDir/_coalesced"
+      spark.read.parquet(s"$outDir/events.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $tmp"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/events.parquet"))
     }
     val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$outDir/embeddings.parquet").count()
@@ -136,11 +155,37 @@ object ScaleEvidence {
       val perRow = growth / factor
       println(f"$q%-22s $t1%8.2f $tN%8.2f $growth%7.1fx $perRow%7.2fx")
       (q, t1, tN, growth, perRow)
+    } ++ streamTargets.flatMap { q =>
+      // Streaming rows: each run is a fresh AvailableNow query (fresh
+      // checkpoint inside runToTable), so nothing is cached between runs.
+      // Two rows per query: wall (bootstrap + exec, the bench convention)
+      // and _exec (micro-batch triggerExecution only) — state-store growth
+      // shows in _exec; bootstrap is scale-invariant fixed cost.
+      def once(dir: String): (Double, Double) = {
+        val t0 = System.nanoTime(); registry(q)(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // the exec map is keyed by the memory-sink name ("<query>_sink")
+        val m = graft.ops.StreamingQueries.lastExecSec
+        (wall, m.getOrElse(q, m.getOrElse(s"${q}_sink", wall)))
+      }
+      def best(dir: String): (Double, Double) = {
+        once(dir) // warm: codegen outside the timer
+        val (w1, e1) = once(dir); val (w2, e2) = once(dir)
+        (math.min(w1, w2), math.min(e1, e2))
+      }
+      val (w1, e1) = best(baseDir)
+      val (wN, eN) = best(streamDir)
+      Seq((q, w1, wN, wN / w1, wN / w1 / factor),
+          (s"${q}_exec", e1, eN, eN / e1, eN / e1 / factor)).map {
+        case r @ (n, t1, tN, g, pr) =>
+          println(f"$n%-22s $t1%8.2f $tN%8.2f $g%7.1fx $pr%7.2fx"); r
+      }
     } ++ {
-      // The LSH sizing knob, measured: containment at the registered 10-bit
-      // band geometry densifies with corpus growth; the 15-bit variant
-      // (graft.ops.DedupQueries.containmentPairs) is the production sizing
-      // for the scaled corpus and should restore near-linear cost.
+      // The LSH sizing knob, measured: the registered dedup_containment now
+      // AUTO-sizes its band width from the corpus count (10-bit ≤1024 docs,
+      // 15-bit beyond), so its own row above already shows the auto-sized
+      // growth. This extra row is the COUNTERFACTUAL — fixed 10-bit at both
+      // scales — quantifying what auto-sizing saves (r5 measured 5.2×).
       def contain(dir: String, bits: Int): Double = {
         def run() = graft.ops.DedupQueries.containmentPairs(
           graft.Tables.load(spark, dir, "documents")
@@ -153,11 +198,11 @@ object ScaleEvidence {
         math.min(once(), once())
       }
       if (targets.contains("dedup_containment")) {
-        val t1 = contain(baseDir, 15)
-        val tN = contain(outDir, 15)
+        val t1 = contain(baseDir, 10)
+        val tN = contain(outDir, 10)
         val (growth, perRow) = (tN / t1, tN / t1 / factor)
-        println(f"${"containment_15bit"}%-22s $t1%8.2f $tN%8.2f $growth%7.1fx $perRow%7.2fx")
-        Seq(("containment_15bit", t1, tN, growth, perRow))
+        println(f"${"containment_10bit"}%-22s $t1%8.2f $tN%8.2f $growth%7.1fx $perRow%7.2fx")
+        Seq(("containment_10bit", t1, tN, growth, perRow))
       } else Nil
     }
     val json = rows.map { case (q, t1, tN, g, pr) =>

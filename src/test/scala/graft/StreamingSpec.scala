@@ -184,6 +184,14 @@ class StreamingSpec extends AnyFunSuite {
       // live read == newest version
       assert(EventStreams.readSnapshot(spark, table).get
         .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet == ids(2))
+      // VACUUM analogue: keep the newest 2 versions, drop v0 — the pointer
+      // target survives, reads before the horizon become unavailable
+      assert(EventStreams.vacuumSnapshots(table, keepLast = 2) == Seq(0L))
+      assert(EventStreams.snapshotVersions(table).map(_._1) == Seq(1L, 2L))
+      assert(EventStreams.readSnapshotAsOf(spark, table, 0L).isEmpty)
+      assert(ids(1) == Set((1L, 2L)))
+      assert(EventStreams.readSnapshot(spark, table).get
+        .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet == ids(2))
     } finally q.stop()
   }
 
