@@ -593,6 +593,117 @@ object VectorQueries {
       ORDER BY qid, rn"""),
     notes = "FAISS IndexIVFPQ shape: coarse probe -> ADC approx rank -> exact re-rank")
 
+  /** THREE full Lloyd iterations of k-means — the iterate-to-convergence
+    * shape [[kmeansStep]]'s Scaladoc promises, pinned end to end. The trick
+    * that makes multi-step k-means oracle-exact: vectors are quantized ONCE
+    * to integer basis points (floor(x·10⁴+½), exact), and every subsequent
+    * operation — squared-L2 distances, argmin assignment, centroid update —
+    * stays in integer arithmetic, so three chained iterations are
+    * bit-identical cross-engine where float centroids would diverge by
+    * summation order at iteration 1. Centroid update is truncating integer
+    * division (Spark `div`; components can be NEGATIVE, so the oracle uses
+    * the sign-safe (s − s%n) // n form — DuckDB `//` floors, see
+    * events_attribution_linear). Empty clusters carry their previous
+    * centroid (left join + coalesce, both engines).
+    *
+    * Scale shape per iteration: centroids broadcast (k·dim rows), the
+    * assignment is a map-side scan + one per-vector rank window, the update
+    * is posexplode → (cid, dim) partial agg (k·dim output rows) — no
+    * driver loop ever touches data rows, and per-iteration localCheckpoint
+    * keeps the plan O(1) deep (same economics as `graph_pagerank_iter` /
+    * `dedup_components`). The quantized corpus is cached once and reused
+    * by all three iterations.
+    */
+  val kmeansIter = QueryDef(
+    "kmeans_iter",
+    (spark, dir) => {
+      val iters = 3
+      val e = vecs(spark, dir)
+        .select(col("vec_id"),
+          transform(col("v"), x => floor(x * 10000 + lit(0.5)).cast("long")).as("vb"))
+        .cache()
+      var cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("vb").as("cb"))
+      var assigned: org.apache.spark.sql.DataFrame = null
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+      for (_ <- 1 to iters) {
+        assigned = e.join(broadcast(cent), lit(true))
+          .select(col("vec_id"), col("vb"), col("cid"),
+            aggregate(zip_with(col("vb"), col("cb"), (x, y) => (x - y) * (x - y)),
+              lit(0L), (a, z) => a + z).as("d"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("vb"), col("cid"), col("d"))
+          .localCheckpoint()
+        val newCent = assigned
+          .select(col("cid"), posexplode(col("vb")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .withColumn("c", expr("s div n")) // trunc div; oracle mirrors sign-safe
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+            t => t.getField("c")).as("cb"))
+        cent = cent.as("p")
+          .join(newCent.as("nc"), col("p.cid") === col("nc.cid"), "left")
+          .select(col("p.cid").as("cid"),
+            coalesce(col("nc.cb"), col("p.cb")).as("cb"))
+          .localCheckpoint()
+      }
+      val stats = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("d")).as("sum_dist"))
+      cent.join(stats, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"),
+          coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
+          aggregate(col("cb"), lit(0L), (a, x) => a + x).as("cent_sum_bp"))
+        .orderBy(col("cid"))
+    },
+    Some {
+      def step(k: Int): String = {
+        val prev = s"c${k - 1}"
+        s"""a$k AS (
+           |  SELECT vec_id, vb, cid, d FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |      ORDER BY d, cid) AS rn FROM (
+           |      SELECT e.vec_id, e.vb, c.cid,
+           |             list_reduce(list_prepend(0::BIGINT,
+           |               list_transform(range(1, 65),
+           |                 i -> (e.vb[i] - c.cb[i]) * (e.vb[i] - c.cb[i]))),
+           |               (a, x) -> a + x) AS d
+           |      FROM e CROSS JOIN $prev c))
+           |  WHERE rn = 1),
+           |m$k AS (
+           |  SELECT cid, i, SUM(vb[i]) AS s, COUNT(*) AS n
+           |  FROM a$k CROSS JOIN dims GROUP BY cid, i),
+           |n$k AS (
+           |  SELECT cid, list(CAST((s - s % n) // n AS BIGINT) ORDER BY i) AS cb
+           |  FROM m$k GROUP BY cid),
+           |c$k AS (
+           |  SELECT $prev.cid, COALESCE(n$k.cb, $prev.cb) AS cb
+           |  FROM $prev LEFT JOIN n$k USING (cid))""".stripMargin
+      }
+      s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding::DOUBLE[],
+          x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS vb
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, vb AS cb FROM e WHERE vec_id < 8),
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      ${(1 to 3).map(step).mkString(",\n")},
+      s3 AS (
+        SELECT cid, COUNT(*) AS n_members, SUM(d) AS sum_dist
+        FROM a3 GROUP BY cid)
+      SELECT c3.cid,
+             CAST(COALESCE(n_members, 0) AS BIGINT) AS n_members,
+             CAST(COALESCE(sum_dist, 0) AS BIGINT) AS sum_dist,
+             CAST(list_reduce(list_prepend(0::BIGINT, c3.cb),
+               (a, x) -> a + x) AS BIGINT) AS cent_sum_bp
+      FROM c3 LEFT JOIN s3 USING (cid)
+      ORDER BY cid"""
+    },
+    notes = "3 exact Lloyd iterations in integer-bp space; centroids broadcast, corpus cached once")
+
   val all: Seq[QueryDef] = Seq(annBruteforce, annIvf, dedupEmbeddingLsh,
-    kmeansStep, vectorStats, vectorQuantize, annRecall, annPq, annIvfPq)
+    kmeansStep, kmeansIter, vectorStats, vectorQuantize, annRecall, annPq,
+    annIvfPq)
 }
