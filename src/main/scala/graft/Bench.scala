@@ -48,11 +48,17 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    // headline total = batch queries only: each stream_* query pays a fixed
+    // headline total = batch queries only: each streaming query pays a fixed
     // multi-second micro-batch bootstrap (checkpoint dir, query start/stop)
     // that measures Structured Streaming's setup cost, not engine throughput;
     // they are still timed individually and reported under streaming_total.
-    val (streamRes, batchRes) = results.partition(_._1.startsWith("stream_"))
+    // "Streaming" = recorded a triggerExecution split (lastExecSec), which
+    // also catches non-stream_-prefixed stream drivers like snapshot_asof —
+    // keeping streaming_total and streaming_exec_total over the SAME set.
+    val execKeys = ops.StreamingQueries.lastExecSec.keySet
+      .map(_.stripSuffix("_sink"))
+    val (streamRes, batchRes) = results.partition { case (n, _) =>
+      n.startsWith("stream_") || execKeys.contains(n) }
     val total = if (batchRes.nonEmpty) batchRes.values.sum else 0.0
     val streamTotal = if (streamRes.nonEmpty) streamRes.values.sum else 0.0
     // Micro-batch execution seconds (sum of triggerExecution durations from
