@@ -424,6 +424,30 @@ object StreamingQueries {
     * state (O(keys), not O(events)), and the AS OF read scans exactly one
     * version — same cost as reading the live table.
     */
+  /** Stage `events` as `n` deterministic one-file slices (`event_id % n`)
+    * with strictly increasing mtimes: the file source (latestFirst=false)
+    * processes oldest-first, so slice i IS micro-batch i under
+    * `maxFilesPerTrigger=1`. Shared by [[snapshotAsof]] and [[streamMvAgg]].
+    */
+  private def stageEventSlices(ev: DataFrame, n: Int): String = {
+    val stage = Files.createTempDirectory("graft-slice-stage")
+    val incoming = Files.createTempDirectory("graft-slice-in")
+    val baseMs = System.currentTimeMillis() - 60000L
+    for (i <- 0 until n) {
+      val sliceDir = stage.resolve(s"s$i").toString
+      ev.filter(col("event_id") % n === lit(i)).coalesce(1)
+        .write.mode("overwrite").parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $sliceDir"))
+      val dst = incoming.resolve(s"slice-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(baseMs + i * 2000L)
+    }
+    incoming.toString
+  }
+
   val snapshotAsof = QueryDef(
     "snapshot_asof",
     (spark, dir) => {
@@ -432,25 +456,9 @@ object StreamingQueries {
         sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
       try {
         val ev = graft.Tables.load(spark, dir, "events")
-        val stage = Files.createTempDirectory("graft-tt-stage")
-        val incoming = Files.createTempDirectory("graft-tt-in")
-        // one file per slice, strictly increasing mtimes: the file source
-        // (latestFirst=false) processes oldest-first, so slice i IS batch i
-        val baseMs = System.currentTimeMillis() - 60000L
-        for (i <- 0 until 3) {
-          val sliceDir = stage.resolve(s"s$i").toString
-          ev.filter(col("event_id") % 3 === lit(i)).coalesce(1)
-            .write.mode("overwrite").parquet(sliceDir)
-          val part = new java.io.File(sliceDir).listFiles()
-            .find(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file in $sliceDir"))
-          val dst = incoming.resolve(s"slice-$i.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          dst.toFile.setLastModified(baseMs + i * 2000L)
-        }
+        val incoming = stageEventSlices(ev, 3)
         val stream = spark.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1").parquet(incoming.toString)
+          .option("maxFilesPerTrigger", "1").parquet(incoming)
         val tablePath = Files.createTempDirectory("graft-tt-table").toString
         val ckpt = Files.createTempDirectory("graft-tt-ck").toString
         val q = EventStreams.runUpsertSink(stream, tablePath, ckpt)
@@ -480,6 +488,56 @@ object StreamingQueries {
                 ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
       ORDER BY user_id"""),
     notes = "Delta-style VERSION AS OF over the versioned-parquet upsert sink")
+
+  /** Streaming incremental MV maintenance ([[EventStreams.runAggSink]]):
+    * the events table arrives as three one-file micro-batches; each batch's
+    * per-(event_type, day) partial aggregate is ADDITIVELY merged into the
+    * versioned MV snapshot (counts/sums add, max takes greatest). The final
+    * snapshot must equal a direct aggregation of the whole table — the
+    * oracle — pinning cross-micro-batch merge(agg(A), agg(B)) == agg(A∪B)
+    * end to end through the sink protocol (versioned dirs, atomic pointer,
+    * idempotence guard). Complements `stream_upsert` (argmax merge) with
+    * the additive-statistics merge, and `mv_incremental_agg` is the
+    * single-merge batch twin. Refresh cost per batch: |batch| + O(groups),
+    * independent of accumulated history.
+    */
+  val streamMvAgg = QueryDef(
+    "stream_mv_agg",
+    (spark, dir) => {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+      try {
+        val ev = graft.Tables.load(spark, dir, "events")
+        val incoming = stageEventSlices(ev, 3)
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(incoming)
+        val tablePath = Files.createTempDirectory("graft-mv-table").toString
+        val ckpt = Files.createTempDirectory("graft-mv-ck").toString
+        val q = EventStreams.runAggSink(stream, tablePath, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        val execMs = q.recentProgress.iterator
+          .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+          .sum
+        lastExecSec += "stream_mv_agg" -> execMs / 1e3
+        EventStreams.readSnapshot(spark, tablePath)
+          .getOrElse(sys.error(s"no MV snapshot at $tablePath"))
+          .select(col("event_type"), col("day"), col("n").as("n_events"),
+            col("s").as("value_cents"), col("mx").as("max_cents"))
+          .orderBy(col("event_type"), col("day"))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    },
+    Some("""
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+             MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
+      FROM events
+      GROUP BY event_type, day
+      ORDER BY event_type, day"""),
+    notes = "cross-micro-batch additive MV merge == direct full aggregation")
 
   /** Stateful sequence extraction ([[EventStreams.transitions]]): one
     * micro-batch emits every consecutive-pair transition per user; the sink
@@ -530,5 +588,6 @@ object StreamingQueries {
 
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
-    streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMarkov)
+    streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMvAgg,
+    streamMarkov)
 }

@@ -218,6 +218,63 @@ object EventStreams {
     drop.map(_._1)
   }
 
+  /** foreachBatch ADDITIVE-merge sink — the streaming half of incremental
+    * materialized-view maintenance (batch twin: `mv_incremental_agg`): each
+    * micro-batch reduces to its per-(event_type, day) partial aggregate —
+    * count/sum/max, the distributive sufficient statistics — and is merged
+    * into the existing MV snapshot by ONE full-outer join on the group keys
+    * (counts and sums ADD, max takes greatest). Versioned directories,
+    * atomic `_LATEST` pointer swap, and the checkpoint-scoped
+    * idempotent-recovery guard follow [[runUpsertSink]]'s protocol exactly —
+    * but the guard is ESSENTIAL here, not belt-and-braces: an additive merge
+    * applied twice double-counts (the upsert sink's argmax re-merge happens
+    * to be idempotent; sum is not). Refresh cost per batch is |batch| rows
+    * plus an O(groups) merge — independent of how much history the MV
+    * already aggregates, which is the whole point at 100 TB.
+    */
+  def runAggSink(events: DataFrame, tablePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ckptTag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(java.nio.file.Paths.get(checkpoint).toAbsolutePath.toString
+        .getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val version = s"$ckptTag-v$batchId"
+        if (!snapshotDir(tablePath).contains(s"$tablePath/$version")) {
+          val centsCol = floor(col("value") * 100 + lit(0.5)).cast("long")
+          val part = batch
+            .groupBy(col("event_type"),
+              date_format(col("ts"), "yyyy-MM-dd").as("day"))
+            .agg(count(lit(1)).as("n"), sum(centsCol).as("s"),
+              max(centsCol).as("mx"))
+          val existing = readSnapshot(spark, tablePath).getOrElse(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], part.schema))
+          val merged = existing.as("a")
+            .join(part.as("b"), Seq("event_type", "day"), "full_outer")
+            .select(col("event_type"), col("day"),
+              (coalesce(col("a.n"), lit(0L)) + coalesce(col("b.n"), lit(0L)))
+                .as("n"),
+              (coalesce(col("a.s"), lit(0L)) + coalesce(col("b.s"), lit(0L)))
+                .as("s"),
+              greatest(coalesce(col("a.mx"), col("b.mx")),
+                coalesce(col("b.mx"), col("a.mx"))).as("mx"))
+          merged.write.mode("overwrite").parquet(s"$tablePath/$version")
+          val tmp = java.nio.file.Paths.get(tablePath, "_LATEST.tmp")
+          java.nio.file.Files.writeString(tmp, version)
+          java.nio.file.Files.move(tmp,
+            java.nio.file.Paths.get(tablePath, "_LATEST"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** foreachBatch upsert sink — the production pattern for "maintain a
     * latest-value-per-key table" when the sink has no native MERGE: each
     * micro-batch reduces to its per-user latest row (max of struct(ts, id,

@@ -159,6 +159,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("additive MV sink merges partial aggregates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ck").toString
+    val input = MemoryStream[Event]
+    val q = EventStreams.runAggSink(input.toDF(), table, ckpt)
+    try {
+      input.addData(
+        Event(1, ts(10), 1, "click", 1.00),
+        Event(2, ts(20), 2, "click", 2.00))
+      q.processAllAvailable()          // v0: click day-0 -> (2, 300, 200)
+      input.addData(
+        Event(3, ts(30), 1, "click", 5.00),   // same group: must ADD
+        Event(4, ts(40), 3, "view", 0.50))    // new group: must APPEAR
+      q.processAllAvailable()
+      val rows = EventStreams.readSnapshot(spark, table).get
+        .select($"event_type", $"n", $"s", $"mx")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(rows == Set(("click", 3L, 800L, 500L), ("view", 1L, 50L, 50L)),
+        s"got $rows")
+      // both versions retained: the MV history time-travels like the upsert sink
+      assert(EventStreams.snapshotVersions(table).map(_._1) == Seq(0L, 1L))
+    } finally q.stop()
+  }
+
   test("snapshot time travel: AS OF reads the floor version, immutable history") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
