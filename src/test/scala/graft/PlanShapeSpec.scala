@@ -26,6 +26,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "ann_ivf_pq" -> "broadcast coarse centroids (16) + PQ codebook (4x4) + ADC table (128 rows)",
     "ann_recall" -> "broadcast query set joined to its own ground truth",
     "kmeans_step" -> "broadcast current centroids (k=8)",
+    "graph_triangles" -> "broadcast 1-row scalar aggregates (edge/wedge/triangle counts)",
     "join_range_bucket" -> "broadcast 5-row bucket-boundary dimension",
     "q11_stockvalue" -> "broadcast 1-row global threshold aggregate (TPC-H Q11 shape)",
     "q22_idle" -> "broadcast 1-row global avg-balance aggregate (TPC-H Q22 shape)",
