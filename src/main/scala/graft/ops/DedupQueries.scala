@@ -408,5 +408,80 @@ object DedupQueries {
       WHERE containment_bp >= 8000
       ORDER BY a_id, b_id"""))
 
-  val all: Seq[QueryDef] = Seq(dedupMinhashLsh, dedupSimhash, dedupContainment)
+  /** Prefix-filtered set-similarity join (AllPairs/PPJoin family) — the
+    * EXACT-RECALL complement to the probabilistic LSH battery: with tokens
+    * in one global canonical order (ascending document frequency, ties by
+    * token), any pair with Jaccard ≥ τ MUST share a token inside each
+    * side's (n − ⌈τ·n⌉ + 1)-prefix, so blocking on prefix tokens alone
+    * misses nothing (Bayardo et al., WWW'07) — unlike MinHash banding,
+    * whose recall is only probabilistic. Rarest-first ordering makes the
+    * prefix postings the SPARSEST ones, so the candidate join stays small
+    * exactly where a frequent-token join would blow up.
+    *
+    * The oracle is the BRUTE-FORCE token join (same τ, same subset, the
+    * `dedup_jaccard_tokens` computation): a hash-match is an empirical
+    * check of the exact-recall theorem itself — one missed pair and the
+    * row sets differ.
+    *
+    * Scale shape: df + rank are vocabulary-bounded (the global rank sort is
+    * one vocabulary-sized partition — at web scale you'd range-partition
+    * the rank, it is order-isomorphic); the prefix join's fan-out is
+    * bounded by rare-token posting lists; the exact verify touches only
+    * surviving candidates. τ = 0.5 ⇒ prefix length n − ((n+1) div 2) + 1,
+    * integer in both engines.
+    */
+  val dedupPrefixFilter = QueryDef(
+    "dedup_prefix_filter",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = load(spark, dir, "documents")
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .cache()
+      val e = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      val ranked = e.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .withColumn("r", row_number().over(Window.orderBy(col("df"), col("tok"))))
+      val pref = e
+        .join(ranked.select(col("tok"), col("r")), "tok")
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("r"))))
+        .filter(col("pos") <= col("n") - expr("(n + 1) div 2") + 1)
+        .select(col("doc_id"), col("lang"), col("tok"))
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(d.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
+        .join(d.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          graft.Tables.basisPoints(
+            size(array_intersect(col("ta"), col("tb"))) /
+              (size(col("ta")) + size(col("tb")) -
+                size(array_intersect(col("ta"), col("tb")))))
+            .as("jaccard_bp"))
+        .filter(col("jaccard_bp") >= 5000)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+                 FROM documents WHERE doc_id % 20 = 0),
+           e AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+           c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+                 FROM e a JOIN e b ON a.tok = b.tok AND a.lang = b.lang
+                                   AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+           n AS (SELECT doc_id, len(toks) AS n FROM d)
+      SELECT a_id, b_id,
+             CAST(floor(common / (na.n + nb.n - common) * 10000 + 0.5) AS BIGINT) AS jaccard_bp
+      FROM c JOIN n na ON c.a_id = na.doc_id JOIN n nb ON c.b_id = nb.doc_id
+      WHERE CAST(floor(common / (na.n + nb.n - common) * 10000 + 0.5) AS BIGINT) >= 5000
+      ORDER BY a_id, b_id"""),
+    notes = "exact-recall prefix filtering; oracle = brute force, hash-match checks the theorem")
+
+  val all: Seq[QueryDef] = Seq(dedupMinhashLsh, dedupSimhash, dedupContainment,
+    dedupPrefixFilter)
 }
