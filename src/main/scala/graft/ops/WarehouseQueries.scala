@@ -204,6 +204,79 @@ object WarehouseQueries {
       ORDER BY event_type, day"""),
     notes = "delta-merge MV refresh == full recompute, for distributive aggregates")
 
+  /** Merkle-style replica reconciliation — how two 100 TB copies of a table
+    * are compared WITHOUT moving row data: each side reduces to an
+    * order-free per-bucket digest (row count + sum of per-row polynomial
+    * hashes mod P), the O(buckets) digest tables are joined, and only
+    * buckets whose digests differ are reported — row-level diffing
+    * (`cdc_diff`) then runs on those buckets alone. The "replica" here is
+    * the events table with two deterministic faults injected (rows dropped
+    * where event_id % 997 = 0, values perturbed where % 773 = 0), so the
+    * query must localize exactly those buckets.
+    *
+    * The row hash is the repo's universal-hash recipe (31-fold over
+    * event_id, epoch-ms, cents, mod P = 2³¹−1) — every step stays in
+    * checked BIGINT range and is identical in DuckDB, and the bucket
+    * digest is a SUM of bounded terms, so it is partial-aggregatable
+    * (map-side combine) and independent of row order — the property that
+    * makes the digest exchangeable instead of the data.
+    */
+  val reconcileChecksum = QueryDef(
+    "reconcile_checksum",
+    (spark, dir) => {
+      val P = 2147483647L
+      val ev = load(spark, dir, "events")
+        .select(col("event_id"), unix_millis(col("ts")).as("ms"),
+          cents(col("value")).as("vc"))
+      val rowHash =
+        (((col("event_id") % P) * 31 + (col("ms") % P)) % P * 31 +
+          (col("vc") % P)) % P
+      def digest(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy((col("event_id") % 1024).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum(rowHash).as("ck"))
+      val base = digest(ev)
+      val repl = digest(ev
+        .filter(col("event_id") % 997 =!= 0)
+        .withColumn("vc", when(col("event_id") % 773 === 0, col("vc") + 1)
+          .otherwise(col("vc"))))
+      base.as("a").join(repl.as("b"), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("a.n"), lit(0L)).as("n_base"),
+          coalesce(col("b.n"), lit(0L)).as("n_replica"),
+          coalesce(col("a.ck"), lit(-1L)).as("ck_base"),
+          coalesce(col("b.ck"), lit(-1L)).as("ck_replica"))
+        .filter(col("n_base") =!= col("n_replica") ||
+          col("ck_base") =!= col("ck_replica"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, epoch_ms(ts) AS ms,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events),
+      base AS (
+        SELECT event_id % 1024 AS bucket, COUNT(*) AS n,
+               CAST(SUM((((event_id % 2147483647) * 31 + (ms % 2147483647))
+                 % 2147483647 * 31 + (vc % 2147483647)) % 2147483647) AS BIGINT) AS ck
+        FROM ev GROUP BY 1),
+      repl AS (
+        SELECT event_id % 1024 AS bucket, COUNT(*) AS n,
+               CAST(SUM((((event_id % 2147483647) * 31 + (ms % 2147483647))
+                 % 2147483647 * 31 +
+                 (CASE WHEN event_id % 773 = 0 THEN vc + 1 ELSE vc END
+                   % 2147483647)) % 2147483647) AS BIGINT) AS ck
+        FROM ev WHERE event_id % 997 <> 0 GROUP BY 1)
+      SELECT COALESCE(base.bucket, repl.bucket) AS bucket,
+             COALESCE(base.n, 0) AS n_base,
+             COALESCE(repl.n, 0) AS n_replica,
+             COALESCE(base.ck, -1) AS ck_base,
+             COALESCE(repl.ck, -1) AS ck_replica
+      FROM base FULL OUTER JOIN repl ON base.bucket = repl.bucket
+      WHERE COALESCE(base.n, 0) <> COALESCE(repl.n, 0)
+         OR COALESCE(base.ck, -1) <> COALESCE(repl.ck, -1)
+      ORDER BY bucket"""),
+    notes = "order-free bucket digests localize replica divergence; O(buckets) exchange")
+
   val all: Seq[QueryDef] = Seq(qualityExpectations, scd2Snapshot, scd2Asof,
-    mvIncrementalAgg)
+    mvIncrementalAgg, reconcileChecksum)
 }
