@@ -363,6 +363,54 @@ object AdvancedQueries {
       GROUP BY p_brand
       ORDER BY p_brand"""))
 
+  /** Bloom-filter runtime join pruning, made an explicit operator: the
+    * build side (urgent orders) reduces to ONE ~1 MB bloom sketch via
+    * Spark's own `BloomFilterAggregate`, delivered to every probe-side scan
+    * task as a scalar subquery, and `BloomFilterMightContain(xxhash64(key))`
+    * drops non-matching lineitem rows BEFORE the shuffle — at 100 TB the
+    * shuffle write shrinks by the build side's selectivity (~1/5 here) for the
+    * cost of broadcasting one sketch, which is the entire value proposition
+    * of Spark's InjectRuntimeFilter, surfaced so a pipeline can apply it
+    * where the optimizer's heuristics (creation-side size thresholds)
+    * decline to. False positives are harmless: the exact shuffled hash join
+    * that follows removes them, so the result — and the oracle, a plain
+    * join — is exact regardless of sketch size.
+    */
+  val joinBloom = QueryDef(
+    "join_bloom",
+    (spark, dir) => {
+      import org.apache.spark.sql.GraftSqlBridge
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery, XxHash64}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      def urgent = load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val bloomDf = urgent.select(GraftSqlBridge.column(
+        new BloomFilterAggregate(
+          new XxHash64(Seq(GraftSqlBridge.expression(col("o_orderkey")))))
+          .toAggregateExpression()).as("bloom"))
+      val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
+        ScalarSubquery(GraftSqlBridge.analyzedPlan(bloomDf)),
+        new XxHash64(Seq(GraftSqlBridge.expression(col("l_orderkey"))))))
+      load(spark, dir, "lineitem")
+        .filter(mightContain)
+        .join(urgent.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(month(col("o_orderdate")).as("order_month"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+        .orderBy(col("order_month"))
+    },
+    Some("""
+      SELECT CAST(month(o_orderdate) AS INT) AS order_month,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1
+      ORDER BY 1"""),
+    notes = "explicit BloomFilterAggregate/MightContain runtime filter; FP-safe, oracle = plain join")
+
   /** Array set-operation battery (union/intersect/except/flatten/position/
     * contains) over document token arrays — scalar outputs only, so the
     * oracle compares exactly. Spark `array_position` returns 0 for absent
@@ -434,5 +482,5 @@ object AdvancedQueries {
   val all: Seq[QueryDef] = Seq(subqueryScalar, subqueryExists, windowRange,
     windowRanks, eventsPivot, arrayFuncs, stringFuncs, arraySetops,
     conditionalFuncs, joinAsofNative, joinAsofTolerance, joinAsofNearest,
-    joinShuffleHash)
+    joinShuffleHash, joinBloom)
 }
