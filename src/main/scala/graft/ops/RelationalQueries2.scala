@@ -551,7 +551,68 @@ object RelationalQueries2 {
       FROM tri"""),
     notes = "compact-forward triangle count; orientation bounds wedge fan-out by O(sqrt E)")
 
+  /** Multi-hop BFS reachability (min hop distance ≤ 3 from a seed brand)
+    * over the consecutive-linenumber part graph — the frontier-expansion
+    * loop every graph engine special-cases, expressed as three rounds of
+    * join → distinct → anti-join. The scale property is that each round
+    * touches only frontier × avg-degree rows, dedups BEFORE the anti-join
+    * (neighbors of a dense frontier collapse early), and the settled set
+    * only ever grows — exactly Pregel's message model, here as plain
+    * shuffles Catalyst can plan. Edges are checkpointed once and reused by
+    * all rounds. The oracle replays the same search as a recursive CTE
+    * whose UNION dedup bounds the working set at nodes × maxHops, then
+    * takes MIN(hops) — path enumeration (UNION ALL) would be exponential.
+    */
+  val graphBfs = QueryDef(
+    "graph_bfs",
+    (spark, dir) => {
+      val ln = load(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").as("pk"))
+      val e0 = ln.as("a").join(ln.as("b"),
+          col("a.ok") === col("b.ok") && col("b.ln") === col("a.ln") + 1 &&
+            col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      val edges = e0
+        .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint() // reused by all 3 BFS rounds
+      val seeds = load(spark, dir, "part")
+        .filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey").as("node"))
+      var dist = seeds.withColumn("hops", lit(0))
+      var frontier = dist
+      for (h <- 1 to 3) {
+        frontier = frontier.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("hops", lit(h))
+          .localCheckpoint()
+        dist = dist.unionAll(frontier)
+      }
+      dist.orderBy(col("node"))
+    },
+    Some("""
+      WITH RECURSIVE
+      e0 AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND b.l_linenumber = a.l_linenumber + 1
+        WHERE a.l_partkey <> b.l_partkey),
+      edges AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+      bfs AS (
+        SELECT p_partkey AS node, 0 AS hops FROM part
+        WHERE p_brand = 'Brand#11'
+        UNION
+        SELECT e.dst AS node, b.hops + 1 AS hops
+        FROM bfs b JOIN edges e ON b.node = e.src
+        WHERE b.hops < 3)
+      SELECT node, CAST(MIN(hops) AS INT) AS hops
+      FROM bfs GROUP BY node ORDER BY node"""),
+    notes = "frontier BFS, min-hop ≤3; anti-join settles nodes, oracle = recursive CTE + MIN")
+
   val all: Seq[QueryDef] = Seq(q13CustDist, joinFullOuter, q15TopSupp,
     q8Share, q20Excess, q21SoleLate, aggSalted, joinSalted, graphPagerank,
-    graphPagerankIter, graphTriangles)
+    graphPagerankIter, graphTriangles, graphBfs)
 }
