@@ -277,6 +277,71 @@ object WarehouseQueries {
       ORDER BY bucket"""),
     notes = "order-free bucket digests localize replica divergence; O(buckets) exchange")
 
+  /** Interval-concurrency sweep — max orders simultaneously in flight
+    * (placed, not yet fully shipped) per month, the +1/−1 boundary-point
+    * technique behind every "peak concurrent X" dashboard. Two decisions
+    * carry the 100 TB posture: (1) boundary points are pre-aggregated per
+    * distinct timestamp (net delta), which both collapses the data and
+    * removes start/end tie-ordering ambiguity — [start, end) semantics fall
+    * out of arithmetic, not a sort tie-break; (2) the running sum is NOT
+    * one global ORDER BY ts window (the single-partition sort trap) but the
+    * two-phase split: per-month partitioned prefix sums plus a cumulative
+    * month-offset computed over the ~tiny month table, then added back.
+    * Identical result, and the big window is partitioned by month.
+    */
+  val intervalSweep = QueryDef(
+    "interval_sweep",
+    (spark, dir) => {
+      val ends = load(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(max(col("l_shipdate")).as("e"))
+      val iv = load(spark, dir, "orders")
+        .join(ends, col("o_orderkey") === col("ok"))
+        .select(col("o_orderdate").as("s"), col("e"))
+      val pts = iv.select(col("s").as("ts"), lit(1).as("d"))
+        .unionAll(iv.select(col("e").as("ts"), lit(-1).as("d")))
+      val byTs = pts.groupBy(col("ts"))
+        .agg(sum(col("d")).as("net"),
+          sum(when(col("d") > 0, 1L).otherwise(0L)).as("starts"))
+        .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+      val monthNet = byTs.groupBy(col("month"))
+        .agg(sum(col("net")).as("mnet"))
+        .withColumn("offset",
+          coalesce(sum(col("mnet")).over(Window.orderBy(col("month"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("month").as("m"), col("offset"))
+      val withinMonth = byTs.withColumn("run",
+        sum(col("net")).over(Window.partitionBy(col("month"))
+          .orderBy(col("ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withinMonth.join(broadcast(monthNet), col("month") === col("m"))
+        .groupBy(col("month"))
+        .agg(max(col("offset") + col("run")).as("max_inflight"),
+          sum(col("starts")).as("n_started"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH ends AS (
+        SELECT l_orderkey AS ok, MAX(l_shipdate) AS e
+        FROM lineitem GROUP BY 1),
+      iv AS (
+        SELECT o_orderdate AS s, e
+        FROM orders JOIN ends ON o_orderkey = ok),
+      pts AS (
+        SELECT s AS ts, 1 AS d FROM iv
+        UNION ALL SELECT e, -1 FROM iv),
+      byts AS (
+        SELECT ts, SUM(d) AS net,
+               SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS starts
+        FROM pts GROUP BY ts),
+      run AS (
+        SELECT ts, starts, SUM(net) OVER (ORDER BY ts) AS cur FROM byts)
+      SELECT strftime(ts, '%Y-%m') AS month,
+             CAST(MAX(cur) AS BIGINT) AS max_inflight,
+             CAST(SUM(starts) AS BIGINT) AS n_started
+      FROM run GROUP BY 1 ORDER BY 1"""),
+    notes = "sweep-line peak concurrency; two-phase partitioned prefix sum, no global sort")
+
   val all: Seq[QueryDef] = Seq(qualityExpectations, scd2Snapshot, scd2Asof,
-    mvIncrementalAgg, reconcileChecksum)
+    mvIncrementalAgg, reconcileChecksum, intervalSweep)
 }
