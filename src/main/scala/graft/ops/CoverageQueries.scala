@@ -460,7 +460,71 @@ object CoverageQueries {
       ORDER BY u.user_id"""),
     notes = "typed two-sided keyed merge (Dataset.cogroup); no pairwise join blow-up")
 
+  /** Market-basket association rules (directed brand pairs with support /
+    * confidence / lift) — the frequent-itemset shape, done as plain
+    * relational algebra: baskets dedup to (order, brand), the pair join is
+    * basket ⋈ basket on the order key, and all three rule metrics stay in
+    * exact integer basis points — conf_bp = 10⁴·n_ab div n_a, lift_bp =
+    * 10⁴·n_ab·N div (n_a·n_b) — so the oracle hash-compares (`div` trunc
+    * == DuckDB `//` floor: all operands nonnegative counts). The scale
+    * posture: per-order pair fan-out is C(brands-per-basket, 2) — bounded
+    * by basket width, never by catalog size — and the two side tables
+    * (per-brand counts, the grand total) broadcast as 1-row / |brands|-row
+    * aggregates. Largest intermediate product 10⁴·n_ab·N overflows BIGINT
+    * only past ~10¹⁴ basket rows; document, don't wrap.
+    */
+  val assocRules = QueryDef(
+    "assoc_rules",
+    (spark, dir) => {
+      val basket = load(spark, dir, "lineitem")
+        .join(load(spark, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val nOrders = basket.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val brandCnt = basket.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_brand"))
+      val pairs = basket.as("x").join(basket.as("y"),
+          col("x.ok") === col("y.ok") && col("x.brand") =!= col("y.brand"))
+        .groupBy(col("x.brand").as("a"), col("y.brand").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(brandCnt.select(col("brand").as("a"),
+          col("n_brand").as("n_a"))), "a")
+        .join(broadcast(brandCnt.select(col("brand").as("b"),
+          col("n_brand").as("n_b"))), "b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("(10000L * n_ab) div n_a").as("conf_bp"),
+          expr("(10000L * n_ab * n_orders) div (n_a * n_b)").as("lift_bp"))
+        .orderBy(col("lift_bp").desc, col("a"), col("b"))
+        .limit(100)
+    },
+    Some("""
+      WITH basket AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM basket),
+      bc AS (SELECT brand, COUNT(*) AS n_brand FROM basket GROUP BY 1),
+      pr AS (
+        SELECT x.brand AS a, y.brand AS b, COUNT(*) AS n_ab
+        FROM basket x JOIN basket y
+          ON x.ok = y.ok AND x.brand <> y.brand
+        GROUP BY 1, 2)
+      SELECT a, b, n_ab,
+             ba.n_brand AS n_a, bb.n_brand AS n_b,
+             (10000 * n_ab) // ba.n_brand AS conf_bp,
+             (10000 * n_ab * n_orders) // (ba.n_brand * bb.n_brand) AS lift_bp
+      FROM pr JOIN bc ba ON pr.a = ba.brand
+              JOIN bc bb ON pr.b = bb.brand
+              CROSS JOIN n
+      ORDER BY lift_bp DESC, a, b
+      LIMIT 100"""),
+    notes = "frequent-pair rules in integer bp; broadcast side tables, basket-width-bounded fan-out")
+
   val all: Seq[QueryDef] = Seq(eventsSessionWindow, eventsUnpivot, joinLateral,
     aggGroupingSets, windowNavigation, arrayExplodePos, arrayExplodeOuter,
-    dedupLevenshtein, setopsAll, typedEvents, arrayInline, typedCogroup)
+    dedupLevenshtein, setopsAll, typedEvents, arrayInline, typedCogroup,
+    assocRules)
 }
