@@ -342,6 +342,65 @@ object WarehouseQueries {
       FROM run GROUP BY 1 ORDER BY 1"""),
     notes = "sweep-line peak concurrency; two-phase partitioned prefix sum, no global sort")
 
+  /** One-shuffle multi-column profiler (the ANALYZE TABLE / dbt-docs shape):
+    * null count, exact distinct count, and Gini impurity per column, for k
+    * columns in ONE aggregation pass — `stack` unpivots each row into
+    * (col_name, value) pairs so all columns share a single
+    * groupBy(col_name, value) shuffle instead of k separate scans+shuffles;
+    * the second-level rollup to per-column stats is |distinct values| rows.
+    * Values are profiled as exact strings (ints/dates rendered
+    * canonically — no double-to-string formatting divergence), and Gini
+    * stays rational: gini_bp = 10⁴·(n²−Σc²) div n², exact in BIGINT up to
+    * ~10⁷ non-null rows per column (switch the squares to DECIMAL(38,0)
+    * beyond; documented, not wrapped).
+    */
+  val profileColumns = QueryDef(
+    "profile_columns",
+    (spark, dir) => {
+      val vals = load(spark, dir, "events").selectExpr(
+        """stack(4,
+             'event_type', event_type,
+             'user_id',    cast(user_id as string),
+             'day',        date_format(ts, 'yyyy-MM-dd'),
+             'props',      props) as (col_name, v)""")
+      val cnt = vals.filter(col("v").isNotNull)
+        .groupBy(col("col_name"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val nulls = vals.groupBy(col("col_name"))
+        .agg(sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
+      cnt.groupBy(col("col_name"))
+        .agg(sum(col("c")).as("n_nonnull"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("sum_c2"))
+        .join(broadcast(nulls), Seq("col_name"))
+        .select(col("col_name"), col("n_nonnull"), col("n_null"),
+          col("n_distinct"),
+          expr("(10000L * (n_nonnull * n_nonnull - sum_c2)) div (n_nonnull * n_nonnull)")
+            .as("gini_bp"))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      WITH vals AS (
+        SELECT 'event_type' AS col_name, event_type AS v FROM events
+        UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        UNION ALL SELECT 'day', strftime(ts, '%Y-%m-%d') FROM events
+        UNION ALL SELECT 'props', props FROM events),
+      cnt AS (
+        SELECT col_name, v, COUNT(*) AS c FROM vals
+        WHERE v IS NOT NULL GROUP BY 1, 2),
+      nulls AS (
+        SELECT col_name, SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null
+        FROM vals GROUP BY 1)
+      SELECT cnt.col_name,
+             CAST(SUM(c) AS BIGINT) AS n_nonnull,
+             CAST(MAX(n_null) AS BIGINT) AS n_null,
+             COUNT(*) AS n_distinct,
+             CAST((10000 * (SUM(c) * SUM(c) - SUM(c * c)))
+               // (SUM(c) * SUM(c)) AS BIGINT) AS gini_bp
+      FROM cnt JOIN nulls ON cnt.col_name = nulls.col_name
+      GROUP BY 1 ORDER BY 1"""),
+    notes = "k-column profile in one shuffle via stack unpivot; exact distinct + rational Gini")
+
   val all: Seq[QueryDef] = Seq(qualityExpectations, scd2Snapshot, scd2Asof,
-    mvIncrementalAgg, reconcileChecksum, intervalSweep)
+    mvIncrementalAgg, reconcileChecksum, intervalSweep, profileColumns)
 }
