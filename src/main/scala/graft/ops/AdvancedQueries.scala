@@ -479,8 +479,65 @@ object AdvancedQueries {
       WHERE o_orderkey % 100 = 0
       ORDER BY o_orderkey"""))
 
+  /** 2-D skyline (Pareto frontier: minimize price, maximize size) — the
+    * dominance query whose naive form is an O(n²) inequality self-join. The
+    * scalable form is sort-based: in (price asc) order a part is on the
+    * skyline iff its size beats the running max size of all strictly
+    * cheaper parts AND it is the max size within its own price tie-group.
+    * The running max is NOT one global ORDER BY window: prices are
+    * range-bucketed, the in-bucket RANGE window (UNBOUNDED..1 PRECEDING on
+    * integer cents — exact tie semantics, no sort tie-break) runs
+    * partitioned, and the cross-bucket carry is a cummax over the ~tiny
+    * bucket table broadcast back — the same two-phase split as
+    * `interval_sweep`. The oracle is the NOT EXISTS dominance definition —
+    * a genuinely different algorithm, so the hash match checks the
+    * sort-based reformulation itself.
+    */
+  val skylinePareto = QueryDef(
+    "skyline_pareto",
+    (spark, dir) => {
+      val parts = load(spark, dir, "part")
+        .select(col("p_partkey"), cents(col("p_retailprice")).as("price_cents"),
+          col("p_size").cast("long").as("psize"))
+        .withColumn("bucket", expr("price_cents div 10000"))
+      val inBucket = parts.withColumn("run_max",
+        max(col("psize")).over(Window.partitionBy(col("bucket"))
+          .orderBy(col("price_cents"))
+          .rangeBetween(Window.unboundedPreceding, -1)))
+        .withColumn("tie_max",
+          max(col("psize")).over(Window.partitionBy(col("price_cents"))))
+      val carry = parts.groupBy(col("bucket"))
+        .agg(max(col("psize")).as("bmax"))
+        .withColumn("prev_max",
+          max(col("bmax")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("bucket").as("bk"), col("prev_max"))
+      inBucket.join(broadcast(carry), col("bucket") === col("bk"))
+        .withColumn("strict_max",
+          greatest(coalesce(col("run_max"), lit(Long.MinValue)),
+            coalesce(col("prev_max"), lit(Long.MinValue))))
+        .filter(col("psize") > col("strict_max") &&
+          col("psize") === col("tie_max"))
+        .select(col("p_partkey"), col("price_cents"), col("psize"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      WITH pts AS (
+        SELECT p_partkey,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS psize
+        FROM part)
+      SELECT p_partkey, price_cents, psize
+      FROM pts p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.price_cents <= p.price_cents AND q.psize >= p.psize
+          AND (q.price_cents < p.price_cents OR q.psize > p.psize))
+      ORDER BY p_partkey"""),
+    notes = "sort-based skyline, bucket-partitioned windows + tiny cummax carry; oracle = NOT EXISTS dominance")
+
   val all: Seq[QueryDef] = Seq(subqueryScalar, subqueryExists, windowRange,
     windowRanks, eventsPivot, arrayFuncs, stringFuncs, arraySetops,
     conditionalFuncs, joinAsofNative, joinAsofTolerance, joinAsofNearest,
-    joinShuffleHash, joinBloom)
+    joinShuffleHash, joinBloom, skylinePareto)
 }
