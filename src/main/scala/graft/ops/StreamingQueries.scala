@@ -586,8 +586,82 @@ object StreamingQueries {
       ORDER BY event_type, next_type"""),
     notes = "streaming transition extraction == batch events_markov matrix")
 
+  /** Change-data-feed read between two retained versions of the upsert sink
+    * (Delta's `table_changes` / CDF, natively): the events table arrives as
+    * three micro-batches through [[EventStreams.runUpsertSink]], then the
+    * v1→v2 change set is computed by joining the two RETAINED snapshot
+    * versions — `insert` rows (user first seen in v2) and `update` rows
+    * (a later event won the per-user argmax), with old/new values side by
+    * side. Deletes cannot occur under upsert semantics, so v2's user set
+    * contains v1's and a left join suffices. The O(|snapshot|) join is the
+    * honest cost of diff-after-the-fact CDF; the oracle replays both
+    * micro-batch prefixes (event_id % 3 ≤ N) and diffs them in SQL.
+    */
+  val snapshotChanges = QueryDef(
+    "snapshot_changes",
+    (spark, dir) => {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+      try {
+        val ev = graft.Tables.load(spark, dir, "events")
+        val incoming = stageEventSlices(ev, 3)
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(incoming)
+        val tablePath = Files.createTempDirectory("graft-cdf-table").toString
+        val ckpt = Files.createTempDirectory("graft-cdf-ck").toString
+        val q = EventStreams.runUpsertSink(stream, tablePath, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        val execMs = q.recentProgress.iterator
+          .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+          .sum
+        lastExecSec += "snapshot_changes" -> execMs / 1e3
+        def snap(v: Long) = EventStreams.readSnapshotAsOf(spark, tablePath, v)
+          .getOrElse(sys.error(s"no snapshot as of v$v at $tablePath"))
+          .select(col("user_id"), col("event_id"),
+            cents(col("value")).as("value_cents"))
+        snap(2L).as("n").join(snap(1L).as("o"), Seq("user_id"), "left_outer")
+          .filter(col("o.event_id").isNull ||
+            col("o.event_id") =!= col("n.event_id"))
+          .select(col("user_id"),
+            when(col("o.event_id").isNull, "insert").otherwise("update")
+              .as("change_type"),
+            col("o.event_id").as("old_event_id"),
+            col("n.event_id").as("new_event_id"),
+            col("o.value_cents").as("old_value_cents"),
+            col("n.value_cents").as("new_value_cents"))
+          .orderBy(col("user_id"))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        FROM events WHERE event_id % 3 <= 1
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
+      v2 AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1)
+      SELECT v2.user_id,
+             CASE WHEN v1.user_id IS NULL THEN 'insert' ELSE 'update' END
+               AS change_type,
+             v1.event_id AS old_event_id,
+             v2.event_id AS new_event_id,
+             v1.value_cents AS old_value_cents,
+             v2.value_cents AS new_value_cents
+      FROM v2 LEFT JOIN v1 ON v2.user_id = v1.user_id
+      WHERE v1.user_id IS NULL OR v1.event_id <> v2.event_id
+      ORDER BY v2.user_id"""),
+    notes = "native CDF between retained upsert-sink versions; oracle replays both prefixes")
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
     streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMvAgg,
-    streamMarkov)
+    streamMarkov, snapshotChanges)
 }

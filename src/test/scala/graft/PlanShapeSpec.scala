@@ -33,7 +33,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "text_tfidf" -> "broadcast 1-row corpus doc-count aggregate",
     "text_bm25" -> "broadcast 1-row corpus avgdl aggregate",
     "text_hash_embed" -> "broadcast 1-row vocabulary-size aggregate",
-    "text_keywords" -> "broadcast 1-row corpus token-total aggregate")
+    "text_keywords" -> "broadcast 1-row corpus token-total aggregate",
+    "assoc_rules" -> "broadcast 1-row basket-count aggregate (lift denominator)")
 
   /** Streaming queries execute the stream inside fn (their returned plan is
     * the memory-sink table scan — nothing to gate), and dedup_components
