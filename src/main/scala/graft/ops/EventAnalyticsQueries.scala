@@ -849,8 +849,48 @@ object EventAnalyticsQueries {
       ORDER BY event_type"""),
     notes = "Welch z from exact integer sums; one float expression in pinned order")
 
+  /** Trailing-7-day EXACT distinct users per day — the sliding-window
+    * distinct count that resists naive windowing (COUNT(DISTINCT) over a
+    * moving frame cannot merge like a sum). The scalable exact form is
+    * contribute-expansion: dedup to (day, user) pairs FIRST (the fact
+    * never expands), then each pair contributes to the ≤7 target days it
+    * is visible from, and one groupBy(target day) counts distinct users.
+    * Work is bounded by window_length × |daily actives|, not window ×
+    * |events| — the dedup-before-expand order is the whole trick. (The
+    * approximate-at-scale alternative — mergeable per-day HLLs unioned
+    * over the trailing window — is `agg_hll_setops`' machinery.)
+    */
+  val windowSlidingDistinct = QueryDef(
+    "window_sliding_distinct",
+    (spark, dir) => {
+      val dayUser = load(spark, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      dayUser
+        .select(col("user_id"),
+          explode(array((0 to 6).map(lit): _*)).as("i"),
+          col("day"))
+        .select(date_format(date_add(col("day"), col("i")), "yyyy-MM-dd")
+          .as("day7"), col("user_id"))
+        .groupBy(col("day7"))
+        .agg(countDistinct(col("user_id")).as("n_users_7d"),
+          count(lit(1)).as("n_day_user_pairs"))
+        .orderBy(col("day7"))
+    },
+    Some("""
+      WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      ex AS (
+        SELECT day + CAST(i AS INTEGER) AS tday, user_id
+        FROM du, (SELECT unnest(range(7)) AS i))
+      SELECT strftime(tday, '%Y-%m-%d') AS day7,
+             COUNT(DISTINCT user_id) AS n_users_7d,
+             COUNT(*) AS n_day_user_pairs
+      FROM ex GROUP BY 1 ORDER BY 1"""),
+    notes = "exact sliding distinct via dedup-then-expand; work = 7 x daily actives")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
     eventsSequencePattern, eventsPaths, eventsMarkov, eventsPercentiles,
-    eventsAttributionLinear, eventsAbTest)
+    eventsAttributionLinear, eventsAbTest, windowSlidingDistinct)
 }

@@ -620,8 +620,61 @@ object PipelineQueries {
       ORDER BY verdict"""),
     notes = "first-failing-rule attrition accounting; rules from text_quality as an ordered gate")
 
+  /** Balanced shard assignment for corpus writing: 32 output shards whose
+    * byte totals must be near-equal (straggler shards = straggler training
+    * steps). The assignment is serpentine sorted round-robin — docs ranked
+    * by size desc, shard s(rk) snaking 0..31, 31..0 per pass, so each pass
+    * hands every shard one doc and alternating direction cancels the
+    * within-pass size gradient. The global ROW_NUMBER that makes this
+    * deterministic is NOT one global sort: sizes are range-bucketed, the
+    * row_number runs partitioned per bucket, and each bucket's rank offset
+    * is the count of all larger buckets — a tiny descending cumsum
+    * broadcast back (the `interval_sweep` two-phase split). Everything is
+    * nonnegative integer arithmetic, so trunc/floor agree and the 32-row
+    * result hash-matches the oracle's single-window formulation.
+    */
+  val pipelineShardBalance = QueryDef(
+    "pipeline_shard_balance",
+    (spark, dir) => {
+      val d = load(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("bkt", expr("n_chars div 200"))
+      val offsets = d.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          coalesce(sum(col("cnt")).over(Window.orderBy(col("bkt").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt").as("b"), col("offset"))
+      val ranked = d
+        .withColumn("within", row_number().over(Window.partitionBy(col("bkt"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+        .join(broadcast(offsets), col("bkt") === col("b"))
+        .withColumn("rk", col("offset") + col("within") - 1)
+      ranked
+        .withColumn("shard",
+          when(expr("(rk div 32) % 2") === 0, expr("rk % 32"))
+            .otherwise(lit(31) - expr("rk % 32")))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+        FROM documents),
+      s AS (
+        SELECT n_chars,
+               CASE WHEN (rk // 32) % 2 = 0 THEN rk % 32
+                    ELSE 31 - (rk % 32) END AS shard
+        FROM r)
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_total
+      FROM s GROUP BY 1 ORDER BY 1"""),
+    notes = "serpentine size-balanced sharding; two-phase distributed row_number, no global sort")
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
     pipelinePack, pipelineDecontaminate, textRepetition, pipelineRedact,
-    sampleTemperature, sampleMixture, pipelineAttrition)
+    sampleTemperature, sampleMixture, pipelineAttrition, pipelineShardBalance)
 }
