@@ -889,8 +889,69 @@ object EventAnalyticsQueries {
       FROM ex GROUP BY 1 ORDER BY 1"""),
     notes = "exact sliding distinct via dedup-then-expand; work = 7 x daily actives")
 
+  /** RFM segmentation — the marketing-warehouse classic: per user, recency
+    * (days since last purchase, vs the corpus max day), frequency (purchase
+    * count), monetary (cents total), each scored into quintiles, users
+    * rolled up per 3-digit segment code. Quintile boundaries use ntile over
+    * a FULLY deterministic order (metric, then user_id) — ntile ties are
+    * assignment-order artifacts, so an explicit unique tie-break is the
+    * difference between a reproducible segmentation and a flaky one. The
+    * corpus max day is a 1-row broadcast; the per-user rollup is one
+    * shuffle; the final segment table is ≤125 rows regardless of scale.
+    */
+  val eventsRfm = QueryDef(
+    "events_rfm",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.Tables.cents
+      val purch = load(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          cents(col("value")).as("vc"))
+      val maxDay = purch.agg(max(col("day")).as("max_day"))
+      val perUser = purch.groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(col("vc")).as("monetary_cents"))
+        .crossJoin(broadcast(maxDay))
+        .select(col("user_id"),
+          datediff(col("max_day"), col("last_day")).as("recency_days"),
+          col("freq"), col("monetary_cents"))
+      val scored = perUser.select(col("user_id"),
+        ntile(5).over(Window.orderBy(col("recency_days"), col("user_id")))
+          .as("r"),
+        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
+          .as("f"),
+        ntile(5).over(Window.orderBy(col("monetary_cents").desc,
+          col("user_id"))).as("m"))
+      scored.groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("segment"))
+    },
+    Some("""
+      WITH purch AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events WHERE event_type = 'purchase'),
+      per_user AS (
+        SELECT user_id,
+               date_diff('day', MAX(day), (SELECT MAX(day) FROM purch))
+                 AS recency_days,
+               COUNT(*) AS freq,
+               CAST(SUM(vc) AS BIGINT) AS monetary_cents
+        FROM purch GROUP BY user_id),
+      scored AS (
+        SELECT user_id,
+               NTILE(5) OVER (ORDER BY recency_days, user_id) AS r,
+               NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f,
+               NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m
+        FROM per_user)
+      SELECT r * 100 + f * 10 + m AS segment, COUNT(*) AS n_users
+      FROM scored GROUP BY 1 ORDER BY 1"""),
+    notes = "RFM quintile segmentation; deterministic ntile tie-breaks, 1-row max-day broadcast")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
     eventsSequencePattern, eventsPaths, eventsMarkov, eventsPercentiles,
-    eventsAttributionLinear, eventsAbTest, windowSlidingDistinct)
+    eventsAttributionLinear, eventsAbTest, windowSlidingDistinct, eventsRfm)
 }
