@@ -189,5 +189,34 @@ object ParityQueries {
          + (a.lon - b.lon) * (a.lon - b.lon) <= 4.0::DOUBLE
       ORDER BY a_loc, b_loc"""))
 
-  val all: Seq[QueryDef] = Seq(goldCsv, goldApi, parityFuncs, geoNeighborJoin)
+  /** End-to-end check of the [[graft.sources.SynthSource]] DSv2 connector:
+    * the id-range predicate is PUSHED into the source (narrows the
+    * generated keyspace before partitions are planned — 200k rows become
+    * 100k generated, and `.explain` shows the accepted filters), the tag
+    * predicate stays post-scan, and column pruning drops `id` from the
+    * aggregate's reader. The oracle regenerates the identical table from
+    * `range(numRows)` with the same BIGINT hash arithmetic — the connector,
+    * its pushdown bookkeeping, and the generator are all inside the hash.
+    */
+  val sourceSynthPushdown = QueryDef(
+    "source_synth_pushdown",
+    (spark, dir) => {
+      spark.read.format("graft.sources.SynthSource")
+        .option("numRows", "200000").option("partitions", "16").load()
+        .filter(col("id") >= 50000L && col("id") < 150000L &&
+          col("tag") =!= "t3")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("cents"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH synth AS (${graft.sources.SynthSource.oracleSql(200000L)})
+      SELECT bucket, COUNT(*) AS n, CAST(SUM(v_cents) AS BIGINT) AS cents
+      FROM synth
+      WHERE id >= 50000 AND id < 150000 AND tag <> 't3'
+      GROUP BY 1 ORDER BY 1"""),
+    notes = "DSv2 connector: pushed id-range narrows generation; oracle regenerates from range()")
+
+  val all: Seq[QueryDef] = Seq(goldCsv, goldApi, parityFuncs, geoNeighborJoin,
+    sourceSynthPushdown)
 }

@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector generating a deterministic synthetic tick table —
+  * the "custom connector" surface (TableProvider → Table → ScanBuilder →
+  * Batch → PartitionReader) with the two pushdowns that matter at 100 TB
+  * implemented for real, not advertised:
+  *
+  *   - **Filter pushdown as partition elimination**: range predicates on
+  *     `id` narrow the generated [0, numRows) keyspace BEFORE partitions
+  *     are planned, so a `id BETWEEN` filter prunes whole input partitions
+  *     — the DSv2 analogue of parquet row-group/partition pruning. Accepted
+  *     filters are reported via `pushedFilters()` (visible in `.explain`);
+  *     everything else is left for Spark to evaluate post-scan.
+  *   - **Column pruning**: `pruneColumns` narrows the reader's emit set, so
+  *     a 2-column aggregate never materializes the unused columns.
+  *
+  * Every generated value is a pure function of `id` over BIGINT-safe
+  * arithmetic (Knuth multiplicative hash mod 2³¹−1), so an external engine
+  * can regenerate the identical table from `range(numRows)` — which is
+  * exactly how the DuckDB oracle checks the connector end to end.
+  *
+  * Options: `numRows` (default 100 000), `partitions` (default 8).
+  */
+class SynthSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new SynthTable(
+      Option(opts.get("numRows")).getOrElse("100000").toLong,
+      Option(opts.get("partitions")).getOrElse("8").toInt)
+  }
+}
+
+object SynthSource {
+  val schema: StructType = new StructType()
+    .add("id", LongType, nullable = false)
+    .add("bucket", IntegerType, nullable = false)
+    .add("v_cents", LongType, nullable = false)
+    .add("tag", StringType, nullable = false)
+
+  private val P = 2147483647L // 2^31 - 1
+  private val K = 2654435761L // Knuth multiplicative constant
+
+  /** id → hash; id·K ≤ 2⁶³ for id ≤ 3.4e9, so BIGINT-exact in any engine. */
+  def hash(id: Long): Long = (id * K) % P
+
+  /** The oracle-side regeneration of the full table from range(numRows). */
+  def oracleSql(numRows: Long): String =
+    s"""SELECT id, CAST(h % 64 AS INTEGER) AS bucket, h % 100000 AS v_cents,
+       |       't' || CAST(h % 5 AS VARCHAR) AS tag
+       |FROM (SELECT id, (id * $K) % $P AS h FROM range($numRows) t(id))""".stripMargin
+}
+
+class SynthTable(numRows: Long, partitions: Int) extends Table with SupportsRead {
+  override def name(): String = s"synth($numRows)"
+  override def schema(): StructType = SynthSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(numRows, partitions)
+}
+
+class SynthScanBuilder(numRows: Long, partitions: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L
+  private var hi = numRows
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = SynthSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition {
+      case GreaterThan("id", _: Number) => true
+      case GreaterThanOrEqual("id", _: Number) => true
+      case LessThan("id", _: Number) => true
+      case LessThanOrEqual("id", _: Number) => true
+      case EqualTo("id", _: Number) => true
+      case _ => false
+    }
+    ours.foreach {
+      case GreaterThan("id", v: Number) => lo = math.max(lo, v.longValue + 1)
+      case GreaterThanOrEqual("id", v: Number) => lo = math.max(lo, v.longValue)
+      case LessThan("id", v: Number) => hi = math.min(hi, v.longValue)
+      case LessThanOrEqual("id", v: Number) => hi = math.min(hi, v.longValue + 1)
+      case EqualTo("id", v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+      case _ =>
+    }
+    accepted = ours
+    rest // Spark evaluates the remainder post-scan
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = {
+      val n = math.max(0L, hi - lo)
+      if (n == 0L) Array.empty
+      else {
+        val parts = math.max(1, math.min(partitions, n).toInt)
+        val step = (n + parts - 1) / parts
+        (0 until parts).iterator
+          .map(i => SynthPartition(lo + i * step, math.min(hi, lo + (i + 1) * step)))
+          .filter(p => p.from < p.until)
+          .toArray[InputPartition]
+      }
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SynthReaderFactory(required.fieldNames)
+    override def description(): String =
+      s"SynthScan[$lo, $hi) cols=${required.fieldNames.mkString(",")}"
+  }
+}
+
+case class SynthPartition(from: Long, until: Long) extends InputPartition
+
+class SynthReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SynthPartition]
+    new PartitionReader[InternalRow] {
+      private var id = p.from - 1
+      override def next(): Boolean = { id += 1; id < p.until }
+      override def get(): InternalRow = {
+        val h = SynthSource.hash(id)
+        InternalRow.fromSeq(cols.toSeq.map {
+          case "id" => id
+          case "bucket" => (h % 64).toInt
+          case "v_cents" => h % 100000
+          case "tag" => UTF8String.fromString("t" + (h % 5))
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 connector gates: the pushdowns must actually happen, not just be
+  * implemented — the scan description carries the narrowed range and the
+  * pruned column set, so these assert on the executed plan.
+  */
+class SynthSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def synth(rows: Long) = spark.read
+    .format("graft.sources.SynthSource")
+    .option("numRows", rows.toString).option("partitions", "4").load()
+
+  test("full scan generates exactly numRows") {
+    assert(synth(10000).count() === 10000L)
+  }
+
+  test("id range predicates narrow the scan (pushdown, not post-filter)") {
+    val df = synth(10000).filter(col("id") >= 2000L && col("id") < 3000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SynthScan[2000, 3000)"), plan)
+    assert(df.count() === 1000L)
+  }
+
+  test("contradictory range plans zero partitions and returns empty") {
+    val df = synth(10000).filter(col("id") >= 9000L && col("id") < 1000L)
+    assert(df.rdd.getNumPartitions === 0)
+    assert(df.count() === 0L)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = synth(1000).select(sum(col("v_cents")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=v_cents"), plan)
+  }
+
+  test("equality pushdown generates a single row") {
+    val df = synth(10000).filter(col("id") === 1234L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SynthScan[1234, 1235)"), plan)
+    assert(df.select(col("bucket")).count() === 1L)
+  }
+
+  test("generator matches the published hash recipe") {
+    val row = synth(10000).filter(col("id") === 7L).head()
+    val h = graft.sources.SynthSource.hash(7L)
+    assert(row.getAs[Int]("bucket") === (h % 64).toInt)
+    assert(row.getAs[Long]("v_cents") === h % 100000)
+    assert(row.getAs[String]("tag") === "t" + (h % 5))
+  }
+}
