@@ -168,5 +168,49 @@ object LayoutQueries {
       GROUP BY source, CAST((cum - bytes) // 8000 AS BIGINT)
       ORDER BY source, merge_group"""))
 
-  val all: Seq[QueryDef] = Seq(layoutZorder, layoutSkipping, layoutCompaction)
+  /** Dynamic partition pruning, exercised for real: the events table is
+    * written out day-partitioned (the Hive-style layout a 100 TB fact lives
+    * in), then joined to a small filtered day dimension on the RAW
+    * partition column — the dim filter (`day(...) % 10 = 5`, 3 of 30 days)
+    * is not statically pushable through the join, so Catalyst inserts a
+    * `dynamicpruning` subquery into the fact scan's PartitionFilters and
+    * 27 of 30 partition directories are never opened. The join key must
+    * stay the untouched partition attribute (any expression over it kills
+    * DPP — the reformat to a display string happens post-join), and the
+    * dim is broadcast, so the pruning subquery reuses the broadcast
+    * exchange. DppSpec pins `dynamicpruning` in the executed plan; the
+    * oracle computes the same join from the raw table.
+    */
+  val layoutDpp = QueryDef(
+    "layout_dpp",
+    (spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+      load(spark, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      val fact = spark.read.parquet(tmp)
+      val dim = load(spark, dir, "events")
+        .select(to_date(col("ts")).as("dday")).distinct()
+        .filter(dayofmonth(col("dday")) % 10 === 5)
+      fact.join(broadcast(dim), col("day") === col("dday"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("cents"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""
+      WITH dim AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS dday FROM events
+        WHERE day(CAST(ts AS DATE)) % 10 = 5)
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events JOIN dim ON CAST(ts AS DATE) = dday
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    notes = "real day-partitioned write + DPP join; dynamicpruning pinned in DppSpec")
+
+  val all: Seq[QueryDef] = Seq(layoutZorder, layoutSkipping, layoutCompaction,
+    layoutDpp)
 }
