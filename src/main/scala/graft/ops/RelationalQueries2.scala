@@ -573,16 +573,24 @@ object RelationalQueries2 {
           col("a.ok") === col("b.ok") && col("b.ln") === col("a.ln") + 1 &&
             col("a.pk") =!= col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      val edges = e0
-        .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint() // reused by all 3 BFS rounds
+      // dedup BEFORE doubling directions: half the distinct's shuffle. The
+      // rare symmetric duplicate ((a,b) and (b,a) both observed) survives,
+      // which BFS tolerates — every frontier is re-deduped anyway.
+      val edges = e0.distinct()
+      // hash-partition the adjacency on the probe key BEFORE materializing:
+      // localCheckpoint preserves outputPartitioning, so each of the 3
+      // frontier joins shuffles only the (tiny) frontier, never the edges.
+      val adj = edges
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
+        .localCheckpoint() // reused by all 3 BFS rounds
       val seeds = load(spark, dir, "part")
         .filter(col("p_brand") === "Brand#11")
         .select(col("p_partkey").as("node"))
       var dist = seeds.withColumn("hops", lit(0))
       var frontier = dist
       for (h <- 1 to 3) {
-        frontier = frontier.join(edges, col("node") === col("src"))
+        frontier = frontier.join(adj, col("node") === col("src"))
           .select(col("dst").as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
           .withColumn("hops", lit(h))
