@@ -523,8 +523,43 @@ object CoverageQueries {
       LIMIT 100"""),
     notes = "frequent-pair rules in integer bp; broadcast side tables, basket-width-bounded fan-out")
 
+  /** Share-of-day decomposition shaped for EXCHANGE REUSE: the per-(day,
+    * type) aggregate feeds both the result rows and the per-day totals, so
+    * the (day, type) shuffle is planned once and the second consumer reads
+    * the materialized exchange — Catalyst's ReuseExchange (ReusedExchange /
+    * AQE stage reuse) instead of scanning and shuffling the fact twice.
+    * At 100 TB "compute the base aggregate once" is the difference between
+    * one pass and two; ExchangeReuseSpec pins the reuse node in the
+    * EXECUTED plan so a refactor that breaks subplan identity (any
+    * asymmetry between the two consumers' subtrees) fails loudly. Share is
+    * exact integer bp; trunc==floor on nonnegative counts.
+    */
+  val aggExchangeReuse = QueryDef(
+    "agg_exchange_reuse",
+    (spark, dir) => {
+      val daily = load(spark, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = daily.groupBy(col("day")).agg(sum(col("n")).as("day_total"))
+      daily.join(totals, "day")
+        .select(col("day"), col("event_type"), col("n"),
+          expr("(10000L * n) div day_total").as("share_bp"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      totals AS (
+        SELECT day, CAST(SUM(n) AS BIGINT) AS day_total FROM daily GROUP BY 1)
+      SELECT daily.day, event_type, n, (10000 * n) // day_total AS share_bp
+      FROM daily JOIN totals ON daily.day = totals.day
+      ORDER BY daily.day, event_type"""),
+    notes = "self-consuming aggregate; ReusedExchange pinned in spec — one fact pass, not two")
+
   val all: Seq[QueryDef] = Seq(eventsSessionWindow, eventsUnpivot, joinLateral,
     aggGroupingSets, windowNavigation, arrayExplodePos, arrayExplodeOuter,
     dedupLevenshtein, setopsAll, typedEvents, arrayInline, typedCogroup,
-    assocRules)
+    assocRules, aggExchangeReuse)
 }
