@@ -950,8 +950,100 @@ object EventAnalyticsQueries {
       FROM scored GROUP BY 1 ORDER BY 1"""),
     notes = "RFM quintile segmentation; deterministic ntile tie-breaks, 1-row max-day broadcast")
 
+  /** Linear interpolation of missing days (the resample-and-interpolate
+    * timeseries shape; `events_gapfill` is the carry-forward sibling) over
+    * a sparse daily series, in EXACT integer arithmetic: the interpolated
+    * value is prev + ⌊Δvalue·Δdays / span⌋ where the floor division is
+    * spelled (a − pmod(a,b)) div b on BOTH sides — Δvalue goes NEGATIVE on
+    * falling segments, where plain `div` and DuckDB's `//` both truncate
+    * toward zero (measured: (-7)//2 = -3 in DuckDB) and a mathematical
+    * floor differs by 1; subtracting the nonnegative pmod first makes the
+    * division exact, so trunc == floor in both engines by construction.
+    * Calendar spans each type's own [min, max] day, so
+    * every gap has both anchors; prev/next anchors come from
+    * last/first(IGNORE NULLS) frames, one partitioned window pass each.
+    */
+  val eventsInterpolate = QueryDef(
+    "events_interpolate",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.Tables.cents
+      val daily = load(spark, dir, "events")
+        .filter(col("event_id") % 97 === 0) // sparse slice -> real gaps
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("c"))
+      val cal = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val filled = cal.join(daily, Seq("event_type", "day"), "left_outer")
+        .withColumn("prev_c", last(col("c"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("prev_d",
+          last(when(col("c").isNotNull, col("day")), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("next_c", first(col("c"), ignoreNulls = true)
+          .over(w.rowsBetween(0, Window.unboundedFollowing)))
+        .withColumn("next_d",
+          first(when(col("c").isNotNull, col("day")), ignoreNulls = true)
+            .over(w.rowsBetween(0, Window.unboundedFollowing)))
+      filled
+        .withColumn("num",
+          (col("next_c") - col("prev_c")) * datediff(col("day"), col("prev_d")))
+        .withColumn("den", datediff(col("next_d"), col("prev_d")))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          when(col("c").isNotNull, col("c"))
+            .otherwise(col("prev_c") +
+              expr("(num - pmod(num, den)) div den")).as("cents"),
+          col("c").isNull.cast("int").as("is_interp"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        FROM events WHERE event_id % 97 = 0
+        GROUP BY 1, 2),
+      cal AS (
+        SELECT event_type,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY 1)),
+      f AS (
+        SELECT cal.event_type, cal.day, daily.c,
+               last_value(c IGNORE NULLS) OVER wp AS prev_c,
+               last_value(CASE WHEN c IS NOT NULL THEN cal.day END IGNORE NULLS)
+                 OVER wp AS prev_d,
+               first_value(c IGNORE NULLS) OVER wf AS next_c,
+               first_value(CASE WHEN c IS NOT NULL THEN cal.day END IGNORE NULLS)
+                 OVER wf AS next_d
+        FROM cal LEFT JOIN daily
+          ON cal.event_type = daily.event_type AND cal.day = daily.day
+        WINDOW wp AS (PARTITION BY cal.event_type ORDER BY cal.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY cal.event_type ORDER BY cal.day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      g AS (
+        SELECT *, (next_c - prev_c) * date_diff('day', prev_d, day) AS num,
+               date_diff('day', prev_d, next_d) AS den
+        FROM f)
+      -- (num - pmod(num, den)) // den: numerator is an exact multiple of
+      -- den, so DuckDB's truncating // equals floor — same construction as
+      -- the Spark side (DuckDB's plain // truncates toward zero on
+      -- negatives, unlike a mathematical floor)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             CAST(CASE WHEN c IS NOT NULL THEN c
+                  ELSE prev_c + (num - (((num % den) + den) % den)) // den
+                  END AS BIGINT) AS cents,
+             CAST(c IS NULL AS INTEGER) AS is_interp
+      FROM g ORDER BY event_type, day"""),
+    notes = "exact integer linear interpolation; pmod-floor div == DuckDB // on negative slopes")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
     eventsSequencePattern, eventsPaths, eventsMarkov, eventsPercentiles,
-    eventsAttributionLinear, eventsAbTest, windowSlidingDistinct, eventsRfm)
+    eventsAttributionLinear, eventsAbTest, windowSlidingDistinct, eventsRfm,
+    eventsInterpolate)
 }

@@ -620,7 +620,53 @@ object RelationalQueries2 {
       FROM bfs GROUP BY node ORDER BY node"""),
     notes = "frontier BFS, min-hop ≤3; anti-join settles nodes, oracle = recursive CTE + MIN")
 
+  /** Relational division (the FOR-ALL join): which suppliers cover the
+    * whole Brand#11 part universe — expressed as the count-match form
+    * (distinct covered parts vs a 1-row universe count broadcast), NOT the
+    * double-NOT-EXISTS textbook form, because count-match is one semi-join
+    * + one aggregate where double negation plans two correlated anti-joins
+    * over the fact. Emitted as a coverage leaderboard (top 10 by covered
+    * count, deterministic tie-break) with the exact-division predicate as
+    * `full_cover` — at production selectivities full covers are rare, and
+    * a division operator that returns "empty" hides whether the pipeline
+    * works; coverage_bp keeps the answer informative at every SF.
+    */
+  val joinDivision = QueryDef(
+    "join_division",
+    (spark, dir) => {
+      val brandParts = load(spark, dir, "part")
+        .filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey").as("bp"))
+      val universe = brandParts.agg(count(lit(1)).as("n_parts"))
+      val covered = load(spark, dir, "lineitem")
+        .join(broadcast(brandParts), col("l_partkey") === col("bp"))
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_covered"))
+      covered.crossJoin(broadcast(universe))
+        .select(col("l_suppkey"), col("n_covered"), col("n_parts"),
+          expr("(10000L * n_covered) div n_parts").as("coverage_bp"),
+          (col("n_covered") === col("n_parts")).cast("int").as("full_cover"))
+        .orderBy(col("n_covered").desc, col("l_suppkey"))
+        .limit(10)
+    },
+    Some("""
+      WITH bp AS (
+        SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+      u AS (SELECT COUNT(*) AS n_parts FROM bp),
+      cov AS (
+        SELECT l_suppkey, COUNT(*) AS n_covered FROM (
+          SELECT DISTINCT l_suppkey, l_partkey
+          FROM lineitem JOIN bp ON l_partkey = p_partkey)
+        GROUP BY 1)
+      SELECT l_suppkey, n_covered, n_parts,
+             (10000 * n_covered) // n_parts AS coverage_bp,
+             CAST(n_covered = n_parts AS INTEGER) AS full_cover
+      FROM cov CROSS JOIN u
+      ORDER BY n_covered DESC, l_suppkey
+      LIMIT 10"""),
+    notes = "division via count-match (semi-join + aggregate), not double NOT EXISTS")
+
   val all: Seq[QueryDef] = Seq(q13CustDist, joinFullOuter, q15TopSupp,
     q8Share, q20Excess, q21SoleLate, aggSalted, joinSalted, graphPagerank,
-    graphPagerankIter, graphTriangles, graphBfs)
+    graphPagerankIter, graphTriangles, graphBfs, joinDivision)
 }

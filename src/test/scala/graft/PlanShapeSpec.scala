@@ -35,7 +35,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "text_hash_embed" -> "broadcast 1-row vocabulary-size aggregate",
     "text_keywords" -> "broadcast 1-row corpus token-total aggregate",
     "assoc_rules" -> "broadcast 1-row basket-count aggregate (lift denominator)",
-    "events_rfm" -> "broadcast 1-row corpus max-day aggregate (recency anchor)")
+    "events_rfm" -> "broadcast 1-row corpus max-day aggregate (recency anchor)",
+    "join_division" -> "broadcast 1-row part-universe count (division denominator)")
 
   /** Streaming queries execute the stream inside fn (their returned plan is
     * the memory-sink table scan — nothing to gate), and dedup_components
