@@ -434,7 +434,7 @@ object EventAnalyticsQueries {
           .orderBy(col(valueCol)).rowsBetween(Window.unboundedPreceding, 0)
         h.withColumn("cum", sum(col("cnt")).over(wCum))
           .withColumn("n", sum(col("cnt")).over(wType))
-          // `div` (trunc) vs oracle `//` (floor) agree here because n is a
+          // `div` and oracle `//` BOTH truncate (measured r6) — and n is a
           // COUNT — rank operands are structurally nonnegative
           .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
             col("cum") >= expr("(n + 1) div 2"))
@@ -616,7 +616,7 @@ object EventAnalyticsQueries {
         .agg(count(lit(1)).as("n_pair"))
         .withColumn("n_from", sum(col("n_pair")).over(wFrom))
         .select(col("event_type"), col("next_type"), col("n_pair"),
-          // `div` (trunc) vs oracle `//` (floor) agree: counts ≥ 0
+          // `div` and oracle `//` both truncate (measured r6); counts ≥ 0
           col("n_from"), expr("(10000L * n_pair) div n_from").as("p_bp"))
         .orderBy(col("event_type"), col("next_type"))
     },
@@ -660,7 +660,7 @@ object EventAnalyticsQueries {
       val cum = hist
         .withColumn("cum", sum(col("cnt")).over(wCum))
         .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
-      // `div` (trunc) vs oracle `//` (floor) agree in every rankExpr below:
+      // `div` and oracle `//` both truncate (measured r6) in every rankExpr below:
       // n is a COUNT, so all operands are structurally nonnegative
       def atRank(rankExpr: String): Column =
         max(when(col("cum") - col("cnt") < expr(rankExpr) &&

@@ -384,7 +384,7 @@ object RelationalQueries2 {
     * rank' = 1500 + (85·s) div 100 — so five chained iterations stay
     * bit-identical cross-engine where float PageRank would diverge by
     * summation order at iteration 1. Operands are structurally nonnegative,
-    * so Spark `div` (trunc) == DuckDB `//` (floor). The oracle replays the
+    * so Spark `div` == DuckDB `//` (both truncate; measured r6). The oracle replays the
     * exact recurrence as five chained CTEs (r1..r5), each cast back to
     * BIGINT to mirror Long (DuckDB SUM widens to HUGEINT).
     *
