@@ -898,6 +898,12 @@ object EventAnalyticsQueries {
     * difference between a reproducible segmentation and a flaky one. The
     * corpus max day is a 1-row broadcast; the per-user rollup is one
     * shuffle; the final segment table is ≤125 rows regardless of scale.
+    * Honest caveat: the three global ntile windows sort the |users| table
+    * in one partition — fine while users ≪ events (the usual 10³–10⁴×
+    * reduction), and past that the quintile BOUNDARIES come from the exact
+    * distributed percentile machinery (`quantiles_exact` /
+    * `pipeline_shard_balance`'s two-phase rank) + a broadcast range join,
+    * same result.
     */
   val eventsRfm = QueryDef(
     "events_rfm",
