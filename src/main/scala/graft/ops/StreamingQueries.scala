@@ -660,8 +660,34 @@ object StreamingQueries {
       ORDER BY v2.user_id"""),
     notes = "native CDF between retained upsert-sink versions; oracle replays both prefixes")
 
+  /** Streaming read through the custom DSv2 connector
+    * ([[graft.sources.SynthSource]] as a `MicroBatchStream`): admission
+    * control caps each micro-batch at 20k ids, so one AvailableNow run
+    * drains the 100k keyspace in 5 REAL micro-batches — offset bookkeeping,
+    * per-batch partition planning, checkpoint commit — and the complete-mode
+    * aggregate over all batches must equal the batch oracle regenerated
+    * from `range(numRows)`. The connector's batch and streaming paths share
+    * one generator, so this also pins batch/stream read parity.
+    */
+  val streamSynthSource = QueryDef(
+    "stream_synth_source",
+    (spark, dir) => {
+      val stream = spark.readStream.format("graft.sources.SynthSource")
+        .option("numRows", "100000").option("partitions", "8")
+        .option("rowsPerBatch", "20000").load()
+      val agg = stream.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("cents"))
+      runToTable(agg, "stream_synth_source", OutputMode.Complete())
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH synth AS (${graft.sources.SynthSource.oracleSql(100000L)})
+      SELECT bucket, COUNT(*) AS n, CAST(SUM(v_cents) AS BIGINT) AS cents
+      FROM synth GROUP BY 1 ORDER BY 1"""),
+    notes = "custom MicroBatchStream, 5 admission-controlled micro-batches; oracle from range()")
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
     streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMvAgg,
-    streamMarkov, snapshotChanges)
+    streamMarkov, snapshotChanges, streamSynthSource)
 }

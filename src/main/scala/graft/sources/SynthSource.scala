@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,12 +71,62 @@ class SynthTable(numRows: Long, partitions: Int) extends Table with SupportsRead
   override def name(): String = s"synth($numRows)"
   override def schema(): StructType = SynthSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(numRows, partitions)
+    new SynthScanBuilder(numRows, partitions,
+      Option(options.get("rowsPerBatch")).map(_.toLong).getOrElse(numRows))
 }
 
-class SynthScanBuilder(numRows: Long, partitions: Int) extends ScanBuilder
+/** Streaming offset = how many ids have been emitted. */
+case class SynthOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** Micro-batch stream over the same id keyspace: admission control caps each
+  * batch at `rowsPerBatch` ids, so one AvailableNow run drains the keyspace
+  * in ⌈numRows / rowsPerBatch⌉ real micro-batches — offset bookkeeping,
+  * batch planning and restart-from-checkpoint all exercised, not mocked.
+  */
+class SynthMicroBatchStream(numRows: Long, partitions: Int, rowsPerBatch: Long,
+    cols: Array[String]) extends MicroBatchStream with SupportsTriggerAvailableNow {
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(rowsPerBatch)
+  override def initialOffset(): Offset = SynthOffset(0L)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is used")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SynthOffset].v
+    val cap = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => rowsPerBatch
+    }
+    SynthOffset(math.min(numRows, s + cap))
+  }
+  override def reportLatestOffset(): Offset = SynthOffset(numRows)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (lo, hi) = (start.asInstanceOf[SynthOffset].v, end.asInstanceOf[SynthOffset].v)
+    val n = math.max(0L, hi - lo)
+    if (n == 0L) Array.empty
+    else {
+      val parts = math.max(1, math.min(partitions, n).toInt)
+      val step = (n + parts - 1) / parts
+      (0 until parts).iterator
+        .map(i => SynthPartition(lo + i * step, math.min(hi, lo + (i + 1) * step)))
+        .filter(p => p.from < p.until)
+        .toArray[InputPartition]
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(cols)
+  override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class SynthScanBuilder(numRows: Long, partitions: Int, rowsPerBatch: Long)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = 0L
@@ -112,6 +163,9 @@ class SynthScanBuilder(numRows: Long, partitions: Int) extends ScanBuilder
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new SynthMicroBatchStream(numRows, partitions, rowsPerBatch,
+        required.fieldNames)
     override def planInputPartitions(): Array[InputPartition] = {
       val n = math.max(0L, hi - lo)
       if (n == 0L) Array.empty

@@ -44,6 +44,21 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(df.select(col("bucket")).count() === 1L)
   }
 
+  test("micro-batch stream drains the keyspace in admission-controlled batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("graft.sources.SynthSource")
+      .option("numRows", "50000").option("partitions", "4")
+      .option("rowsPerBatch", "10000").load()
+      .writeStream.format("memory").queryName("synth_stream_drain")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("synth-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("synth_stream_drain").count() === 50000L)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches === 5, s"expected 5 micro-batches, got $dataBatches")
+  }
+
   test("generator matches the published hash recipe") {
     val row = synth(10000).filter(col("id") === 7L).head()
     val h = graft.sources.SynthSource.hash(7L)
