@@ -217,6 +217,33 @@ object ParityQueries {
       GROUP BY 1 ORDER BY 1"""),
     notes = "DSv2 connector: pushed id-range narrows generation; oracle regenerates from range()")
 
+  /** End-to-end check of the [[graft.sources.DigestSink]] DSv2 WRITE path:
+    * the events projection is written through the sink, each task's commit
+    * message carries its partial digest, the driver fold is the table
+    * digest, and the oracle recomputes the identical count + checksum in
+    * SQL. The digest survives any row order and any partitioning — the
+    * property that lets a 1000-executor write self-verify.
+    */
+  val sinkDigestWrite = QueryDef(
+    "sink_digest_write",
+    (spark, dir) => {
+      import graft.Tables.cents
+      graft.Tables.load(spark, dir, "events")
+        .select(col("event_id"), unix_millis(col("ts")).as("ms"),
+          cents(col("value")).as("vc"))
+        .write.format("graft.sources.DigestSink").mode("append").save()
+      val (n, ck) = graft.sources.DigestSink.lastDigest
+      import spark.implicits._
+      Seq((n, ck)).toDF("n_rows", "digest")
+    },
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM((((event_id % 2147483647) * 31 + (epoch_ms(ts) % 2147483647))
+               % 2147483647 * 31 + (CAST(floor(value * 100 + 0.5) AS BIGINT)
+               % 2147483647)) % 2147483647) AS BIGINT) AS digest
+      FROM events"""),
+    notes = "DSv2 write path; commit-protocol digest is exactly-once under task retry")
+
   val all: Seq[QueryDef] = Seq(goldCsv, goldApi, parityFuncs, geoNeighborJoin,
-    sourceSynthPushdown)
+    sourceSynthPushdown, sinkDigestWrite)
 }
