@@ -244,6 +244,33 @@ object ParityQueries {
       FROM events"""),
     notes = "DSv2 write path; commit-protocol digest is exactly-once under task retry")
 
+  /** The same connector aggregate through the VECTORIZED read path
+    * (`columnar=true` → `supportColumnarReads` → `ColumnarBatch`es of 4096
+    * straight into whole-stage codegen via one ColumnarToRow boundary —
+    * the parquet vectorized reader's contract, exercised by a custom
+    * connector). Identical oracle to the row-path query; SynthSourceSpec
+    * pins the ColumnarToRow node so the path can't silently fall back.
+    */
+  val sourceSynthColumnar = QueryDef(
+    "source_synth_columnar",
+    (spark, dir) => {
+      spark.read.format("graft.sources.SynthSource")
+        .option("numRows", "200000").option("partitions", "16")
+        .option("columnar", "true").load()
+        .filter(col("id") >= 50000L && col("id") < 150000L &&
+          col("tag") =!= "t3")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("cents"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH synth AS (${graft.sources.SynthSource.oracleSql(200000L)})
+      SELECT bucket, COUNT(*) AS n, CAST(SUM(v_cents) AS BIGINT) AS cents
+      FROM synth
+      WHERE id >= 50000 AND id < 150000 AND tag <> 't3'
+      GROUP BY 1 ORDER BY 1"""),
+    notes = "vectorized DSv2 read; same pushdown + oracle as the row path")
+
   val all: Seq[QueryDef] = Seq(goldCsv, goldApi, parityFuncs, geoNeighborJoin,
-    sourceSynthPushdown, sinkDigestWrite)
+    sourceSynthPushdown, sinkDigestWrite, sourceSynthColumnar)
 }

@@ -59,6 +59,19 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(dataBatches === 5, s"expected 5 micro-batches, got $dataBatches")
   }
 
+  test("columnar=true takes the vectorized path (ColumnarToRow, same rows)") {
+    val row = spark.read.format("graft.sources.SynthSource")
+      .option("numRows", "10000").option("partitions", "4").load()
+    val colr = spark.read.format("graft.sources.SynthSource")
+      .option("numRows", "10000").option("partitions", "4")
+      .option("columnar", "true").load()
+    val plan = colr.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    assert(plan.contains("columnar"), plan)
+    assert(colr.exceptAll(row).isEmpty && row.exceptAll(colr).isEmpty,
+      "columnar and row paths must generate identical rows")
+  }
+
   test("generator matches the published hash recipe") {
     val row = synth(10000).filter(col("id") === 7L).head()
     val h = graft.sources.SynthSource.hash(7L)
