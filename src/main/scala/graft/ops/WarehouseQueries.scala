@@ -401,6 +401,57 @@ object WarehouseQueries {
       GROUP BY 1 ORDER BY 1"""),
     notes = "k-column profile in one shuffle via stack unpivot; exact distinct + rational Gini")
 
+  /** Distribution-drift monitor (the data-quality check that catches a
+    * schema-valid but statistically broken load): event-type composition of
+    * the first half of the time range vs the second, scored per bin as the
+    * SHARE DELTA in basis points — |10⁴aᵢ div n_a − 10⁴bᵢ div n_b| — i.e.
+    * the per-bin contribution to total-variation distance, exact integers
+    * throughout (no logs/floats like PSI or KL, and no big squares: every
+    * intermediate is ≤ 10⁴·count, overflow-free at ANY row count — the
+    * chi-square cross-product form dᵢ=aᵢ·n_b−bᵢ·n_a overflows BIGINT when
+    * squared past ~50k rows per half, so it was rejected by design). The
+    * split point is the midpoint timestamp from a 1-row aggregate computed
+    * with the same `div` on both sides, so the check self-calibrates.
+    */
+  val qualityDrift = QueryDef(
+    "quality_drift",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+        .select(col("event_type"), unix_millis(col("ts")).as("ms"))
+      val mid = ev.agg(min(col("ms")).as("mn"), max(col("ms")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid_ms"))
+      val binned = ev.crossJoin(broadcast(mid))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("ms") < col("mid_ms"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("ms") >= col("mid_ms"), 1L).otherwise(0L)).as("b"))
+      val totals = binned.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+      binned.crossJoin(broadcast(totals))
+        .select(col("event_type"), col("a"), col("b"),
+          abs(expr("(10000L * a) div n_a") - expr("(10000L * b) div n_b"))
+            .as("drift_bp"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, epoch_ms(ts) AS ms FROM events),
+      mid AS (
+        SELECT (MIN(ms) + MAX(ms)) // 2 AS mid_ms FROM ev),
+      binned AS (
+        SELECT event_type,
+               SUM(CASE WHEN ms < mid_ms THEN 1 ELSE 0 END) AS a,
+               SUM(CASE WHEN ms >= mid_ms THEN 1 ELSE 0 END) AS b
+        FROM ev CROSS JOIN mid GROUP BY 1),
+      totals AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b
+        FROM binned)
+      SELECT event_type, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+             CAST(abs((10000 * a) // n_a - (10000 * b) // n_b) AS BIGINT)
+               AS drift_bp
+      FROM binned CROSS JOIN totals
+      ORDER BY event_type"""),
+    notes = "total-variation share-delta drift in bp between time halves; overflow-free by design")
+
   val all: Seq[QueryDef] = Seq(qualityExpectations, scd2Snapshot, scd2Asof,
-    mvIncrementalAgg, reconcileChecksum, intervalSweep, profileColumns)
+    mvIncrementalAgg, reconcileChecksum, intervalSweep, profileColumns,
+    qualityDrift)
 }
