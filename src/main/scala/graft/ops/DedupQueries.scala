@@ -482,6 +482,68 @@ object DedupQueries {
       ORDER BY a_id, b_id"""),
     notes = "exact-recall prefix filtering; oracle = brute force, hash-match checks the theorem")
 
+  /** Sorted-neighborhood record linkage — the third blocking family next to
+    * LSH banding (`dedup_minhash_lsh`) and prefix filtering
+    * (`dedup_prefix_filter`): sort by a discriminating key and compare each
+    * record only with its w=3 successors, so candidate count is exactly
+    * w·n no matter how skewed the key distribution (LSH buckets can
+    * explode on hot bands; the neighborhood cannot). Distribution-honest
+    * form: records are range-blocked by the key's 2-char prefix and the
+    * window runs per block — same-block neighbors only, which is the
+    * documented semantics (a cross-block near-pair with different leading
+    * 2 chars is by definition far in sort order); both engines replay the
+    * identical blocked window, so the oracle pins it exactly.
+    */
+  val dedupSortedNeighborhood = QueryDef(
+    "dedup_sorted_neighborhood",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = load(spark, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lower(substring(col("text"), 1, 40)).as("prefix"))
+        .withColumn("blk", substring(col("prefix"), 1, 2))
+      val w = Window.partitionBy(col("blk"))
+        .orderBy(col("prefix"), col("doc_id"))
+      val withNbrs = (1 to 3).foldLeft(d) { (df, k) =>
+        df.withColumn(s"id_$k", lead(col("doc_id"), k).over(w))
+          .withColumn(s"pfx_$k", lead(col("prefix"), k).over(w))
+      }
+      (1 to 3).map { k =>
+        withNbrs.filter(col(s"id_$k").isNotNull)
+          .select(col("doc_id").as("a_id"), col(s"id_$k").as("b_id"),
+            levenshtein(col("prefix"), col(s"pfx_$k")).cast("long")
+              .as("edit_dist"))
+      }.reduce(_ unionAll _)
+        .filter(col("edit_dist") <= 25)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lower(substr(text, 1, 40)) AS prefix,
+               substr(lower(substr(text, 1, 40)), 1, 2) AS blk
+        FROM documents WHERE doc_id % 5 = 0),
+      nb AS (
+        SELECT doc_id, prefix,
+               LEAD(doc_id, 1) OVER w AS id_1, LEAD(prefix, 1) OVER w AS pfx_1,
+               LEAD(doc_id, 2) OVER w AS id_2, LEAD(prefix, 2) OVER w AS pfx_2,
+               LEAD(doc_id, 3) OVER w AS id_3, LEAD(prefix, 3) OVER w AS pfx_3
+        FROM d
+        WINDOW w AS (PARTITION BY blk ORDER BY prefix, doc_id)),
+      pairs AS (
+        SELECT doc_id AS a_id, id_1 AS b_id,
+               CAST(levenshtein(prefix, pfx_1) AS BIGINT) AS edit_dist
+        FROM nb WHERE id_1 IS NOT NULL
+        UNION ALL
+        SELECT doc_id, id_2, CAST(levenshtein(prefix, pfx_2) AS BIGINT)
+        FROM nb WHERE id_2 IS NOT NULL
+        UNION ALL
+        SELECT doc_id, id_3, CAST(levenshtein(prefix, pfx_3) AS BIGINT)
+        FROM nb WHERE id_3 IS NOT NULL)
+      SELECT a_id, b_id, edit_dist FROM pairs
+      WHERE edit_dist <= 25
+      ORDER BY a_id, b_id"""),
+    notes = "w=3 sorted-neighborhood linkage; candidates exactly w*n, skew-proof by construction")
+
   val all: Seq[QueryDef] = Seq(dedupMinhashLsh, dedupSimhash, dedupContainment,
-    dedupPrefixFilter)
+    dedupPrefixFilter, dedupSortedNeighborhood)
 }
