@@ -1047,9 +1047,117 @@ object EventAnalyticsQueries {
       FROM g ORDER BY event_type, day"""),
     notes = "exact integer linear interpolation; pmod-floor div == DuckDB // on negative slopes")
 
+  /** CUSUM changepoint detection per event type, at DAY granularity.
+    *
+    * Scale design: the raw fact reduces to a (type, day) histogram first —
+    * one shuffle with map-side partial sums, output |types|·|days| rows
+    * (hundreds) — and ALL cusum arithmetic runs on that tiny table. The
+    * naive form (cumulative window over raw events partitioned by type)
+    * is the single-hot-partition trap events_anomaly_mad hit at 100×;
+    * day-level pre-aggregation makes the window cost independent of row
+    * count, exactly like the histogram-median rewrite.
+    *
+    * Exactness: the textbook statistic S_k = Σ_{i≤k}(x_i − x̄) needs the
+    * mean; multiplying through by D (the day count) gives
+    * S'_k = D·cum_k − k·T with cum/T exact BIGINT cent sums — no division,
+    * no floats, hash-stable across engines. Bound: |S'| ≤ D·T, so with
+    * daily sums ≤ 2^40 cents and D ≤ 10⁴ days it stays far inside Int64.
+    * Changepoint = earliest day attaining max |S'_k| (ties broken by day).
+    */
+  val eventsCusum = QueryDef(
+    "events_cusum",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = load(spark, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("s"))
+      val seq = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val all = Window.partitionBy(col("event_type"))
+      val scored = daily
+        .withColumn("k", row_number().over(seq))
+        .withColumn("cum", sum(col("s")).over(seq))
+        .withColumn("t", sum(col("s")).over(all))
+        .withColumn("d", count(lit(1)).over(all))
+        .withColumn("sabs", abs(col("d") * col("cum") - col("k") * col("t")))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("sabs").desc, col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          col("sabs").as("max_abs_s"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
+        FROM events GROUP BY 1, 2),
+      c AS (
+        SELECT event_type, day,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+               SUM(s) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+               SUM(s) OVER (PARTITION BY event_type) AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS d
+        FROM daily),
+      m AS (
+        SELECT event_type, day, ABS(d * cum - k * t) AS sabs,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY ABS(d * cum - k * t) DESC, day) AS rn
+        FROM c)
+      SELECT event_type, day AS cp_day, CAST(sabs AS BIGINT) AS max_abs_s
+      FROM m WHERE rn = 1 ORDER BY event_type"""),
+    notes = "day-level CUSUM: D*cum - k*T integer statistic, window over the tiny daily histogram only")
+
+  /** Seasonal-naive forecast backtest: predict each (type, day, hour)'s
+    * cent sum by the LAST OBSERVED same-hour sum on an earlier day, and
+    * report the per-type backtest error as exact integers (forecast count +
+    * sum of absolute errors in cents — the MAE numerator/denominator,
+    * division left to the caller so the result stays hash-exact).
+    *
+    * Scale design: same pre-aggregate-first doctrine as events_cusum — one
+    * (type, day, hour) rollup with map-side combine, then lag() over
+    * (type, hour) partitions of the tiny rollup. Gaps in the day sequence
+    * fall back to the most recent observed same-hour value (lag over the
+    * observed rows), which keeps the statistic well-defined without a
+    * calendar fill.
+    */
+  val eventsForecast = QueryDef(
+    "events_forecast",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = load(spark, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("s"))
+      val w = Window.partitionBy(col("event_type"), col("hr")).orderBy(col("day"))
+      hourly
+        .withColumn("fc", lag(col("s"), 1).over(w))
+        .filter(col("fc").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_fc"),
+          sum(abs(col("s") - col("fc"))).as("sae_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
+        FROM events GROUP BY 1, 2, 3),
+      f AS (
+        SELECT event_type, s,
+               LAG(s) OVER (PARTITION BY event_type, hr ORDER BY day) AS fc
+        FROM hourly)
+      SELECT event_type, COUNT(*) AS n_fc,
+             CAST(SUM(ABS(s - fc)) AS BIGINT) AS sae_cents
+      FROM f WHERE fc IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""),
+    notes = "seasonal-naive backtest on the (type,day,hour) rollup; exact integer MAE components")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
     eventsSequencePattern, eventsPaths, eventsMarkov, eventsPercentiles,
     eventsAttributionLinear, eventsAbTest, windowSlidingDistinct, eventsRfm,
-    eventsInterpolate)
+    eventsInterpolate, eventsCusum, eventsForecast)
 }

@@ -211,6 +211,63 @@ object LayoutQueries {
       GROUP BY 1, 2 ORDER BY 1, 2"""),
     notes = "real day-partitioned write + DPP join; dynamicpruning pinned in DppSpec")
 
+  /** Bucketed-table co-located join — the pre-shuffle that pays for itself.
+    *
+    * Both fact tables are written ONCE bucketed (+ sorted) on the join key
+    * (`bucketBy(8, orderkey)`, Spark's hash-partitioned file layout); the
+    * subsequent sort-merge join reads each bucket pair directly, with NO
+    * Exchange and NO per-query Sort on either side — the scan itself
+    * reports the bucketed HashPartitioning. At 100 TB this converts every
+    * repeated orders⋈lineitem from a full 2-sided shuffle into a metadata
+    * decision, which is why warehouse fact tables are bucketed on their FK.
+    * BucketingSpec pins the plan shape (at most one Exchange — the
+    * post-join aggregate — and none beneath the SortMergeJoin).
+    *
+    * The query output is the joined priority rollup in exact cents; the
+    * oracle is the same join on the raw parquet — bucketing must not change
+    * results, only the plan.
+    */
+  val layoutBucketed = QueryDef(
+    "layout_bucketed",
+    (spark, dir) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val oTab = s"graft_orders_b_$tag"
+      val lTab = s"graft_lineitem_b_$tag"
+      val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+      load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/$oTab").mode("overwrite").saveAsTable(oTab)
+      load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/$lTab").mode("overwrite").saveAsTable(lTab)
+      bucketedJoin(spark, oTab, lTab)
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS price_cents
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    notes = "bucketBy(8) both sides -> exchange-free, sort-free SMJ; plan pinned in BucketingSpec")
+
+  /** The read side of [[layoutBucketed]], factored out so the spec can pin
+    * the physical plan of exactly what the query runs. `merge` hint keeps
+    * the join on the sort-merge path (a broadcast would also skip the
+    * shuffle, but for the wrong reason).
+    */
+  private[graft] def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+      oTab: String, lTab: String) =
+    spark.table(oTab)
+      .join(spark.table(lTab).hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("price_cents"))
+      .orderBy(col("o_orderpriority"))
+
   val all: Seq[QueryDef] = Seq(layoutZorder, layoutSkipping, layoutCompaction,
-    layoutDpp)
+    layoutDpp, layoutBucketed)
 }

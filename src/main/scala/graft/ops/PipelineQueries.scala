@@ -673,8 +673,102 @@ object PipelineQueries {
       FROM s GROUP BY 1 ORDER BY 1"""),
     notes = "serpentine size-balanced sharding; two-phase distributed row_number, no global sort")
 
+  /** Weighted quantiles over a BOUNDED value domain — the scale-safe shape.
+    *
+    * Weighted median/quartiles of order quantity, weighted by revenue
+    * cents, per return flag. The fact table first collapses to a
+    * (flag, quantity) histogram (quantity has ≤50 distinct values, so the
+    * histogram is ≤150 rows at ANY scale factor — the cumulative window
+    * that follows never grows with data volume, same doctrine as the
+    * events_anomaly_mad histogram-median rewrite). Quantile rule: smallest
+    * value whose cumulative weight reaches p% of total, compared as
+    * 100·cumw ≥ p·totw in exact BIGINTs — no percent division, no floats.
+    */
+  val quantilesWeighted = QueryDef(
+    "quantiles_weighted",
+    (spark, dir) => {
+      val h = load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("q"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("w"))
+      val cumW = Window.partitionBy(col("flag")).orderBy(col("q"))
+      val totW = Window.partitionBy(col("flag"))
+      h.withColumn("cw", sum(col("w")).over(cumW))
+        .withColumn("tw", sum(col("w")).over(totW))
+        .groupBy(col("flag"))
+        .agg(
+          min(when(col("cw") * 100 >= col("tw") * 25, col("q"))).as("wq25"),
+          min(when(col("cw") * 100 >= col("tw") * 50, col("q"))).as("wq50"),
+          min(when(col("cw") * 100 >= col("tw") * 75, col("q"))).as("wq75"))
+        .orderBy(col("flag"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+               SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2),
+      c AS (
+        SELECT flag, q,
+               SUM(w) OVER (PARTITION BY flag ORDER BY q) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS tw
+        FROM h)
+      SELECT flag,
+             MIN(CASE WHEN cw * 100 >= tw * 25 THEN q END) AS wq25,
+             MIN(CASE WHEN cw * 100 >= tw * 50 THEN q END) AS wq50,
+             MIN(CASE WHEN cw * 100 >= tw * 75 THEN q END) AS wq75
+      FROM c GROUP BY flag ORDER BY flag"""),
+    notes = "weighted quartiles on the bounded (flag,quantity) histogram; 100*cumw >= p*totw integer rule")
+
+  /** Dataset card: the one-page manifest a corpus release ships with —
+    * per source: document count, total characters, language spread, exact
+    * duplicate volume, and length extremes. Two aggregations, both keyed on
+    * source (the dup scan groups on (source, text) first — at 100 TB that
+    * is the same hash-shuffle a dedup pass already does, and the card rides
+    * it rather than re-scanning). All counts exact BIGINTs.
+    */
+  val pipelineDatasetCard = QueryDef(
+    "pipeline_dataset_card",
+    (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val base = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+      val dups = docs.groupBy(col("source"), col("text"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("n_dup_docs"))
+      base.join(dups, Seq("source"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("n_langs"), col("n_dup_docs"), col("min_chars"), col("max_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY source),
+      dups AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs
+        FROM (SELECT source, text, COUNT(*) AS c
+              FROM documents GROUP BY source, text)
+        GROUP BY source)
+      SELECT base.source, n_docs, sum_chars, n_langs, n_dup_docs,
+             min_chars, max_chars
+      FROM base JOIN dups ON base.source = dups.source
+      ORDER BY base.source"""),
+    notes = "per-source corpus manifest: counts/chars/langs/exact-dup volume in two keyed aggs")
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
     pipelinePack, pipelineDecontaminate, textRepetition, pipelineRedact,
-    sampleTemperature, sampleMixture, pipelineAttrition, pipelineShardBalance)
+    sampleTemperature, sampleMixture, pipelineAttrition, pipelineShardBalance,
+    quantilesWeighted, pipelineDatasetCard)
 }

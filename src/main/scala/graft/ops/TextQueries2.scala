@@ -419,6 +419,53 @@ object TextQueries2 {
       LIMIT 100"""),
     notes = "bigram LM count table + integer-bp conditionals; positional pair extraction")
 
+  /** One BPE-trainer merge step: the distributed pair count that dominates
+    * byte-pair-encoding vocabulary training. The corpus first collapses to
+    * its word-frequency table (groupBy word — at 100 TB this is the classic
+    * many-orders-of-magnitude reduction: billions of running words → a few
+    * million distinct types, with map-side partial counts), then adjacent
+    * symbol pairs are exploded ONLY over the distinct types, each weighted
+    * by its corpus frequency. The top pair is the merge a BPE trainer would
+    * apply next; we return the top 20 so the ranking itself is verified.
+    *
+    * Pair generation stays lazy and codegen'd: transform(sequence(...)) over
+    * the word's character positions, no UDF. Counts are exact BIGINTs;
+    * (a, b) keys make freq DESC, a, b a total order, so the LIMIT is
+    * deterministic on both engines.
+    */
+  val textBpeStep = QueryDef(
+    "text_bpe_step",
+    (spark, dir) => {
+      val wf = load(spark, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      wf.select(col("f"),
+          explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+        .groupBy(substring(col("pair"), 1, 1).as("a"),
+          substring(col("pair"), 2, 1).as("b"))
+        .agg(sum(col("f")).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some("""
+      WITH words AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents),
+      wf AS (
+        SELECT w, COUNT(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w),
+      pairs AS (
+        SELECT substr(w, CAST(t.i AS INT), 1) AS a,
+               substr(w, CAST(t.i AS INT) + 1, 1) AS b, f
+        FROM wf, UNNEST(range(1, length(w))) AS t(i))
+      SELECT a, b, CAST(SUM(f) AS BIGINT) AS freq
+      FROM pairs GROUP BY a, b
+      ORDER BY freq DESC, a, b LIMIT 20"""),
+    notes = "BPE merge-step pair count over the word-frequency table, not the corpus; lazy pair explode")
+
   val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents,
-    dedupKeepBest, textNormalize, textNgrams, textChunk, textBigramLm)
+    dedupKeepBest, textNormalize, textNgrams, textChunk, textBigramLm,
+    textBpeStep)
 }

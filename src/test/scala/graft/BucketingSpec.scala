@@ -56,4 +56,48 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("layout_bucketed read path: no shuffle beneath the merge join") {
+    val sf = "/root/testdata/sf0.001"
+    val tag = "spec"
+    val base = java.nio.file.Files.createTempDirectory("graft-bspec").toString
+    try {
+      Tables.load(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/o").mode("overwrite")
+        .saveAsTable(s"graft_orders_b_$tag")
+      Tables.load(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/l").mode("overwrite")
+        .saveAsTable(s"graft_lineitem_b_$tag")
+      val df = ops.LayoutQueries.bucketedJoin(spark,
+        s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
+      df.collect()
+      // the rollup + final ORDER BY may each exchange (different keys), but
+      // the merge join subtree itself must read buckets directly
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      def findSmj(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => findSmj(a.executedPlan)
+        case q: QueryStageExec => findSmj(q.plan)
+        case s: SortMergeJoinExec => Seq(s)
+        case other => other.children.flatMap(findSmj)
+      }
+      def shufflesUnder(p: SparkPlan): Int = p match {
+        case q: QueryStageExec => shufflesUnder(q.plan)
+        case s: ShuffleExchangeExec => 1 + s.children.map(shufflesUnder).sum
+        case other => other.children.map(shufflesUnder).sum
+      }
+      val smjs = findSmj(df.queryExecution.executedPlan)
+      assert(smjs.nonEmpty, "plan must keep the merge join")
+      assert(smjs.map(shufflesUnder).sum === 0,
+        "bucketed merge join must not shuffle its inputs")
+      assert(df.count() > 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft_orders_b_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_lineitem_b_$tag")
+    }
+  }
 }
