@@ -1155,9 +1155,58 @@ object EventAnalyticsQueries {
       GROUP BY event_type ORDER BY event_type"""),
     notes = "seasonal-naive backtest on the (type,day,hour) rollup; exact integer MAE components")
 
+  /** Burst detection via gaps-and-islands: maximal runs of CONSECUTIVE
+    * minutes whose event count is at or above the per-minute average
+    * (integer rule n·M ≥ T — no mean division). The classic islands trick:
+    * minute − row_number() is constant exactly within a consecutive run.
+    *
+    * Scale posture: the fact first collapses to the per-minute histogram
+    * (one shuffle, map-side combine). The islands window is a GLOBAL
+    * sequence, but its input is time-bounded, not data-bounded — ≤525 600
+    * rows per YEAR of wall-clock regardless of event volume, so the
+    * single-partition window never grows with corpus size. (For multi-year
+    * spans, partition by month and stitch boundary runs.)
+    */
+  val eventsIslands = QueryDef(
+    "events_islands",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = load(spark, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 60000000").as("minute"))
+        .agg(count(lit(1)).as("n"))
+      val tot = m.agg(sum(col("n")).as("t"), count(lit(1)).as("mcnt"))
+      val qual = m.crossJoin(broadcast(tot))
+        .filter(col("n") * col("mcnt") >= col("t"))
+      qual
+        .withColumn("grp",
+          col("minute") - row_number().over(Window.orderBy(col("minute"))))
+        .groupBy(col("grp"))
+        .agg(min(col("minute")).as("start_min"),
+          max(col("minute")).as("end_min"),
+          count(lit(1)).as("n_minutes"),
+          sum(col("n")).as("n_events"))
+        .select(col("start_min"), col("end_min"), col("n_minutes"),
+          col("n_events"))
+        .orderBy(col("start_min"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT epoch_us(ts) // 60000000 AS minute, COUNT(*) AS n
+        FROM events GROUP BY 1),
+      s AS (SELECT SUM(n) AS t, COUNT(*) AS mcnt FROM m),
+      qual AS (SELECT minute, n FROM m, s WHERE n * mcnt >= t),
+      g AS (
+        SELECT minute, n,
+               minute - ROW_NUMBER() OVER (ORDER BY minute) AS grp
+        FROM qual)
+      SELECT MIN(minute) AS start_min, MAX(minute) AS end_min,
+             COUNT(*) AS n_minutes, CAST(SUM(n) AS BIGINT) AS n_events
+      FROM g GROUP BY grp ORDER BY start_min"""),
+    notes = "above-average-minute islands; window input time-bounded (<=525600 rows/yr), not data-bounded")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
     eventsSequencePattern, eventsPaths, eventsMarkov, eventsPercentiles,
     eventsAttributionLinear, eventsAbTest, windowSlidingDistinct, eventsRfm,
-    eventsInterpolate, eventsCusum, eventsForecast)
+    eventsInterpolate, eventsCusum, eventsForecast, eventsIslands)
 }

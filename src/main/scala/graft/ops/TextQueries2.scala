@@ -465,7 +465,62 @@ object TextQueries2 {
       ORDER BY freq DESC, a, b LIMIT 20"""),
     notes = "BPE merge-step pair count over the word-frequency table, not the corpus; lazy pair explode")
 
+  /** Source×source 5-gram overlap matrix — the corpus-similarity heatmap a
+    * data-mixing decision reads (which sources duplicate each other, which
+    * are distinct). Jaccard over each source's DISTINCT word-5-gram set, in
+    * integer basis points; the diagonal (s1 = s2, jaccard 10000) is kept as
+    * a built-in sanity row.
+    *
+    * Scale design: the corpus reduces to DISTINCT (source, shingle) ONCE
+    * (the same dedup-shaped shuffle pipeline_decontaminate rides), then the
+    * pairwise intersection is one self-join keyed on the shingle — per-gram
+    * fanout is bounded by |sources|² (here ≤400), never document×document.
+    * Set sizes broadcast back onto the ≤|S|² result rows.
+    */
+  val corpusOverlapMatrix = QueryDef(
+    "corpus_overlap_matrix",
+    (spark, dir) => {
+      import graft.functions.NGrams
+      val sh = load(spark, dir, "documents")
+        .select(col("source"), NGrams(col("text"), 5).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") <= col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.toDF("s1", "n1")), Seq("s1"))
+        .join(broadcast(sizes.toDF("s2", "n2")), Seq("s2"))
+        .withColumn("jaccard_bp",
+          expr("(inter * 10000) DIV (n1 + n2 - inter)"))
+        .select(col("s1"), col("s2"), col("inter"), col("n1"), col("n2"),
+          col("jaccard_bp"))
+        .orderBy(col("s1"), col("s2"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(range(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                      t[i+3] || ' ' || t[i+4])) AS sh
+        FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 5),
+      sizes AS (SELECT source, COUNT(*) AS nsh FROM sh GROUP BY source),
+      pairs AS (
+        SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.source <= b.source
+        GROUP BY 1, 2)
+      SELECT s1, s2, inter, x.nsh AS n1, y.nsh AS n2,
+             (inter * 10000) // (x.nsh + y.nsh - inter) AS jaccard_bp
+      FROM pairs
+      JOIN sizes x ON s1 = x.source
+      JOIN sizes y ON s2 = y.source
+      ORDER BY s1, s2"""),
+    notes = "distinct-shingle self-join keyed on the gram; |S|^2-bounded fanout, broadcast set sizes")
+
   val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents,
     dedupKeepBest, textNormalize, textNgrams, textChunk, textBigramLm,
-    textBpeStep)
+    textBpeStep, corpusOverlapMatrix)
 }

@@ -703,7 +703,62 @@ object VectorQueries {
     },
     notes = "3 exact Lloyd iterations in integer-bp space; centroids broadcast, corpus cached once")
 
+  /** Exact Gram (uncentered covariance) matrix of the int8-quantized corpus
+    * — the one-pass reduction PCA / whitening / linear probes start from.
+    *
+    * Scale design: each vector emits its d(d+1)/2 upper-triangle products
+    * tagged (i, j) and ONE hash aggregation sums them — partial (map-side)
+    * aggregation collapses every task's output to ≤2080 rows regardless of
+    * corpus size, so the shuffle is O(d²·tasks), independent of row count.
+    * That is exactly how a 1000-executor job computes XᵀX over 100 TB: no
+    * driver collect, no d×d matrix object, just a keyed sum. Pair emission
+    * is lazy codegen'd higher-order transform/slice — no UDF, no explode of
+    * a self-join.
+    *
+    * Exactness: products of int8-quantized coordinates (same per-vector
+    * maxabs/127 rule as vector_quantize) are exact BIGINTs, so the matrix
+    * hash-matches DuckDB bit-for-bit — no float accumulation order issues.
+    */
+  val vectorCovariance = QueryDef(
+    "vector_covariance",
+    (spark, dir) => {
+      val q = vecs(spark, dir)
+        .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+        .filter(col("maxabs") > 0)
+        .withColumn("q", transform(col("v"),
+          x => floor(x / col("maxabs") * 127 + lit(0.5)).cast("long")))
+      q.select(explode(expr(
+          """flatten(transform(q, (x, i) ->
+               transform(slice(q, i + 1, 64 - i), (y, k) ->
+                 named_struct(
+                   'i', CAST(i + 1 AS BIGINT),
+                   'j', CAST(i + k + 1 AS BIGINT),
+                   'p', x * y))))""")).as("c"))
+        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("p")).as("gram"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                 AS maxabs
+        FROM embeddings),
+      q AS (
+        SELECT list_transform(v,
+                 x -> CAST(floor(x / maxabs * 127 + 0.5) AS BIGINT)) AS qv
+        FROM e WHERE maxabs > 0),
+      p AS (
+        SELECT CAST(ii.i AS BIGINT) AS i, CAST(jj.j AS BIGINT) AS j,
+               qv[CAST(ii.i AS INT)] * qv[CAST(jj.j AS INT)] AS p
+        FROM q, UNNEST(range(1, 65)) AS ii(i), UNNEST(range(1, 65)) AS jj(j)
+        WHERE jj.j >= ii.i)
+      SELECT i, j, CAST(SUM(p) AS BIGINT) AS gram
+      FROM p GROUP BY i, j ORDER BY i, j"""),
+    notes = "exact int8 X^T X: lazy upper-triangle pair emission + one keyed sum, shuffle O(d^2) per task")
+
   val all: Seq[QueryDef] = Seq(annBruteforce, annIvf, dedupEmbeddingLsh,
     kmeansStep, kmeansIter, vectorStats, vectorQuantize, annRecall, annPq,
-    annIvfPq)
+    annIvfPq, vectorCovariance)
 }
