@@ -766,9 +766,67 @@ object PipelineQueries {
       ORDER BY base.source"""),
     notes = "per-source corpus manifest: counts/chars/langs/exact-dup volume in two keyed aggs")
 
+  /** Multi-epoch oversampling — the "how many passes over each source"
+    * half of a training mix (sample_mixture decides proportions within one
+    * pass; this materializes repeated passes). Per-source epoch factors in
+    * hundredths (src00–02: 2.50 epochs, src03–07: 1.50, rest: 1.00): every
+    * document contributes floor(factor) full copies, plus one fractional
+    * copy kept iff a per-(doc, epoch) Knuth hash lands under the remainder
+    * — deterministic, reshuffle-proof, and per-epoch decorrelated (the
+    * epoch index salts the hash, so the 0.5-epoch subset of epoch 3 is not
+    * the 0.5-epoch subset every other fractional pass would pick).
+    *
+    * Scale posture: expansion is a lazy generator explode in the map stage
+    * — zero shuffle until the final per-source rollup; a 100 TB corpus at
+    * 2.5 epochs streams 2.5× rows through the SAME scan, never a copy on
+    * disk.
+    */
+  val sampleEpochs = QueryDef(
+    "sample_epochs",
+    (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+        .withColumn("ex100", expr(
+          """CASE WHEN CAST(substring(source, 4, 2) AS INT) < 3 THEN 250L
+                  WHEN CAST(substring(source, 4, 2) AS INT) < 8 THEN 150L
+                  ELSE 100L END"""))
+      docs
+        .select(col("source"), col("doc_id"), col("n_chars"), col("ex100"),
+          explode(expr("sequence(1L, (ex100 + 99L) div 100L)")).as("epoch"))
+        .filter(col("epoch") <= expr("ex100 div 100L") ||
+          pmod((col("doc_id") * 37 + col("epoch")) * lit(2654435761L),
+            lit(4294967296L)).mod(100) < col("ex100").mod(100))
+        .groupBy(col("source"))
+        .agg(max(col("ex100")).as("epochs_x100"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("chars_expanded"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source, doc_id, n_chars,
+               CASE WHEN CAST(substr(source, 4, 2) AS INT) < 3 THEN 250
+                    WHEN CAST(substr(source, 4, 2) AS INT) < 8 THEN 150
+                    ELSE 100 END AS ex100
+        FROM documents),
+      x AS (
+        SELECT source, doc_id, n_chars, ex100, CAST(t.e AS BIGINT) AS epoch
+        FROM d, UNNEST(range(1, (ex100 + 99) // 100 + 1)) AS t(e)),
+      kept AS (
+        SELECT * FROM x
+        WHERE epoch <= ex100 // 100
+           OR ((doc_id * 37 + epoch) * 2654435761) % 4294967296 % 100
+              < ex100 % 100)
+      SELECT source, CAST(MAX(ex100) AS BIGINT) AS epochs_x100,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_rows,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_expanded
+      FROM kept GROUP BY source ORDER BY source"""),
+    notes = "epoch-expansion by lazy generator + salted fractional pass; zero shuffle before the rollup")
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
     pipelinePack, pipelineDecontaminate, textRepetition, pipelineRedact,
     sampleTemperature, sampleMixture, pipelineAttrition, pipelineShardBalance,
-    quantilesWeighted, pipelineDatasetCard)
+    quantilesWeighted, pipelineDatasetCard, sampleEpochs)
 }
