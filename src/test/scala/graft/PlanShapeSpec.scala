@@ -37,7 +37,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "assoc_rules" -> "broadcast 1-row basket-count aggregate (lift denominator)",
     "events_rfm" -> "broadcast 1-row corpus max-day aggregate (recency anchor)",
     "join_division" -> "broadcast 1-row part-universe count (division denominator)",
-    "quality_drift" -> "broadcast 1-row midpoint + 1-row totals aggregates")
+    "quality_drift" -> "broadcast 1-row midpoint + 1-row totals aggregates",
+    "events_islands" -> "broadcast 1-row total/minute-count aggregate (burst threshold)")
 
   /** Streaming queries execute the stream inside fn (their returned plan is
     * the memory-sink table scan — nothing to gate), and dedup_components
