@@ -134,5 +134,76 @@ object MultimodalQueries {
       ORDER BY media_id"""),
     notes = "typed flatMap frame sampling; oracle replays slice arithmetic (ASCII corpus)")
 
-  val all: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode, multimodalFrames)
+  /** Perceptual-hash (average-hash) near-dup signatures over media payloads
+    * — the image-dedup step of a multimodal training pipeline, on the stub
+    * byte "pixels" (the corpus is verified ASCII, so the oracle replays the
+    * identical code-point arithmetic; a real image codec would feed decoded
+    * luma blocks through the SAME 32-block rule).
+    *
+    * aHash rule: the first ≤512 payload bytes split into 32 contiguous
+    * blocks; bit b is set iff block b's byte-sum mean is ≥ the global mean,
+    * compared cross-multiplied in exact BIGINTs (s_b·n ≥ total·len_b — no
+    * division). A small local edit perturbs one block, flipping ≤1 bit —
+    * the locality that makes the signature perceptual rather than
+    * cryptographic. Output: the 20 largest identical-phash clusters.
+    *
+    * Scale posture: per-payload work is capped by the 512-byte prefix
+    * (constant per row), the signature is one narrow map, and clustering is
+    * a count on the 32-bit phash key — the same exact-dedup shuffle shape,
+    * at any corpus size. Hamming-banded NEAR-matching over these signatures
+    * would reuse the established SimHash band machinery unchanged.
+    */
+  val multimodalPhash = QueryDef(
+    "multimodal_phash",
+    (spark, dir) => {
+      graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          least(length(col("text")), lit(512)).cast("long").as("n"))
+        .withColumn("blocks", expr(
+          """transform(sequence(0L, 31L), b -> named_struct(
+               'b', b,
+               'len', ((b + 1) * n) div 32 - ((b * n) div 32),
+               's', CASE WHEN ((b + 1) * n) div 32 >= (b * n) div 32 + 1 THEN
+                      aggregate(
+                        transform(sequence((b * n) div 32 + 1, ((b + 1) * n) div 32),
+                          i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)),
+                        0L, (a, x) -> a + x)
+                    ELSE 0L END))"""))
+        .withColumn("total", expr("aggregate(blocks, 0L, (a, x) -> a + x.s)"))
+        .withColumn("phash", expr(
+          """aggregate(blocks, 0L, (a, x) ->
+               a + CASE WHEN x.len > 0 AND x.s * n >= total * x.len
+                   THEN shiftleft(CAST(1 AS BIGINT), CAST(x.b AS INT))
+                   ELSE 0L END)"""))
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_media"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("n_media").desc, col("phash"))
+        .limit(20)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text, LEAST(length(text), 512) AS n FROM documents),
+      blocks AS (
+        SELECT doc_id, n, CAST(bb.b AS BIGINT) AS b,
+               (bb.b * n) // 32 + 1 AS st, ((bb.b + 1) * n) // 32 AS en,
+               COALESCE(list_sum(list_transform(
+                 range((bb.b * n) // 32 + 1, ((bb.b + 1) * n) // 32 + 1),
+                 i -> unicode(substr(text, CAST(i AS INT), 1)))), 0) AS s
+        FROM d, UNNEST(range(0, 32)) AS bb(b)),
+      tot AS (
+        SELECT doc_id, n, SUM(s) AS total FROM blocks GROUP BY doc_id, n),
+      bits AS (
+        SELECT b.doc_id,
+               CAST(SUM(CASE WHEN (b.en - b.st + 1) > 0
+                         AND b.s * CAST(t.n AS BIGINT) >= t.total * (b.en - b.st + 1)
+                   THEN CAST(1 AS BIGINT) << CAST(b.b AS INT) ELSE 0 END)
+                 AS BIGINT) AS phash
+        FROM blocks b JOIN tot t ON b.doc_id = t.doc_id
+        GROUP BY b.doc_id)
+      SELECT phash, COUNT(*) AS n_media, CAST(MIN(doc_id) AS BIGINT) AS min_id
+      FROM bits GROUP BY phash ORDER BY n_media DESC, phash LIMIT 20"""),
+    notes = "32-block average-hash on the 512-byte prefix; cross-multiplied integer mean rule, exact-dedup shuffle shape")
+
+  val all: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode,
+    multimodalFrames, multimodalPhash)
 }
