@@ -1204,9 +1204,66 @@ object EventAnalyticsQueries {
       FROM g GROUP BY grp ORDER BY start_min"""),
     notes = "above-average-minute islands; window input time-bounded (<=525600 rows/yr), not data-bounded")
 
+  /** Cohort lifetime value: cumulative revenue cents per (cohort week,
+    * weeks-since-acquisition) — the monetary completion of events_retention
+    * (same cohort assignment, same per-user-summary-first shuffle). The
+    * cumulative sum runs over the tiny cohort×offset matrix (≤ weeks²
+    * rows, time-bounded like the islands window), never the fact; LTV
+    * stays exact cents — the per-user average is the caller's one
+    * division.
+    */
+  val eventsCohortLtv = QueryDef(
+    "events_cohort_ltv",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val week = floor(
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / 7)
+        .cast("long")
+      val ev = load(spark, dir, "events")
+        .select(col("user_id"), week.as("week"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val cohortSizes = cohort.groupBy(col("cohort_week"))
+        .agg(countDistinct(col("user_id")).as("cohort_users"))
+      val cell = ev.join(cohort.select(col("user_id"), col("cohort_week")),
+          "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(sum(col("cents")).as("week_cents"))
+      cell
+        .withColumn("cum_cents", sum(col("week_cents")).over(
+          Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))))
+        .join(broadcast(cohortSizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"), col("cohort_users"),
+          col("week_cents"), col("cum_cents"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id,
+               CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+      sizes AS (SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_users
+                FROM cohort GROUP BY cohort_week),
+      cell AS (
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               CAST(SUM(cents) AS BIGINT) AS week_cents
+        FROM ev JOIN cohort USING (user_id)
+        GROUP BY cohort_week, week - cohort_week)
+      SELECT cohort_week, week_offset, cohort_users, week_cents,
+             CAST(SUM(week_cents) OVER (PARTITION BY cohort_week
+               ORDER BY week_offset) AS BIGINT) AS cum_cents
+      FROM cell JOIN sizes USING (cohort_week)
+      ORDER BY cohort_week, week_offset"""),
+    notes = "cumulative cohort revenue over the tiny cohort-by-offset matrix; exact cents, broadcast sizes")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
     eventsSequencePattern, eventsPaths, eventsMarkov, eventsPercentiles,
     eventsAttributionLinear, eventsAbTest, windowSlidingDistinct, eventsRfm,
-    eventsInterpolate, eventsCusum, eventsForecast, eventsIslands)
+    eventsInterpolate, eventsCusum, eventsForecast, eventsIslands,
+    eventsCohortLtv)
 }

@@ -719,28 +719,32 @@ object VectorQueries {
     * maxabs/127 rule as vector_quantize) are exact BIGINTs, so the matrix
     * hash-matches DuckDB bit-for-bit — no float accumulation order issues.
     */
-  val vectorCovariance = QueryDef(
-    "vector_covariance",
-    (spark, dir) => {
-      val q = vecs(spark, dir)
-        .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
-        .filter(col("maxabs") > 0)
-        .withColumn("q", transform(col("v"),
-          x => floor(x / col("maxabs") * 127 + lit(0.5)).cast("long")))
-      q.select(explode(expr(
-          """flatten(transform(q, (x, i) ->
-               transform(slice(q, i + 1, 64 - i), (y, k) ->
-                 named_struct(
-                   'i', CAST(i + 1 AS BIGINT),
-                   'j', CAST(i + k + 1 AS BIGINT),
-                   'p', x * y))))""")).as("c"))
-        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("p")).as("gram"))
-        .orderBy(col("i"), col("j"))
-    },
-    Some("""
-      WITH e AS (
+  /** Upper-triangle int8 Gram matrix as (i, j, gram) rows — shared by
+    * [[vectorCovariance]] (which pins it against the oracle) and
+    * [[vectorPowerIteration]] (which iterates on it).
+    */
+  private def gramUpper(spark: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val q = vecs(spark, dir)
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("maxabs") > 0)
+      .withColumn("q", transform(col("v"),
+        x => floor(x / col("maxabs") * 127 + lit(0.5)).cast("long")))
+    q.select(explode(expr(
+        """flatten(transform(q, (x, i) ->
+             transform(slice(q, i + 1, 64 - i), (y, k) ->
+               named_struct(
+                 'i', CAST(i + 1 AS BIGINT),
+                 'j', CAST(i + k + 1 AS BIGINT),
+                 'p', x * y))))""")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("gram"))
+  }
+
+  /** The upper-triangle Gram CTE as DuckDB SQL, shared by both oracles. */
+  private val DuckGramUpper = """
+      e AS (
         SELECT embedding::DOUBLE[] AS v,
                list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
                  AS maxabs
@@ -753,12 +757,73 @@ object VectorQueries {
         SELECT CAST(ii.i AS BIGINT) AS i, CAST(jj.j AS BIGINT) AS j,
                qv[CAST(ii.i AS INT)] * qv[CAST(jj.j AS INT)] AS p
         FROM q, UNNEST(range(1, 65)) AS ii(i), UNNEST(range(1, 65)) AS jj(j)
-        WHERE jj.j >= ii.i)
-      SELECT i, j, CAST(SUM(p) AS BIGINT) AS gram
-      FROM p GROUP BY i, j ORDER BY i, j"""),
+        WHERE jj.j >= ii.i),
+      g0 AS (
+        SELECT i, j, CAST(SUM(p) AS BIGINT) AS gram
+        FROM p GROUP BY i, j)"""
+
+  val vectorCovariance = QueryDef(
+    "vector_covariance",
+    (spark, dir) => gramUpper(spark, dir).orderBy(col("i"), col("j")),
+    Some(s"""
+      WITH $DuckGramUpper
+      SELECT i, j, gram FROM g0 ORDER BY i, j"""),
     notes = "exact int8 X^T X: lazy upper-triangle pair emission + one keyed sum, shuffle O(d^2) per task")
+
+  /** Top-eigenvector PCA step: 3 power iterations v ← (G·v)·10⁴ ÷ max|G·v|
+    * over the int8 Gram matrix — iterative distributed linear algebra kept
+    * ENTIRELY on the aggregate path (matrix-vector product = one keyed join
+    * + sum over the 4096-row symmetric Gram; rescale = a broadcast 1-row
+    * max — no driver collect, no dense matrix object). The max-abs rescale
+    * replaces the usual L2 normalization so every intermediate stays an
+    * exact BIGINT (both engines truncate `div` toward zero identically,
+    * including on the negative components this vector has).
+    *
+    * Scale posture: the expensive part is building G once — measured flat
+    * at 10× (BASELINE.md); the iterations touch only d² rows regardless of
+    * corpus size, so adding iterations costs O(d²) each. The Gram build is
+    * localCheckpointed so the 3 rounds don't recompute it.
+    */
+  val vectorPowerIteration = QueryDef(
+    "vector_power_iteration",
+    (spark, dir) => {
+      val g0 = gramUpper(spark, dir).localCheckpoint()
+      val g = g0.unionAll(g0.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("gram")))
+      var v = spark.range(1, 65)
+        .select(col("id").as("j"), lit(10000L).as("vval"))
+      for (_ <- 1 to 3) {
+        val w = g.join(v, Seq("j"))
+          .groupBy(col("i")).agg(sum(col("gram") * col("vval")).as("w"))
+        val m = w.agg(max(abs(col("w"))).as("m"))
+        v = w.crossJoin(broadcast(m))
+          .select(col("i").as("j"), expr("(w * 10000L) div m").as("vval"))
+      }
+      v.select(col("j").as("dim"), col("vval").as("val")).orderBy(col("dim"))
+    },
+    Some(s"""
+      WITH $DuckGramUpper,
+      g AS (SELECT i, j, gram FROM g0
+            UNION ALL
+            SELECT j AS i, i AS j, gram FROM g0 WHERE i <> j),
+      v0 AS (SELECT CAST(ii.i AS BIGINT) AS j, CAST(10000 AS BIGINT) AS vval
+             FROM UNNEST(range(1, 65)) AS ii(i)),
+      w1 AS (SELECT g.i, SUM(g.gram * v0.vval) AS w
+             FROM g JOIN v0 ON v0.j = g.j GROUP BY g.i),
+      m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
+      v1 AS (SELECT i AS j, (w * 10000) // m AS vval FROM w1, m1),
+      w2 AS (SELECT g.i, SUM(g.gram * v1.vval) AS w
+             FROM g JOIN v1 ON v1.j = g.j GROUP BY g.i),
+      m2 AS (SELECT MAX(ABS(w)) AS m FROM w2),
+      v2 AS (SELECT i AS j, (w * 10000) // m AS vval FROM w2, m2),
+      w3 AS (SELECT g.i, SUM(g.gram * v2.vval) AS w
+             FROM g JOIN v2 ON v2.j = g.j GROUP BY g.i),
+      m3 AS (SELECT MAX(ABS(w)) AS m FROM w3),
+      v3 AS (SELECT i AS j, (w * 10000) // m AS vval FROM w3, m3)
+      SELECT j AS dim, CAST(vval AS BIGINT) AS val FROM v3 ORDER BY dim"""),
+    notes = "3 integer power iterations on the d^2 Gram rows; matvec = keyed join+sum, rescale = 1-row broadcast")
 
   val all: Seq[QueryDef] = Seq(annBruteforce, annIvf, dedupEmbeddingLsh,
     kmeansStep, kmeansIter, vectorStats, vectorQuantize, annRecall, annPq,
-    annIvfPq, vectorCovariance)
+    annIvfPq, vectorCovariance, vectorPowerIteration)
 }
