@@ -500,7 +500,60 @@ object FunctionQueries {
       FROM lineitem"""),
     notes = "Datasketches HLL union + inclusion-exclusion intersection, band-flagged vs exact")
 
+  /** Exact OLS on the aggregate path: per event type, the least-squares
+    * slope/intercept of daily revenue cents against the day index, from the
+    * five integer sufficient statistics (n, Σx, Σy, Σxy, Σx²) — the
+    * regression twin of [[statsMoments]]. One shuffle computes the sums
+    * with map-side partials; the closed-form coefficients are TWO IEEE
+    * divisions of exact BIGINTs (numerators/denominators emitted too, so
+    * the float step is auditable). Trend fitting over 100 TB of telemetry
+    * is exactly this shape: sufficient statistics distribute, the algebra
+    * does not need the data again.
+    */
+  val aggLinreg = QueryDef(
+    "agg_linreg",
+    (spark, dir) => {
+      val daily = load(spark, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"))
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("slope_num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .select(col("event_type"), col("n"), col("slope_num"), col("den"),
+          (col("slope_num").cast("double") / col("den").cast("double"))
+            .as("slope"),
+          ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+            col("den").cast("double")).as("intercept"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+        FROM events GROUP BY 1, 2),
+      s AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM daily GROUP BY event_type)
+      SELECT event_type, n,
+             n * sxy - sx * sy AS slope_num,
+             n * sxx - sx * sx AS den,
+             CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+             CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+      FROM s ORDER BY event_type"""),
+    notes = "OLS from integer sufficient statistics over the daily rollup; two audited IEEE divisions")
+
   val all: Seq[QueryDef] = Seq(regexFuncs, datetimeFuncs, nullFuncs,
     bitHashFuncs, statsMoments, aggCollect, structArgminmax, aggApproxQuantile,
-    aggMode, tryFuncs, joinNullSafe, aggBitmapDistinct, aggHllSetops)
+    aggMode, tryFuncs, joinNullSafe, aggBitmapDistinct, aggHllSetops,
+    aggLinreg)
 }
