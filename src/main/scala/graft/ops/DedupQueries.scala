@@ -544,6 +544,124 @@ object DedupQueries {
       ORDER BY a_id, b_id"""),
     notes = "w=3 sorted-neighborhood linkage; candidates exactly w*n, skew-proof by construction")
 
+  /** Dedup-quality evaluation — the recall@10 twin for the dedup surface:
+    * on a 1-in-5 doc sample, compare the production MinHash-LSH CANDIDATE
+    * set (same 16×4 banding, same lang blocking as dedup_minhash_lsh)
+    * against exact token-Jaccard ≥ 0.70 ground truth computed brute-force
+    * on the sample. Output: one row of exact counts + precision/recall in
+    * integer bp.
+    *
+    * Scale posture: this is how dedup quality is measured in production —
+    * the exact all-pairs ground truth is bounded by the SAMPLE (the
+    * token-inverted-index join is all-pairs only within the sample), while
+    * the candidate side runs the real banded path. Recall misses here are
+    * exactly the pairs banding loses (different-band near-dups and
+    * cross-lang pairs excluded by the lang blocking fold).
+    */
+  val dedupEval = QueryDef(
+    "dedup_eval",
+    (spark, dir) => {
+      val sub = load(spark, dir, "documents").filter(col("doc_id") % 5 === 0)
+      // exact ground truth: token-set Jaccard >= 0.70 via inverted-index join
+      val toks = sub.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      val inter = toks.as("a").join(toks.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      val gt = inter
+        .join(broadcast(sizes.toDF("a_id", "na")), Seq("a_id"))
+        .join(broadcast(sizes.toDF("b_id", "nb")), Seq("b_id"))
+        .filter(col("inter") * 10000 >=
+          lit(7000) * (col("na") + col("nb") - col("inter")))
+        .select(col("a_id"), col("b_id")).withColumn("is_true", lit(1L))
+      // production candidate set: same banding as dedup_minhash_lsh
+      val sigs = minhashSignatures(sub).cache()
+      val rows = NumPerms / MinhashBands
+      val bands = sigs.select(col("doc_id"), col("lang"), explode(array(
+        (0 until MinhashBands).map { b =>
+          val bh = (0 until rows).foldLeft(lit(0L): Column) { (acc, i) =>
+            (acc * lit(8191L) + col("sig")(b * rows + i)) % lit(BandMod)
+          }
+          struct(lit(b).as("band"), bh.as("bh"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("lang"), col("bb.band"), col("bb.bh"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct().withColumn("is_cand", lit(1L))
+      cand.join(gt, Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("is_cand"), lit(0L))).as("n_cand"),
+          sum(coalesce(col("is_true"), lit(0L))).as("n_true"),
+          sum(coalesce(col("is_cand"), lit(0L)) *
+            coalesce(col("is_true"), lit(0L))).as("tp"))
+        .select(col("n_cand"), col("n_true"), col("tp"),
+          expr("CASE WHEN n_cand > 0 THEN (tp * 10000) DIV n_cand ELSE 0L END")
+            .as("precision_bp"),
+          expr("CASE WHEN n_true > 0 THEN (tp * 10000) DIV n_true ELSE 0L END")
+            .as("recall_bp"))
+    },
+    Some {
+      val rows = NumPerms / MinhashBands
+      val minCols = (0 until NumPerms)
+        .map(s => s"MIN((${permA(s)} * h + ${permB(s)}) % $P) AS m$s")
+        .mkString(",\n    ")
+      val bandSelects = (0 until MinhashBands).map { b =>
+        val bh = (0 until rows).foldLeft("0") { (acc, i) =>
+          s"(($acc * 8191 + m${b * rows + i}) % $BandMod)"
+        }
+        s"SELECT doc_id, lang, $b AS band, $bh AS bh FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH sub AS (
+         |  SELECT * FROM documents WHERE doc_id % 5 = 0),
+         |toks AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM sub),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id),
+         |gt AS (
+         |  SELECT i.a_id, i.b_id, 1 AS is_true
+         |  FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |        FROM toks a JOIN toks b
+         |          ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2) i
+         |  JOIN sizes x ON i.a_id = x.doc_id
+         |  JOIN sizes y ON i.b_id = y.doc_id
+         |  WHERE i.inter * 10000 >= 7000 * (x.nt + y.nt - i.inter)),
+         |hashed AS (
+         |  SELECT doc_id, lang, ${tokHashSql("tok")} AS h FROM toks),
+         |sigs AS (
+         |  SELECT doc_id, lang,
+         |    $minCols
+         |  FROM hashed GROUP BY doc_id, lang),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, 1 AS is_cand
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.lang = b.lang
+         |   AND a.doc_id < b.doc_id),
+         |m AS (
+         |  SELECT COALESCE(c.is_cand, 0) AS is_cand,
+         |         COALESCE(g.is_true, 0) AS is_true
+         |  FROM cand c FULL OUTER JOIN gt g
+         |    ON c.a_id = g.a_id AND c.b_id = g.b_id)
+         |SELECT CAST(SUM(is_cand) AS BIGINT) AS n_cand,
+         |       CAST(SUM(is_true) AS BIGINT) AS n_true,
+         |       CAST(SUM(is_cand * is_true) AS BIGINT) AS tp,
+         |       CASE WHEN SUM(is_cand) > 0
+         |            THEN CAST((SUM(is_cand * is_true) * 10000) // SUM(is_cand) AS BIGINT)
+         |            ELSE 0 END AS precision_bp,
+         |       CASE WHEN SUM(is_true) > 0
+         |            THEN CAST((SUM(is_cand * is_true) * 10000) // SUM(is_true) AS BIGINT)
+         |            ELSE 0 END AS recall_bp
+         |FROM m""".stripMargin
+    },
+    notes = "sampled precision/recall of the production LSH candidate set vs exact Jaccard ground truth")
+
   val all: Seq[QueryDef] = Seq(dedupMinhashLsh, dedupSimhash, dedupContainment,
-    dedupPrefixFilter, dedupSortedNeighborhood)
+    dedupPrefixFilter, dedupSortedNeighborhood, dedupEval)
 }
