@@ -1260,10 +1260,74 @@ object EventAnalyticsQueries {
       ORDER BY cohort_week, week_offset"""),
     notes = "cumulative cohort revenue over the tiny cohort-by-offset matrix; exact cents, broadcast sizes")
 
+  /** Time-constrained funnel: signup → click → purchase where EVERY later
+    * stage must land within 24h of the user's FIRST signup — the
+    * conversion-window semantics product analytics actually reports
+    * (events_funnel's unconstrained ordering says "ever converted"; this
+    * says "converted within the window"). Same scale shape as
+    * events_funnel: per-stage conditional min-aggregates on the user key,
+    * window bound folded into the stage predicate — the fact is never
+    * self-joined, and all stage aggregates reuse the user_id shuffle.
+    * Deadline arithmetic in exact epoch µs.
+    */
+  val eventsFunnelWindow = QueryDef(
+    "events_funnel_window",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+      val dayUs = 86400000000L
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + dayUs)
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("t2"), max(col("t1")).as("t1b"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("us") > col("t2") && col("us") <= col("t1b") + dayUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      val users = ev.select(col("user_id")).distinct()
+      users
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t1")).as("n_signup"),
+          count(col("t2")).as("n_click_24h"),
+          count(col("t3")).as("n_purchase_24h"))
+    },
+    Some("""
+      WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(epoch_us(ts)) AS t2, MAX(t1) AS t1b
+             FROM events e JOIN s1 USING (user_id)
+             WHERE event_type = 'click'
+               AND epoch_us(ts) > t1
+               AND epoch_us(ts) <= t1 + 86400000000
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(epoch_us(ts)) AS t3
+             FROM events e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase'
+               AND epoch_us(ts) > t2
+               AND epoch_us(ts) <= t1b + 86400000000
+             GROUP BY e.user_id),
+      users AS (SELECT DISTINCT user_id FROM events)
+      SELECT COUNT(*) AS n_users,
+             COUNT(t1) AS n_signup,
+             COUNT(t2) AS n_click_24h,
+             COUNT(t3) AS n_purchase_24h
+      FROM users
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)"""),
+    notes = "24h conversion-window funnel; window bound folded into stage predicates, exact epoch-us arithmetic")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
     eventsSequencePattern, eventsPaths, eventsMarkov, eventsPercentiles,
     eventsAttributionLinear, eventsAbTest, windowSlidingDistinct, eventsRfm,
     eventsInterpolate, eventsCusum, eventsForecast, eventsIslands,
-    eventsCohortLtv)
+    eventsCohortLtv, eventsFunnelWindow)
 }
