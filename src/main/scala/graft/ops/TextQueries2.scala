@@ -520,7 +520,70 @@ object TextQueries2 {
       ORDER BY s1, s2"""),
     notes = "distinct-shingle self-join keyed on the gram; |S|^2-bounded fanout, broadcast set sizes")
 
+  /** LM-coverage quality scoring — the integer-exact stand-in for
+    * perplexity filtering: score each document by the share of its word
+    * bigrams that fall in the corpus' top-300 bigram list (a document the
+    * corpus LM "explains" scores high; gibberish and boilerplate-with-rare-
+    * joins score low), then histogram the corpus by coverage decile.
+    *
+    * Scale design: bigram counting is one shuffle with map-side combine
+    * over bigram TYPES (bounded by vocab², not corpus size); the top-300
+    * list is rank-deterministic (count DESC, bigram ASC) and BROADCAST back
+    * over the doc bigrams, so scoring is a map-side join + one doc-keyed
+    * agg. True -log p perplexity would break cross-engine hash exactness
+    * (transcendental libm divergence); hit-share in bp keeps the decision
+    * integer while ranking documents the same way for filtering purposes.
+    */
+  val textLmCoverage = QueryDef(
+    "text_lm_coverage",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bg = load(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 1),
+               i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""))
+          .as("b"))
+      val top = bg.groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("c").desc, col("b"))))
+        .filter(col("rn") <= 300)
+        .select(col("b")).withColumn("hit", lit(1))
+      bg.join(broadcast(top), Seq("b"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bg"), count(col("hit")).as("hits"))
+        .groupBy(expr("(hits * 10000 DIV n_bg) DIV 1000").as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("hits")).as("tot_hits"),
+          sum(col("n_bg")).as("tot_bigrams"))
+        .orderBy(col("decile"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS b
+        FROM toks WHERE len(t) >= 2),
+      counts AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+      top AS (
+        SELECT b FROM (
+          SELECT b, ROW_NUMBER() OVER (ORDER BY c DESC, b) AS rn FROM counts)
+        WHERE rn <= 300),
+      cov AS (
+        SELECT doc_id, COUNT(*) AS n_bg,
+               COUNT(*) FILTER (WHERE b IN (SELECT b FROM top)) AS hits
+        FROM bg GROUP BY doc_id)
+      SELECT (hits * 10000 // n_bg) // 1000 AS decile,
+             COUNT(*) AS n_docs,
+             CAST(SUM(hits) AS BIGINT) AS tot_hits,
+             CAST(SUM(n_bg) AS BIGINT) AS tot_bigrams
+      FROM cov GROUP BY 1 ORDER BY 1"""),
+    notes = "perplexity-filter stand-in: top-300 bigram hit share in bp; LM table bounded by vocab^2, broadcast")
+
   val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents,
     dedupKeepBest, textNormalize, textNgrams, textChunk, textBigramLm,
-    textBpeStep, corpusOverlapMatrix)
+    textBpeStep, corpusOverlapMatrix, textLmCoverage)
 }
