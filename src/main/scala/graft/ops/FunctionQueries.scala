@@ -509,6 +509,11 @@ object FunctionQueries {
     * the float step is auditable). Trend fitting over 100 TB of telemetry
     * is exactly this shape: sufficient statistics distribute, the algebra
     * does not need the data again.
+    *
+    * Overflow bound (the events_ab_test lesson): with day index ≤ D and
+    * daily sums ≤ Y cents, n·Σxy ≤ D³·Y — safe in Int64 for D ≤ ~3 000
+    * days at Y ≤ 2⁴⁰; for longer spans, center x at Σx/n (or widen to
+    * DECIMAL(38,0) as events_ab_test does) before the cross products.
     */
   val aggLinreg = QueryDef(
     "agg_linreg",
