@@ -1324,10 +1324,162 @@ object EventAnalyticsQueries {
       LEFT JOIN s3 USING (user_id)"""),
     notes = "24h conversion-window funnel; window bound folded into stage predicates, exact epoch-us arithmetic")
 
+  /** Exponentially-decayed daily engagement (EMA stand-in) with DYADIC
+    * weights: decay_t = Σ_{i=0..7} ⌊daily_{t−i} / 2^i⌋, i.e. each prior
+    * day's revenue contributes at half the weight of the next — the shape
+    * every feature store wants for "recent activity" scores. The usual EMA
+    * recurrence s_t = αx_t + (1−α)s_{t−1} is sequential and float; the
+    * dyadic truncated form is a CLOSED-FORM 8-term window sum of bit
+    * shifts, so it is exact in BIGINT, order-free, and stays inside
+    * whole-stage codegen (lag + shiftright — no UDF, no recursion).
+    *
+    * Scale: the fact collapses to (type, day) daily sums first — one
+    * partial-aggregated shuffle, O(types·days) rows after — and the lag
+    * window runs on that tiny series per type. Weights are per-OBSERVATION
+    * (row offset), not per-calendar-day; compose with events_gapfill first
+    * when calendar decay over sparse days is wanted.
+    */
+  val eventsEma = QueryDef(
+    "events_ema",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = (c: Column) => floor(c * 100 + lit(0.5)).cast("long")
+      val daily = load(spark, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          cents(col("value")).as("v"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("v")).as("day_cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val decay = (0 to 7)
+        .map(i => coalesce(shiftright(lag(col("day_cents"), i).over(w), i),
+          lit(0L)))
+        .reduce(_ + _)
+      daily.withColumn("decay_cents", decay)
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some {
+      val terms = (0 to 7)
+        .map(i => s"COALESCE((lag(day_cents, $i) OVER w) >> $i, 0)")
+        .mkString(" + ")
+      s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS day_cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE))
+      SELECT event_type, day, day_cents,
+             CAST($terms AS BIGINT) AS decay_cents
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      ORDER BY event_type, day"""
+    },
+    notes = "dyadic-weight decayed daily revenue: closed-form 8-term lag/shiftright window, exact BIGINT")
+
+  /** Kaplan–Meier churn/survival curve in integer basis points. Per user:
+    * lifetime t = HOURS between first and last event; a user inactive for
+    * ≥24 h before the corpus horizon is a CHURN (death) at t, anyone still
+    * active inside that window is CENSORED at t — the textbook
+    * right-censoring setup (hour granularity because the synthetic corpus
+    * spans ~29 days with daily-active users; a day-based cutoff labels
+    * nobody dead). Then S(t) = Π_{s≤t} (n_s − d_s)/n_s over the
+    * per-lifetime death/censor counts, with the product kept EXACT by
+    * folding in integer bp with truncating division (both engines `div`
+    * toward zero; all operands nonnegative).
+    *
+    * Scale design: the fact reduces to one row per user (one user_id
+    * shuffle), then to one row per DISTINCT LIFETIME (≤ observation span in
+    * hours — hundreds of rows at any corpus size). The inherently
+    * sequential KM product runs on that tiny series via collect_list + a
+    * higher-order prefix fold (`aggregate(slice(...))`, O(T²) on T≈700 —
+    * constant), so nothing sequential ever touches a per-user or per-event
+    * row; the single-partition window and fold are bounded by the calendar,
+    * not data volume. Oracle replays the identical truncated recurrence as
+    * a recursive CTE.
+    */
+  val eventsSurvival = QueryDef(
+    "events_survival",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = load(spark, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+      val life = ev.groupBy(col("user_id"))
+        .agg((max(col("hr")) - min(col("hr"))).as("t"),
+          max(col("hr")).as("last_h"))
+      val horizon = ev.agg(max(col("hr")).as("h"))
+      val lab = life.crossJoin(broadcast(horizon))
+        .select(col("t"),
+          when(col("last_h") + 24 <= col("h"), 1L).otherwise(0L)
+            .as("dead"))
+      val perT = lab.groupBy(col("t"))
+        .agg(sum(col("dead")).as("d_cnt"),
+          sum(lit(1L) - col("dead")).as("c_cnt"))
+      val tot = perT.agg(sum(col("d_cnt") + col("c_cnt")).as("n_tot"))
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val risk = perT.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("n_tot") -
+            coalesce(sum(col("d_cnt") + col("c_cnt")).over(w), lit(0L)))
+        .select(col("t"), col("d_cnt"), col("c_cnt"), col("n_risk"))
+      risk
+        .agg(sort_array(collect_list(struct(col("t"), col("d_cnt"),
+          col("c_cnt"), col("n_risk")))).as("a"))
+        .select(explode(expr(
+          """transform(a, (x, i) -> named_struct(
+               't', x.t, 'n_risk', x.n_risk,
+               'd', x.d_cnt, 'c', x.c_cnt,
+               'surv_bp', aggregate(slice(a, 1, i + 1),
+                 CAST(10000 AS BIGINT),
+                 (acc, y) -> (acc * (y.n_risk - y.d_cnt)) div y.n_risk)))"""))
+          .as("r"))
+        .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+          col("r.d").as("d"), col("r.c").as("c"),
+          col("r.surv_bp").as("surv_bp"))
+        .orderBy(col("t"))
+    },
+    Some("""
+      WITH RECURSIVE ev AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events),
+      life AS (
+        SELECT user_id, CAST(MAX(hr) - MIN(hr) AS BIGINT) AS t,
+               MAX(hr) AS last_h
+        FROM ev GROUP BY user_id),
+      h AS (SELECT MAX(hr) AS h FROM ev),
+      lab AS (
+        SELECT t, CASE WHEN last_h + 24 <= h THEN 1 ELSE 0 END AS dead
+        FROM life, h),
+      per_t AS (
+        SELECT t, CAST(SUM(dead) AS BIGINT) AS d_cnt,
+               CAST(SUM(1 - dead) AS BIGINT) AS c_cnt
+        FROM lab GROUP BY t),
+      tot AS (SELECT CAST(SUM(d_cnt + c_cnt) AS BIGINT) AS n_tot FROM per_t),
+      risk AS (
+        SELECT t, d_cnt, c_cnt,
+               n_tot - COALESCE(CAST(SUM(d_cnt + c_cnt) OVER
+                 (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+        FROM per_t, tot),
+      seq AS (
+        SELECT t, d_cnt, c_cnt, n_risk,
+               ROW_NUMBER() OVER (ORDER BY t) AS rn
+        FROM risk),
+      rec AS (
+        SELECT rn, t, d_cnt, c_cnt, n_risk,
+               (10000 * (n_risk - d_cnt)) // n_risk AS s
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT seq.rn, seq.t, seq.d_cnt, seq.c_cnt, seq.n_risk,
+               (rec.s * (seq.n_risk - seq.d_cnt)) // seq.n_risk
+        FROM rec JOIN seq ON seq.rn = rec.rn + 1)
+      SELECT t, n_risk, d_cnt AS d, c_cnt AS c, CAST(s AS BIGINT) AS surv_bp
+      FROM rec ORDER BY t"""),
+    notes = "right-censored Kaplan-Meier in integer bp; sequential product folded on the tiny per-lifetime aggregate")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
     eventsSequencePattern, eventsPaths, eventsMarkov, eventsPercentiles,
     eventsAttributionLinear, eventsAbTest, windowSlidingDistinct, eventsRfm,
     eventsInterpolate, eventsCusum, eventsForecast, eventsIslands,
-    eventsCohortLtv, eventsFunnelWindow)
+    eventsCohortLtv, eventsFunnelWindow, eventsEma, eventsSurvival)
 }
