@@ -784,25 +784,31 @@ object VectorQueries {
     * corpus size, so adding iterations costs O(d²) each. The Gram build is
     * localCheckpointed so the 3 rounds don't recompute it.
     */
-  val vectorPowerIteration = QueryDef(
-    "vector_power_iteration",
-    (spark, dir) => {
-      val g0 = gramUpper(spark, dir).localCheckpoint()
-      val g = g0.unionAll(g0.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("gram")))
-      var v = spark.range(1, 65)
-        .select(col("id").as("j"), lit(10000L).as("vval"))
-      for (_ <- 1 to 3) {
-        val w = g.join(v, Seq("j"))
-          .groupBy(col("i")).agg(sum(col("gram") * col("vval")).as("w"))
-        val m = w.agg(max(abs(col("w"))).as("m"))
-        v = w.crossJoin(broadcast(m))
-          .select(col("i").as("j"), expr("(w * 10000L) div m").as("vval"))
-      }
-      v.select(col("j").as("dim"), col("vval").as("val")).orderBy(col("dim"))
-    },
-    Some(s"""
-      WITH $DuckGramUpper,
+  /** The 3-round integer power iteration from [[vectorPowerIteration]] as a
+    * reusable (j, vval) fit artifact — shared with [[vectorPcaProject]],
+    * which applies it corpus-wide.
+    */
+  private def eigenVec(spark: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val g0 = gramUpper(spark, dir).localCheckpoint()
+    val g = g0.unionAll(g0.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("gram")))
+    var v = spark.range(1, 65)
+      .select(col("id").as("j"), lit(10000L).as("vval"))
+    for (_ <- 1 to 3) {
+      val w = g.join(v, Seq("j"))
+        .groupBy(col("i")).agg(sum(col("gram") * col("vval")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("j"), expr("(w * 10000L) div m").as("vval"))
+    }
+    v
+  }
+
+  /** The same 3-round iteration as DuckDB CTE text (expects $DuckGramUpper
+    * in scope; leaves `v3` as the final (j, vval) vector).
+    */
+  private val DuckEigen = """
       g AS (SELECT i, j, gram FROM g0
             UNION ALL
             SELECT j AS i, i AS j, gram FROM g0 WHERE i <> j),
@@ -819,11 +825,69 @@ object VectorQueries {
       w3 AS (SELECT g.i, SUM(g.gram * v2.vval) AS w
              FROM g JOIN v2 ON v2.j = g.j GROUP BY g.i),
       m3 AS (SELECT MAX(ABS(w)) AS m FROM w3),
-      v3 AS (SELECT i AS j, (w * 10000) // m AS vval FROM w3, m3)
+      v3 AS (SELECT i AS j, (w * 10000) // m AS vval FROM w3, m3)"""
+
+  val vectorPowerIteration = QueryDef(
+    "vector_power_iteration",
+    (spark, dir) => eigenVec(spark, dir)
+      .select(col("j").as("dim"), col("vval").as("val")).orderBy(col("dim")),
+    Some(s"""
+      WITH $DuckGramUpper,
+      $DuckEigen
       SELECT j AS dim, CAST(vval AS BIGINT) AS val FROM v3 ORDER BY dim"""),
     notes = "3 integer power iterations on the d^2 Gram rows; matvec = keyed join+sum, rescale = 1-row broadcast")
 
+  /** PCA APPLY step: project the whole corpus onto the fitted top
+    * eigenvector — the fit/transform split every feature pipeline has. The
+    * 64-row eigenvector from [[eigenVec]] is folded into ONE array row
+    * (ordered struct sort, no driver collect) and broadcast; each vector's
+    * projection is then a row-local `zip_with` dot product over its int8
+    * quantization — no per-dimension explode, no d× row blow-up, so the
+    * apply pass streams the corpus once with a constant-size build side
+    * (the same shape as scoring 100 TB of embeddings against a fixed
+    * linear probe). Everything stays exact BIGINT; output is the global
+    * top-20 most-aligned vectors (TakeOrdered, proj DESC / vec_id ASC).
+    */
+  val vectorPcaProject = QueryDef(
+    "vector_pca_project",
+    (spark, dir) => {
+      val vArr = eigenVec(spark, dir)
+        .agg(sort_array(collect_list(struct(col("j"), col("vval"))))
+          .as("vs"))
+        .select(transform(col("vs"), s => s.getField("vval")).as("varr"))
+      val q = vecs(spark, dir)
+        .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+        .filter(col("maxabs") > 0)
+        .withColumn("q", transform(col("v"),
+          x => floor(x / col("maxabs") * 127 + lit(0.5)).cast("long")))
+      q.crossJoin(broadcast(vArr))
+        .select(col("vec_id"),
+          expr("aggregate(zip_with(q, varr, (x, y) -> x * y), " +
+            "CAST(0 AS BIGINT), (a, p) -> a + p)").as("proj"))
+        .orderBy(col("proj").desc, col("vec_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $DuckGramUpper,
+      $DuckEigen,
+      qd AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x / list_max(list_transform(
+                        embedding::DOUBLE[], y -> abs(y))) * 127 + 0.5)
+                      AS BIGINT)) AS qv
+        FROM embeddings
+        WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0),
+      proj AS (
+        SELECT qd.vec_id,
+               CAST(SUM(qd.qv[CAST(v3.j AS INT)] * v3.vval) AS BIGINT)
+                 AS proj
+        FROM qd, v3 GROUP BY qd.vec_id)
+      SELECT vec_id, proj FROM proj
+      ORDER BY proj DESC, vec_id LIMIT 20"""),
+    notes = "fit/apply split: eigenvector folded to one broadcast array row, row-local zip_with dot product, global top-20")
+
   val all: Seq[QueryDef] = Seq(annBruteforce, annIvf, dedupEmbeddingLsh,
     kmeansStep, kmeansIter, vectorStats, vectorQuantize, annRecall, annPq,
-    annIvfPq, vectorCovariance, vectorPowerIteration)
+    annIvfPq, vectorCovariance, vectorPowerIteration, vectorPcaProject)
 }
