@@ -662,6 +662,91 @@ object DedupQueries {
     },
     notes = "sampled precision/recall of the production LSH candidate set vs exact Jaccard ground truth")
 
+  /** CONTENT-DEFINED CHUNKING (the Rabin/FastCDC idea at token granularity,
+    * gear-style: a token whose rolling hash ≡ 0 mod 8 closes a chunk, so
+    * boundaries depend only on local content and an insertion reshuffles
+    * only its own chunk — the property fixed-size chunking lacks). Used by
+    * every dedup storage engine and by training-corpus near-dup splitting.
+    *
+    * Scale design: the whole chunker is ROW-LOCAL — one higher-order
+    * `aggregate` fold with a struct accumulator walks each document's
+    * token-hash array once, emitting (chunk_hash, ntok) pairs, all inside a
+    * single projection (custom codegen'd rolling_hash + lazy lambdas, no
+    * per-token explode). The only shuffle in the plan carries one row per
+    * CHUNK (~1/8 of tokens, then map-side partial to distinct hashes) for
+    * the corpus-wide duplicate count — at 100 TB the heavy token stream
+    * never leaves its partition. Oracle replays the identical chunking as
+    * the explode + prefix-sum-window formulation (sequential semantics are
+    * engine-checkable even though the Spark plan never materializes
+    * per-token rows).
+    */
+  val textCdcChunk = QueryDef(
+    "text_cdc_chunk",
+    (spark, dir) => {
+      val M = 100000000000000000L
+      val ths = transform(split(col("text"), " "), t => RollingHash(t))
+      val zero = expr(
+        """named_struct(
+             'done', CAST(array() AS ARRAY<STRUCT<ch: BIGINT, ntok: BIGINT>>),
+             'acc', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT))""")
+      val merge = (s: Column, t: Column) => {
+        val folded = (s.getField("acc") * 31 + t) % M
+        when(t % 8 === 0, struct(
+          array_append(s.getField("done"),
+            struct(folded.as("ch"), (s.getField("n") + 1).as("ntok")))
+            .as("done"),
+          lit(0L).as("acc"), lit(0L).as("n")))
+          .otherwise(struct(s.getField("done").as("done"),
+            folded.as("acc"), (s.getField("n") + 1).as("n")))
+      }
+      val finish = (s: Column) =>
+        when(s.getField("n") > 0,
+          array_append(s.getField("done"),
+            struct(s.getField("acc").as("ch"), s.getField("n").as("ntok"))))
+          .otherwise(s.getField("done"))
+      load(spark, dir, "documents")
+        .select(explode(aggregate(ths, zero, merge, finish)).as("c"))
+        .select(col("c.ch").as("ch"), col("c.ntok").as("ntok"))
+        .groupBy(col("ch"))
+        .agg(count(lit(1)).as("cnt"), min(col("ntok")).as("ntok"))
+        .agg(sum(col("cnt")).as("n_chunks"),
+          count(lit(1)).as("distinct_chunks"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+          sum((col("cnt") - 1) * col("ntok")).as("savings_tokens"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      e AS (SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+                   toks[CAST(r.i AS INT)] AS tok
+            FROM d, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+      t AS (SELECT doc_id, pos,
+              list_reduce(list_prepend(0::BIGINT,
+                list_transform(list_filter(string_split(tok, ''),
+                  c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))),
+                (a, c) -> (a * 31 + c) % 100000000000000000) AS th
+            FROM e),
+      f AS (SELECT doc_id, pos, th,
+              CASE WHEN th % 8 = 0 THEN 1 ELSE 0 END AS b FROM t),
+      wc AS (SELECT doc_id, pos, th,
+               COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS chunk
+             FROM f),
+      chks AS (SELECT doc_id, chunk, CAST(COUNT(*) AS BIGINT) AS ntok,
+                 list_reduce(list_prepend(0::BIGINT, list(th ORDER BY pos)),
+                   (a, c) -> (a * 31 + c) % 100000000000000000) AS ch
+               FROM wc GROUP BY doc_id, chunk),
+      byh AS (SELECT ch, COUNT(*) AS cnt, MIN(ntok) AS ntok
+              FROM chks GROUP BY ch)
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+             CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_chunks,
+             CAST(SUM((cnt - 1) * ntok) AS BIGINT) AS savings_tokens
+      FROM byh"""),
+    notes = "gear-style content-defined chunking, fully row-local fold; only chunk hashes shuffle")
+
   val all: Seq[QueryDef] = Seq(dedupMinhashLsh, dedupSimhash, dedupContainment,
-    dedupPrefixFilter, dedupSortedNeighborhood, dedupEval)
+    dedupPrefixFilter, dedupSortedNeighborhood, dedupEval, textCdcChunk)
 }
