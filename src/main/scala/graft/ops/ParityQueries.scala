@@ -271,6 +271,40 @@ object ParityQueries {
       GROUP BY 1 ORDER BY 1"""),
     notes = "vectorized DSv2 read; same pushdown + oracle as the row path")
 
+  /** The connector's AGGREGATE pushdown end to end: `GROUP BY bucket` with
+    * count/sum/min/max is answered by the partition readers themselves —
+    * each emits ≤64 pre-aggregated rows instead of its ~6k-id slice, Spark
+    * final-merges the partials (partial pushdown, the honest distributed
+    * contract), and the id-range filter still narrows generation first, so
+    * the two pushdowns COMPOSE: filter → partition elimination → in-reader
+    * aggregation. The scan's output is O(buckets·partitions) however many
+    * rows the table has — the DSv2 analogue of parquet min/max/count
+    * metadata aggregation, which is what makes `SELECT bucket, COUNT(*)`
+    * on a 100 TB source a metadata-speed query. SynthSourceSpec pins both
+    * the pushed plan shape and the residual-filter fallback.
+    */
+  val sourceSynthAggPushdown = QueryDef(
+    "source_synth_agg_pushdown",
+    (spark, dir) => {
+      spark.read.format("graft.sources.SynthSource")
+        .option("numRows", "200000").option("partitions", "16").load()
+        .filter(col("id") >= 50000L && col("id") < 150000L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("cents"),
+          min(col("v_cents")).as("min_cents"),
+          max(col("v_cents")).as("max_cents"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH synth AS (${graft.sources.SynthSource.oracleSql(200000L)})
+      SELECT bucket, COUNT(*) AS n, CAST(SUM(v_cents) AS BIGINT) AS cents,
+             MIN(v_cents) AS min_cents, MAX(v_cents) AS max_cents
+      FROM synth
+      WHERE id >= 50000 AND id < 150000
+      GROUP BY 1 ORDER BY 1"""),
+    notes = "DSv2 aggregate pushdown: readers emit per-bucket partials, Spark final-merges; composes with filter pushdown")
+
   val all: Seq[QueryDef] = Seq(goldCsv, goldApi, parityFuncs, geoNeighborJoin,
-    sourceSynthPushdown, sinkDigestWrite, sourceSynthColumnar)
+    sourceSynthPushdown, sinkDigestWrite, sourceSynthColumnar,
+    sourceSynthAggPushdown)
 }

@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
@@ -128,12 +129,14 @@ class SynthMicroBatchStream(numRows: Long, partitions: Int, rowsPerBatch: Long,
 
 class SynthScanBuilder(numRows: Long, partitions: Int, rowsPerBatch: Long,
     columnar: Boolean = false) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = numRows
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = SynthSource.schema
+  private var aggTags: Option[Seq[String]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition {
@@ -161,24 +164,97 @@ class SynthScanBuilder(numRows: Long, partitions: Int, rowsPerBatch: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Scan with Batch {
+  /** AGGREGATE pushdown (the third DSv2 pushdown that matters at 100 TB):
+    * a `GROUP BY bucket` with count/sum/min/max over `v_cents` is answered
+    * by the PARTITION READERS — each emits at most 64 pre-aggregated rows
+    * instead of its id range, so the scan's output (and everything Spark
+    * shuffles afterwards) is O(buckets·partitions), not O(rows).
+    * `supportCompletePushDown` stays false on purpose: partial pushdown is
+    * the honest distributed contract — Spark plans its usual final merge
+    * over the per-partition partials (SUM of counts/sums, MIN of mins...),
+    * so correctness never depends on the source seeing all partitions.
+    * Spark only attempts this when every filter was consumed by the source
+    * (a residual post-scan predicate disables it — pinned in
+    * SynthSourceSpec's negative test).
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    false
+
+  private def fieldName(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      Some(f.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Translate the pushed functions to reader tags; None = can't push. */
+  private def tagsOf(a: Aggregation): Option[Seq[String]] = {
+    val tags = a.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      // all synth columns are non-null, so COUNT(col) == COUNT(*)
+      case c: Count if !c.isDistinct && fieldName(c.column).isDefined =>
+        Some("count")
+      case s: Sum if !s.isDistinct && fieldName(s.column).contains("v_cents") =>
+        Some("sum")
+      case m: Min if fieldName(m.column).contains("v_cents") => Some("min")
+      case m: Max if fieldName(m.column).contains("v_cents") => Some("max")
+      case _ => None
+    }
+    if (tags.forall(_.isDefined)) Some(tags.flatten) else None
+  }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val groupOk = aggregation.groupByExpressions.length == 1 &&
+      aggregation.groupByExpressions.forall(e => fieldName(e).contains("bucket"))
+    tagsOf(aggregation) match {
+      case Some(tags) if groupOk => aggTags = Some(tags); true
+      case _ => false
+    }
+  }
+
+  override def build(): Scan = aggTags match {
+    case Some(tags) => new Scan with Batch {
+      // contract with V2ScanRelationPushDown: group columns first, then one
+      // column per pushed function, positional, types = partial-agg types
+      override def readSchema(): StructType =
+        tags.zipWithIndex.foldLeft(
+          new StructType().add("bucket", IntegerType, nullable = false)) {
+          case (s, (t, i)) => s.add(s"${t}_$i", LongType, nullable = false)
+        }
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        rangePartitions(lo, hi)
+      override def createReaderFactory(): PartitionReaderFactory =
+        new SynthAggReaderFactory(tags)
+      override def description(): String =
+        s"SynthScan[$lo, $hi) PushedAggregation: groupBy=bucket " +
+          s"funcs=${tags.mkString(",")}"
+    }
+    case None => buildRowScan()
+  }
+
+  private def rangePartitions(lo: Long, hi: Long): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    if (n == 0L) Array.empty
+    else {
+      val parts = math.max(1, math.min(partitions, n).toInt)
+      val step = (n + parts - 1) / parts
+      (0 until parts).iterator
+        .map(i => SynthPartition(lo + i * step, math.min(hi, lo + (i + 1) * step)))
+        .filter(p => p.from < p.until)
+        .toArray[InputPartition]
+    }
+  }
+
+  private def buildRowScan(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new SynthMicroBatchStream(numRows, partitions, rowsPerBatch,
         required.fieldNames)
-    override def planInputPartitions(): Array[InputPartition] = {
-      val n = math.max(0L, hi - lo)
-      if (n == 0L) Array.empty
-      else {
-        val parts = math.max(1, math.min(partitions, n).toInt)
-        val step = (n + parts - 1) / parts
-        (0 until parts).iterator
-          .map(i => SynthPartition(lo + i * step, math.min(hi, lo + (i + 1) * step)))
-          .filter(p => p.from < p.until)
-          .toArray[InputPartition]
-      }
-    }
+    override def planInputPartitions(): Array[InputPartition] =
+      rangePartitions(lo, hi)
     override def createReaderFactory(): PartitionReaderFactory =
       new SynthReaderFactory(required.fieldNames, columnar)
     override def description(): String =
@@ -188,6 +264,50 @@ class SynthScanBuilder(numRows: Long, partitions: Int, rowsPerBatch: Long,
 }
 
 case class SynthPartition(from: Long, until: Long) extends InputPartition
+
+/** Reader for the aggregate-pushdown scan: one pass over the partition's id
+  * range into 64 accumulator slots, then ≤64 (bucket, partials...) rows out.
+  */
+class SynthAggReaderFactory(tags: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SynthPartition]
+    new PartitionReader[InternalRow] {
+      private var rows: Iterator[InternalRow] = _
+      private var cur: InternalRow = _
+      private def materialize(): Iterator[InternalRow] = {
+        val cnt = new Array[Long](64)
+        val sm = new Array[Long](64)
+        val mn = Array.fill(64)(Long.MaxValue)
+        val mx = Array.fill(64)(Long.MinValue)
+        var id = p.from
+        while (id < p.until) {
+          val h = SynthSource.hash(id)
+          val b = (h % 64).toInt
+          val v = h % 100000
+          cnt(b) += 1
+          sm(b) += v
+          if (v < mn(b)) mn(b) = v
+          if (v > mx(b)) mx(b) = v
+          id += 1
+        }
+        (0 until 64).iterator.filter(cnt(_) > 0).map { b =>
+          InternalRow.fromSeq(b +: tags.map {
+            case "count" => cnt(b)
+            case "sum" => sm(b)
+            case "min" => mn(b)
+            case "max" => mx(b)
+          })
+        }
+      }
+      override def next(): Boolean = {
+        if (rows == null) rows = materialize()
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
 
 class SynthReaderFactory(cols: Array[String], columnar: Boolean = false)
     extends PartitionReaderFactory {

@@ -72,6 +72,31 @@ class SynthSourceSpec extends AnyFunSuite {
       "columnar and row paths must generate identical rows")
   }
 
+  test("aggregate pushdown: readers emit per-bucket partials, plan carries the marker") {
+    val df = synth(10000).filter(col("id") >= 2000L && col("id") < 8000L)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("s"),
+        min(col("v_cents")).as("mn"), max(col("v_cents")).as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), plan)
+    assert(plan.contains("SynthScan[2000, 8000)"), plan)
+    // cross-check values against the un-pushed row path
+    val expect = synth(10000)
+      .filter(col("id") >= 2000L && col("id") < 8000L && col("tag").isNotNull)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("s"),
+        min(col("v_cents")).as("mn"), max(col("v_cents")).as("mx"))
+    assert(df.exceptAll(expect).isEmpty && expect.exceptAll(df).isEmpty,
+      "pushed and un-pushed aggregation must agree")
+  }
+
+  test("aggregate pushdown declines when a residual filter survives the scan") {
+    val df = synth(10000).filter(col("tag") === "t1")
+      .groupBy(col("bucket")).agg(sum(col("v_cents")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregation"), plan)
+  }
+
   test("generator matches the published hash recipe") {
     val row = synth(10000).filter(col("id") === 7L).head()
     val h = graft.sources.SynthSource.hash(7L)
