@@ -451,7 +451,92 @@ object WarehouseQueries {
       ORDER BY event_type"""),
     notes = "total-variation share-delta drift in bp between time halves; overflow-free by design")
 
+  /** BITEMPORAL lookup: valid time × transaction time, the full temporal-
+    * table model ([[scd2Asof]] covers only the valid axis). Each change
+    * carries its VALID-from instant (retro-dated `event_id % 5` days before
+    * its record time — late-arriving corrections, the reason the second
+    * axis exists) and its TRANSACTION instant (`ts`, when the warehouse
+    * learned of it). The query answers "what did we believe at transaction
+    * time T about the state effective at V?" for the same V under two
+    * cutoffs T1 < T2 — rows where the two beliefs differ are exactly the
+    * retroactive corrections that arrived in (T1, T2], i.e. history being
+    * rewritten, which a valid-time-only SCD2 cannot even represent.
+    *
+    * Scale shape: each belief is one txn-cutoff filter (pushed to the
+    * scan) + one window pass per user + a residual AS OF predicate — no
+    * self-join of the change log; the two beliefs (≤1 row per user each)
+    * meet in a full-outer join on the dimension key (null side = the user
+    * whose first version itself arrived retroactively).
+    */
+  val scd2Bitemporal = QueryDef(
+    "scd2_bitemporal",
+    (spark, dir) => {
+      val validAt = 1705320000000L // V: 2024-01-15T12:00Z, mid-corpus
+      val tx1 = 1705536000000L // T1: 2024-01-18T00:00Z
+      val tx2 = 1706659200000L // T2: 2024-01-31T00:00Z (all knowledge)
+      val base = load(spark, dir, "events")
+        .filter(col("event_type") === "view" && col("user_id") % 20 === 0)
+        .select(col("user_id"), unix_millis(col("ts")).as("txn_ms"),
+          col("event_id"), col("value"))
+        .withColumn("eff_ms",
+          col("txn_ms") - (col("event_id") % 5) * 86400000L)
+      def belief(txCut: Long) = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("eff_ms"), col("txn_ms"), col("event_id"))
+        base.filter(col("txn_ms") <= txCut)
+          .withColumn("version_no", row_number().over(w).cast("long"))
+          .withColumn("next_eff", lead(col("eff_ms"), 1).over(w))
+          .filter(col("eff_ms") <= validAt &&
+            (col("next_eff").isNull || col("next_eff") > validAt))
+          .select(col("user_id"), col("version_no"),
+            cents(col("value")).as("value_cents"))
+      }
+      belief(tx1)
+        .withColumnRenamed("version_no", "t1_version")
+        .withColumnRenamed("value_cents", "t1_value_cents")
+        .join(belief(tx2)
+          .withColumnRenamed("version_no", "t2_version")
+          .withColumnRenamed("value_cents", "t2_value_cents"),
+          Seq("user_id"), "full_outer")
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH changes AS (
+        SELECT user_id, epoch_ms(ts) AS txn_ms, event_id, value,
+               epoch_ms(ts) - (event_id % 5) * 86400000 AS eff_ms
+        FROM events
+        WHERE event_type = 'view' AND user_id % 20 = 0),
+      b1 AS (
+        SELECT user_id, version_no AS t1_version,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS t1_value_cents
+        FROM (
+          SELECT user_id, value, eff_ms,
+                 CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_no,
+                 LEAD(eff_ms, 1) OVER w AS next_eff
+          FROM changes WHERE txn_ms <= 1705536000000
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY eff_ms, txn_ms, event_id))
+        WHERE eff_ms <= 1705320000000
+          AND (next_eff IS NULL OR next_eff > 1705320000000)),
+      b2 AS (
+        SELECT user_id, version_no AS t2_version,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS t2_value_cents
+        FROM (
+          SELECT user_id, value, eff_ms,
+                 CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_no,
+                 LEAD(eff_ms, 1) OVER w AS next_eff
+          FROM changes WHERE txn_ms <= 1706659200000
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY eff_ms, txn_ms, event_id))
+        WHERE eff_ms <= 1705320000000
+          AND (next_eff IS NULL OR next_eff > 1705320000000))
+      SELECT COALESCE(b1.user_id, b2.user_id) AS user_id,
+             t1_version, t1_value_cents, t2_version, t2_value_cents
+      FROM b1 FULL OUTER JOIN b2 ON b1.user_id = b2.user_id
+      ORDER BY user_id"""),
+    notes = "valid-time x transaction-time bitemporal AS OF; differing rows = retroactive corrections in (T1, T2]")
+
   val all: Seq[QueryDef] = Seq(qualityExpectations, scd2Snapshot, scd2Asof,
     mvIncrementalAgg, reconcileChecksum, intervalSweep, profileColumns,
-    qualityDrift)
+    qualityDrift, scd2Bitemporal)
 }
