@@ -747,6 +747,94 @@ object DedupQueries {
       FROM byh"""),
     notes = "gear-style content-defined chunking, fully row-local fold; only chunk hashes shuffle")
 
+  /** EXACT SUBSTRING duplication spans (the suffix-array dedup of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    * 2022, re-expressed relationally): every 8-token gram is hashed, grams
+    * occurring in ≥2 DISTINCT documents are the duplicated alphabet, and
+    * per document the duplicated gram positions are merged into MAXIMAL
+    * spans with the gaps-and-islands trick (pos − row_number is constant
+    * within a run of consecutive duplicated positions). Output: the top-50
+    * longest cross-document duplicated spans — exactly what you'd excise
+    * from a training corpus.
+    *
+    * Scale design: gram hashing is row-local (nested higher-order fold over
+    * the codegen'd token-hash array — no string re-concatenation); the only
+    * per-gram shuffles are (a) the distinct-doc count per gram hash (two
+    *-level aggregate, partial map-side) and (b) a semi-join of gram
+    * positions against the duplicated-hash set — both O(grams), the same
+    * asymptotics as the suffix-array pass, and both hash-partitioned with
+    * no skew beyond true hot grams. The islands window is per document
+    * (bounded partitions).
+    */
+  val dedupSubstringSpans = QueryDef(
+    "dedup_substring_spans",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val M = 100000000000000000L
+      val ths = transform(split(col("text"), " "), t => RollingHash(t))
+      val base = load(spark, dir, "documents")
+        .select(col("doc_id"), ths.as("ths"))
+        .filter(size(col("ths")) >= 8)
+      val gramArr = transform(
+        sequence(lit(0), size(col("ths")) - 8),
+        p => aggregate(slice(col("ths"), p + 1, lit(8)), lit(0L),
+          (a, c) => (a * 31 + c) % M))
+      val grams = base
+        .select(col("doc_id"), posexplode(gramArr).as(Seq("pos", "g")))
+      val dupG = grams.select(col("g"), col("doc_id")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2)
+        .select(col("g"))
+      val dupPos = grams.join(dupG, Seq("g"), "left_semi")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      dupPos
+        .withColumn("isl", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("pos")).as("start_pos"),
+          (max(col("pos")) - min(col("pos")) + 1).as("span_ngrams"),
+          (max(col("pos")) - min(col("pos")) + 8).as("span_tokens"))
+        .select(col("doc_id"), col("start_pos").cast("long").as("start_pos"),
+          col("span_ngrams").cast("long").as("span_ngrams"),
+          col("span_tokens").cast("long").as("span_tokens"))
+        .orderBy(col("span_tokens").desc, col("doc_id"), col("start_pos"))
+        .limit(50)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 tok -> list_reduce(list_prepend(0::BIGINT,
+                   list_transform(list_filter(string_split(tok, ''),
+                     c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % 100000000000000000)) AS ths
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 8),
+      grams AS (
+        SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+               list_reduce(list_prepend(0::BIGINT,
+                 ths[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)]),
+                 (a, c) -> (a * 31 + c) % 100000000000000000) AS g
+        FROM d, UNNEST(range(0, len(ths) - 7)) AS r(i)),
+      dup_g AS (
+        SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
+        GROUP BY g HAVING COUNT(*) >= 2),
+      dup_pos AS (
+        SELECT grams.doc_id, grams.pos FROM grams SEMI JOIN dup_g USING (g)),
+      isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS isl
+        FROM dup_pos)
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+             CAST(MAX(pos) - MIN(pos) + 1 AS BIGINT) AS span_ngrams,
+             CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
+      FROM isl
+      GROUP BY doc_id, isl
+      ORDER BY span_tokens DESC, doc_id, start_pos
+      LIMIT 50"""),
+    notes = "Lee-et-al exact substring dedup: duplicated 8-gram islands merged to maximal spans, top-50")
+
   val all: Seq[QueryDef] = Seq(dedupMinhashLsh, dedupSimhash, dedupContainment,
-    dedupPrefixFilter, dedupSortedNeighborhood, dedupEval, textCdcChunk)
+    dedupPrefixFilter, dedupSortedNeighborhood, dedupEval, textCdcChunk,
+    dedupSubstringSpans)
 }
