@@ -824,9 +824,91 @@ object PipelineQueries {
       FROM kept GROUP BY source ORDER BY source"""),
     notes = "epoch-expansion by lazy generator + salted fractional pass; zero shuffle before the rollup")
 
+  /** NEYMAN-ALLOCATION stratified sampling: the statistically optimal
+    * per-stratum budget split n_h ∝ N_h·σ_h (high-variance strata get more
+    * of the budget than size-proportional allocation would give them — the
+    * variance-minimizing design for estimating a mean from a fixed sample
+    * budget). Kept integer-exact end to end via the identity
+    * N·σ = √(N·ΣX² − (ΣX)²): the weight is one floor(sqrt) over exact
+    * BIGINT moments (sqrt is IEEE correctly-rounded in both engines, so
+    * floor of it is deterministic), allocation is truncating integer
+    * division of the budget, and row selection is the repo's rand()-free
+    * Knuth-hash ranking — re-runs pick the identical sample.
+    *
+    * Scale: two aggregates over the fact (one for moments, one broadcast
+    * 1-row weight total), then a per-stratum top-n_h window. The same
+    * shape allocates a 10M-doc labeling budget across sources at 100 TB.
+    */
+  val sampleStratified = QueryDef(
+    "sample_stratified",
+    (spark, dir) => {
+      import graft.Tables.cents
+      val nTarget = 1000L
+      val ev = load(spark, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          cents(col("value")).as("vc"))
+      val strata = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pop"), sum(col("vc")).as("s1"),
+          sum(col("vc") * col("vc")).as("s2"))
+        .withColumn("weight",
+          floor(sqrt((col("n_pop") * col("s2") - col("s1") * col("s1"))
+            .cast("double"))).cast(LongType))
+      val tot = strata.agg(sum(col("weight")).as("w_tot"))
+      val alloc = strata.crossJoin(broadcast(tot))
+        .withColumn("n_alloc",
+          least(expr(s"($nTarget * weight) div w_tot"), col("n_pop")))
+        .select(col("event_type"), col("n_pop"), col("weight"),
+          col("n_alloc"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("h"), col("event_id"))
+      ev.withColumn("h", knuth32(col("event_id")))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .join(broadcast(alloc), "event_type")
+        .filter(col("rn") <= col("n_alloc"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_pop")).as("n_pop"), max(col("weight")).as("weight"),
+          max(col("n_alloc")).as("n_alloc"), count(lit(1)).as("n_kept"),
+          sum(col("event_id")).as("kept_id_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events),
+      strata AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pop,
+               CAST(SUM(vc) AS BIGINT) AS s1,
+               CAST(SUM(vc * vc) AS BIGINT) AS s2
+        FROM ev GROUP BY event_type),
+      sw AS (
+        SELECT *, CAST(floor(sqrt(CAST(n_pop * s2 - s1 * s1 AS DOUBLE)))
+                 AS BIGINT) AS weight
+        FROM strata),
+      tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_tot FROM sw),
+      alloc AS (
+        SELECT event_type, n_pop, weight,
+               least((1000 * weight) // w_tot, n_pop) AS n_alloc
+        FROM sw, tot),
+      ranked AS (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY (event_id * 2654435761) % 4294967296, event_id)
+                 AS rn
+        FROM ev)
+      SELECT ranked.event_type, MAX(n_pop) AS n_pop, MAX(weight) AS weight,
+             CAST(MAX(n_alloc) AS BIGINT) AS n_alloc,
+             COUNT(*) AS n_kept,
+             CAST(SUM(event_id) AS BIGINT) AS kept_id_sum
+      FROM ranked JOIN alloc USING (event_type)
+      WHERE rn <= n_alloc
+      GROUP BY ranked.event_type
+      ORDER BY ranked.event_type"""),
+    notes = "Neyman n_h ~ N_h*sigma_h via exact integer moments; deterministic Knuth-hash selection")
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
     pipelinePack, pipelineDecontaminate, textRepetition, pipelineRedact,
     sampleTemperature, sampleMixture, pipelineAttrition, pipelineShardBalance,
-    quantilesWeighted, pipelineDatasetCard, sampleEpochs)
+    quantilesWeighted, pipelineDatasetCard, sampleEpochs, sampleStratified)
 }
