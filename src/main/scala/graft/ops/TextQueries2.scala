@@ -583,7 +583,122 @@ object TextQueries2 {
       FROM cov GROUP BY 1 ORDER BY 1"""),
     notes = "perplexity-filter stand-in: top-300 bigram hit share in bp; LM table bounded by vocab^2, broadcast")
 
+  /** ONE FULL BPE TRAINING ITERATION: count pairs → pick the top merge →
+    * APPLY it greedily corpus-wide → recount. [[textBpeStep]] stops at the
+    * argmax; this closes the trainer loop, which is where the semantics
+    * get subtle: BPE applies a merge LEFT-TO-RIGHT NON-OVERLAPPING
+    * ("aaaa" + merge(a,a) → aa,aa — not three overlapping pairs). That
+    * greedy scan is expressed relationally: candidate positions
+    * (c_i, c_{i+1}) = (a, b) form islands of consecutive positions, and
+    * within an island exactly the even offsets merge (for a ≠ b islands
+    * have length 1 and the parity rule is vacuous; for a = b runs it IS
+    * the greedy rule). Merged symbols replace their two chars, consumed
+    * successors drop, and the NEW adjacent-pair table is the output — the
+    * next iteration's input, verified end to end.
+    *
+    * Scale: everything after the word-frequency reduction runs on DISTINCT
+    * word types (the orders-of-magnitude collapse), windows partition by
+    * word (bounded length), and the 1-row top pair is a broadcast — the
+    * corpus is touched exactly once.
+    */
+  val textBpeApply = QueryDef(
+    "text_bpe_apply",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wf = load(spark, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      def pairCounts(syms: org.apache.spark.sql.DataFrame) = syms
+        .groupBy(col("sym").as("a"), col("next_sym").as("b"))
+        .agg(sum(col("f")).as("freq"))
+      val wpos = Window.partitionBy(col("w")).orderBy(col("pos"))
+      val chars = wf
+        .select(col("w"), col("f"),
+          posexplode(split(col("w"), "")).as(Seq("pos", "c")))
+        .withColumn("next_c", lead(col("c"), 1).over(wpos))
+      val top = chars.filter(col("next_c").isNotNull)
+        .groupBy(col("c").as("top_a"), col("next_c").as("top_b"))
+        .agg(sum(col("f")).as("tf"))
+        .orderBy(col("tf").desc, col("top_a"), col("top_b"))
+        .limit(1)
+        .select(col("top_a"), col("top_b"))
+      val cand = chars.crossJoin(broadcast(top))
+        .withColumn("cand",
+          (col("c") === col("top_a") && col("next_c") === col("top_b"))
+            .cast("int"))
+        .withColumn("isl", col("pos") - sum(col("cand")).over(
+          wpos.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("isl_start",
+          min(when(col("cand") === 1, col("pos")))
+            .over(Window.partitionBy(col("w"), col("isl"))))
+        .withColumn("is_merge",
+          col("cand") === 1 && (col("pos") - col("isl_start")) % 2 === 0)
+        .withColumn("consumed",
+          coalesce(lag(col("is_merge"), 1).over(wpos), lit(false)))
+      val merged = cand.filter(!col("consumed"))
+        .select(col("w"), col("f"), col("pos"),
+          when(col("is_merge"), concat(col("top_a"), col("top_b")))
+            .otherwise(col("c")).as("sym"))
+        .withColumn("next_sym", lead(col("sym"), 1).over(wpos))
+        .filter(col("next_sym").isNotNull)
+      pairCounts(merged)
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some("""
+      WITH words AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents),
+      wf AS (
+        SELECT w, COUNT(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w),
+      chars AS (
+        SELECT w, f, CAST(t.i AS BIGINT) AS pos,
+               substr(w, CAST(t.i AS INT), 1) AS c,
+               CASE WHEN t.i < length(w)
+                    THEN substr(w, CAST(t.i AS INT) + 1, 1) END AS next_c
+        FROM wf, UNNEST(range(1, length(w) + 1)) AS t(i)),
+      top AS (
+        SELECT c AS top_a, next_c AS top_b
+        FROM chars WHERE next_c IS NOT NULL
+        GROUP BY c, next_c
+        ORDER BY SUM(f) DESC, c, next_c LIMIT 1),
+      cand AS (
+        SELECT w, f, pos, c, next_c, top_a, top_b,
+               CASE WHEN c = top_a AND next_c = top_b THEN 1 ELSE 0 END
+                 AS cand
+        FROM chars, top),
+      isl AS (
+        SELECT *, pos - SUM(cand) OVER (PARTITION BY w ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM cand),
+      mrk AS (
+        SELECT *,
+               MIN(CASE WHEN cand = 1 THEN pos END)
+                 OVER (PARTITION BY w, isl) AS isl_start
+        FROM isl),
+      mg AS (
+        SELECT *, cand = 1 AND (pos - isl_start) % 2 = 0 AS is_merge
+        FROM mrk),
+      cons AS (
+        SELECT *, COALESCE(LAG(is_merge, 1) OVER (PARTITION BY w
+                 ORDER BY pos), FALSE) AS consumed
+        FROM mg),
+      syms AS (
+        SELECT w, f, pos,
+               CASE WHEN is_merge THEN top_a || top_b ELSE c END AS sym
+        FROM cons WHERE NOT consumed),
+      adj AS (
+        SELECT w, f, sym,
+               LEAD(sym, 1) OVER (PARTITION BY w ORDER BY pos) AS next_sym
+        FROM syms)
+      SELECT sym AS a, next_sym AS b, CAST(SUM(f) AS BIGINT) AS freq
+      FROM adj WHERE next_sym IS NOT NULL
+      GROUP BY sym, next_sym
+      ORDER BY freq DESC, a, b LIMIT 20"""),
+    notes = "full BPE iteration: top merge applied greedily (parity-in-island windows), new pair table out")
+
   val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents,
     dedupKeepBest, textNormalize, textNgrams, textChunk, textBigramLm,
-    textBpeStep, corpusOverlapMatrix, textLmCoverage)
+    textBpeStep, corpusOverlapMatrix, textLmCoverage, textBpeApply)
 }

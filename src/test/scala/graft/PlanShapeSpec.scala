@@ -42,7 +42,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "vector_power_iteration" -> "broadcast 1-row max-abs rescale per iteration (3 rows total)",
     "events_survival" -> "broadcast 1-row horizon + 1-row at-risk-total aggregates",
     "vector_pca_project" -> "broadcast 1-row eigenvector array (64 entries) + per-iteration rescale rows",
-    "sample_stratified" -> "broadcast 1-row Neyman weight-total aggregate")
+    "sample_stratified" -> "broadcast 1-row Neyman weight-total aggregate",
+    "text_bpe_apply" -> "broadcast 1-row top-merge-pair aggregate")
 
   /** Streaming queries execute the stream inside fn (their returned plan is
     * the memory-sink table scan — nothing to gate), and dedup_components
