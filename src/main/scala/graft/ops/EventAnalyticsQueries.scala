@@ -1476,10 +1476,86 @@ object EventAnalyticsQueries {
       FROM rec ORDER BY t"""),
     notes = "right-censored Kaplan-Meier in integer bp; sequential product folded on the tiny per-lifetime aggregate")
 
+  /** HOLT double exponential smoothing (level + trend) — the recursive
+    * forecaster [[eventsForecast]]'s seasonal-naive baseline cannot
+    * express: l_t = αx_t + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b. With
+    * α = β = ½ both recurrences are single truncating integer divisions
+    * (`div` truncates toward zero in BOTH engines, including on the
+    * negative trend values a falling series produces), so the whole
+    * recursion stays exact BIGINT — no float smoothing drift between
+    * engines. Output per event_type: final level, trend, and the
+    * one-step-ahead forecast l+b.
+    *
+    * Scale shape: the fact collapses to (type, day) daily sums first (one
+    * partial-aggregated shuffle); the inherently sequential recursion then
+    * folds over each type's ≤O(days) array via collect_list + higher-order
+    * `aggregate` — sequential work is bounded by the calendar, never by
+    * data volume (same pattern as events_survival). Oracle replays the
+    * identical recurrence as a recursive CTE stepping (type, rn).
+    */
+  val eventsHolt = QueryDef(
+    "events_holt",
+    (spark, dir) => {
+      val cents = (c: Column) => floor(c * 100 + lit(0.5)).cast("long")
+      val daily = load(spark, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          cents(col("value")).as("v"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("v")).as("day_cents"))
+      val fold = expr(
+        """aggregate(
+             transform(sort_array(collect_list(struct(day, day_cents))),
+               s -> s.day_cents),
+             named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+                          'i', CAST(0 AS BIGINT)),
+             (s, x) -> IF(s.i = 0,
+               named_struct('l', x, 'b', CAST(0 AS BIGINT),
+                            'i', CAST(1 AS BIGINT)),
+               named_struct(
+                 'l', (x + s.l + s.b) div 2,
+                 'b', (((x + s.l + s.b) div 2 - s.l) + s.b) div 2,
+                 'i', s.i + 1)))""")
+      daily.groupBy(col("event_type"))
+        .agg(fold.as("st"))
+        .select(col("event_type"), col("st.i").as("n_days"),
+          col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
+          (col("st.l") + col("st.b")).as("forecast_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS day_cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      seq AS (
+        SELECT event_type, day_cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily),
+      rec AS (
+        SELECT event_type, rn, n, day_cents AS l, CAST(0 AS BIGINT) AS b
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn, s.n,
+               (s.day_cents + r.l + r.b) // 2,
+               (((s.day_cents + r.l + r.b) // 2 - r.l) + r.b) // 2
+        FROM rec r JOIN seq s
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+      SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             CAST(l AS BIGINT) AS level_cents,
+             CAST(b AS BIGINT) AS trend_cents,
+             CAST(l + b AS BIGINT) AS forecast_cents
+      FROM rec WHERE rn = n
+      ORDER BY event_type"""),
+    notes = "Holt level+trend recursion, dyadic alpha=beta=1/2, exact integer fold on the tiny daily series")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
     eventsSequencePattern, eventsPaths, eventsMarkov, eventsPercentiles,
     eventsAttributionLinear, eventsAbTest, windowSlidingDistinct, eventsRfm,
     eventsInterpolate, eventsCusum, eventsForecast, eventsIslands,
-    eventsCohortLtv, eventsFunnelWindow, eventsEma, eventsSurvival)
+    eventsCohortLtv, eventsFunnelWindow, eventsEma, eventsSurvival,
+    eventsHolt)
 }
