@@ -686,8 +686,46 @@ object StreamingQueries {
       FROM synth GROUP BY 1 ORDER BY 1"""),
     notes = "custom MicroBatchStream, 5 admission-controlled micro-batches; oracle from range()")
 
+  /** Streaming HOPPING-window counts in append mode (width 6 h, slide 3 h):
+    * each event contributes to two overlapping windows, and only windows
+    * whose END the final watermark passed are emitted. The oracle expands
+    * the hop membership relationally — each event joins to its
+    * width/slide window starts `(⌊ms/slide⌋ − k)·slide` — and applies the
+    * identical end ≤ max(ts) − watermark emission rule, so both the
+    * overlap bookkeeping and the append finalization are in the hash.
+    */
+  val streamSliding = QueryDef(
+    "stream_sliding",
+    (spark, dir) => {
+      val res = runToTable(EventStreams.slidingCounts(streamEvents(spark, dir)),
+        "stream_sliding_sink", OutputMode.Append)
+      res.select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy(col("window_start_ms"), col("event_type"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT epoch_ms(ts) AS ms, event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events),
+      h AS (SELECT MAX(ms) AS maxms FROM ev),
+      wins AS (
+        SELECT ((ms // 10800000) - k.k) * 10800000 AS ws, event_type, vc
+        FROM ev, UNNEST(range(0, 2)) AS k(k)),
+      emitted AS (
+        SELECT ws, event_type, COUNT(*) AS n,
+               CAST(SUM(vc) AS BIGINT) AS value_cents
+        FROM wins, h
+        WHERE ws + 21600000 <= maxms - 3600000
+        GROUP BY ws, event_type)
+      SELECT CAST(ws AS BIGINT) AS window_start_ms, event_type, n,
+             value_cents
+      FROM emitted
+      ORDER BY window_start_ms, event_type"""),
+    notes = "hopping-window append-mode aggregate; overlap expansion + watermark finalization both oracle-checked")
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
     streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMvAgg,
-    streamMarkov, snapshotChanges, streamSynthSource)
+    streamMarkov, snapshotChanges, streamSynthSource, streamSliding)
 }

@@ -38,6 +38,23 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_cents"))
 
+  /** Streaming HOPPING (sliding) window aggregate: width 6 h, slide 3 h —
+    * every event lands in exactly two overlapping windows, so the state
+    * store holds width/slide copies per group and append-mode emission
+    * still waits for each window's END to pass the watermark. The overlap
+    * factor is the knob that trades smoothness for state size at scale
+    * (state rows = groups × width/slide).
+    */
+  def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("value_cents"))
+
   case class Transition(user_id: Long, from_type: String, to_type: String)
 
   /** Last event seen per user — the carry-over state for [[transitions]]. */
