@@ -1551,11 +1551,61 @@ object EventAnalyticsQueries {
       ORDER BY event_type"""),
     notes = "Holt level+trend recursion, dyadic alpha=beta=1/2, exact integer fold on the tiny daily series")
 
+  /** 7-day ROLLING MEDIAN of daily revenue per event type — the robust
+    * rolling baseline (median ignores single-day spikes that wreck a
+    * rolling mean; pairs with [[eventsAnomalyMad]]'s global fence). Exact
+    * by construction: the frame's values are collected per row (≤7 longs),
+    * sorted, and the LOWER NEAREST-RANK element ⌈n/2⌉ is picked — no
+    * interpolation, no float, so both engines agree bit-for-bit (DuckDB's
+    * own median() interpolates on even counts and would NOT hash-match;
+    * the oracle therefore replays the same list_sort selection).
+    *
+    * Scale: the fact collapses to (type, day) first; the window then
+    * carries a ≤7-element array per row over the tiny daily series —
+    * constant state per row, bounded by the frame, not the data.
+    */
+  val eventsRollingMedian = QueryDef(
+    "events_rolling_median",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = (c: Column) => floor(c * 100 + lit(0.5)).cast("long")
+      val daily = load(spark, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          cents(col("value")).as("v"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("v")).as("day_cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("arr", sort_array(collect_list(col("day_cents")).over(w)))
+        .select(col("event_type"), col("day"), col("day_cents"),
+          element_at(col("arr"), ((size(col("arr")) + 1) / 2)
+            .cast("int")).as("median7_cents"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS day_cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      rolled AS (
+        SELECT event_type, day, day_cents,
+               list_sort(list(day_cents) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                 AS arr
+        FROM daily)
+      SELECT event_type, day, day_cents,
+             arr[CAST((len(arr) + 1) // 2 AS INT)] AS median7_cents
+      FROM rolled
+      ORDER BY event_type, day"""),
+    notes = "rolling nearest-rank median over the daily series; exact integer, no interpolation")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
     eventsSequencePattern, eventsPaths, eventsMarkov, eventsPercentiles,
     eventsAttributionLinear, eventsAbTest, windowSlidingDistinct, eventsRfm,
     eventsInterpolate, eventsCusum, eventsForecast, eventsIslands,
     eventsCohortLtv, eventsFunnelWindow, eventsEma, eventsSurvival,
-    eventsHolt)
+    eventsHolt, eventsRollingMedian)
 }

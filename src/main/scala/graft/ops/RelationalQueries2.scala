@@ -733,7 +733,71 @@ object RelationalQueries2 {
       SELECT lbl, COUNT(*) AS n_members FROM l3 GROUP BY lbl ORDER BY lbl"""),
     notes = "3 Pregel supersteps as join+agg; adjacency partitioned once, rounds shuffle only labels")
 
+  /** K-CORE PEELING (k = 3, three fixed rounds): repeatedly drop nodes of
+    * degree < k from the undirected customer↔supplier trade graph — the
+    * standard dense-subgraph / influence-cohort primitive, and a third
+    * iterative-graph shape (with [[graphBfs]]'s frontier and
+    * [[graphPagerankIter]]'s damped recurrence) exercising loop-in-plan.
+    * Nodes from the two key spaces are disambiguated arithmetically
+    * (cust → 2k, supp → 2k+1); each round is one degree aggregate + two
+    * semi-joins of the edge list against the keep set, localCheckpointed so
+    * plans stay bounded. Output: per round, the keep-set size and the
+    * undirected edge count among kept nodes — the peeling trajectory, which
+    * converges when two consecutive rounds match.
+    */
+  val graphKcore = QueryDef(
+    "graph_kcore",
+    (spark, dir) => {
+      val e0 = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      var e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      val rounds = (1 to 3).map { i =>
+        val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 3).select(col("u"))
+        e = e.join(keep, Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .localCheckpoint()
+        keep.agg(count(lit(1)).as("nodes_kept"))
+          .crossJoin(broadcast(
+            e.agg((count(lit(1)) / 2).cast("long").as("edges_und"))))
+          .select(lit(i.toLong).as("iter"), col("nodes_kept"),
+            col("edges_und"))
+      }
+      rounds.reduce(_ unionAll _).orderBy(col("iter"))
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      d0 AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      k1 AS (SELECT u FROM d0 GROUP BY u HAVING COUNT(*) >= 3),
+      d1 AS (SELECT u, v FROM d0
+             WHERE u IN (SELECT u FROM k1) AND v IN (SELECT u FROM k1)),
+      k2 AS (SELECT u FROM d1 GROUP BY u HAVING COUNT(*) >= 3),
+      d2 AS (SELECT u, v FROM d1
+             WHERE u IN (SELECT u FROM k2) AND v IN (SELECT u FROM k2)),
+      k3 AS (SELECT u FROM d2 GROUP BY u HAVING COUNT(*) >= 3),
+      d3 AS (SELECT u, v FROM d2
+             WHERE u IN (SELECT u FROM k3) AND v IN (SELECT u FROM k3))
+      SELECT CAST(1 AS BIGINT) AS iter,
+             (SELECT COUNT(*) FROM k1) AS nodes_kept,
+             (SELECT COUNT(*) // 2 FROM d1) AS edges_und
+      UNION ALL
+      SELECT 2, (SELECT COUNT(*) FROM k2), (SELECT COUNT(*) // 2 FROM d2)
+      UNION ALL
+      SELECT 3, (SELECT COUNT(*) FROM k3), (SELECT COUNT(*) // 2 FROM d3)
+      ORDER BY iter"""),
+    notes = "3 peeling rounds toward the 3-core; degree agg + two semi-joins per round, localCheckpointed")
+
   val all: Seq[QueryDef] = Seq(q13CustDist, joinFullOuter, q15TopSupp,
     q8Share, q20Excess, q21SoleLate, aggSalted, joinSalted, graphPagerank,
-    graphPagerankIter, graphTriangles, graphBfs, joinDivision, graphLabelProp)
+    graphPagerankIter, graphTriangles, graphBfs, joinDivision, graphLabelProp,
+    graphKcore)
 }
