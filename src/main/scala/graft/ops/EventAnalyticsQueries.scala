@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.Tables.load
@@ -1601,11 +1602,91 @@ object EventAnalyticsQueries {
       ORDER BY event_type, day"""),
     notes = "rolling nearest-rank median over the daily series; exact integer, no interpolation")
 
+  /** Autocorrelation of the daily event-count series at lags 1/2/3/7 — the
+    * seasonality probe run before picking a forecast model (lag-7 high =
+    * weekly cycle; lag-1 high = momentum). Exact integer Pearson sums: the
+    * fact collapses to the O(days) daily series first, lead() pairs each day
+    * with its lag-L successor, and per lag the query emits the six BIGINT
+    * sums (n, Σx, Σy, Σxy, Σx², Σy²) plus the correlation in basis points
+    * computed by ONE identical IEEE expression on both sides — exact longs
+    * in, deterministic double out, so the hash compare holds.
+    *
+    * The global lead() window runs on the aggregated ~O(days) series (the
+    * same post-collapse single-partition shape as events_holt/ema — fine at
+    * any SF because days, not rows, bound it). Overflow bound: n·Σx² ≤
+    * days²·max_cnt²; at 150 days this stays in BIGINT up to ~6e7 events/day
+    * (sf0.1 is ~7e3/day) — beyond that, move the sums to DECIMAL(38,0) as
+    * documented for agg_linreg.
+    */
+  val eventsAcf = QueryDef(
+    "events_acf",
+    (spark, dir) => {
+      val daily = load(spark, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("day"))
+      val pairs = daily
+        .select(col("cnt"),
+          lead(col("cnt"), 1).over(w).as("y1"),
+          lead(col("cnt"), 2).over(w).as("y2"),
+          lead(col("cnt"), 3).over(w).as("y3"),
+          lead(col("cnt"), 7).over(w).as("y7"))
+        .selectExpr("cnt",
+          "stack(4, 1L, y1, 2L, y2, 3L, y3, 7L, y7) AS (lag, y)")
+        .filter(col("y").isNotNull)
+      pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cnt")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("cnt") * col("y")).as("sxy"),
+          sum(col("cnt") * col("cnt")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("acf_bp", floor(
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            * 10000 + 0.5).cast("long"))
+        .orderBy(col("lag"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1),
+      led AS (
+        SELECT cnt,
+               LEAD(cnt, 1) OVER w AS y1, LEAD(cnt, 2) OVER w AS y2,
+               LEAD(cnt, 3) OVER w AS y3, LEAD(cnt, 7) OVER w AS y7
+        FROM daily WINDOW w AS (ORDER BY day)),
+      pairs AS (
+        SELECT CAST(1 AS BIGINT) AS lag, cnt, y1 AS y FROM led WHERE y1 IS NOT NULL
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), cnt, y2 FROM led WHERE y2 IS NOT NULL
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), cnt, y3 FROM led WHERE y3 IS NOT NULL
+        UNION ALL
+        SELECT CAST(7 AS BIGINT), cnt, y7 FROM led WHERE y7 IS NOT NULL),
+      sums AS (
+        SELECT lag, COUNT(*) AS n,
+               CAST(SUM(cnt) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(cnt * y) AS BIGINT) AS sxy,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY lag)
+      SELECT lag, n, sx, sy, sxy, sxx, syy,
+             CAST(floor(
+               (CAST(n * sxy - sx * sy AS DOUBLE) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+               * 10000 + 0.5) AS BIGINT) AS acf_bp
+      FROM sums
+      ORDER BY lag"""),
+    notes = "integer-exact ACF sums at lags 1/2/3/7; one IEEE correlation expression both sides")
+
   val all: Seq[QueryDef] = Seq(eventsFunnel, eventsRetention, eventsCalendar,
     eventsGapfill, cdcDiff, cdcMergeApply, eventsZscore, eventsAnomalyMad,
     eventsSequencePattern, eventsPaths, eventsMarkov, eventsPercentiles,
     eventsAttributionLinear, eventsAbTest, windowSlidingDistinct, eventsRfm,
     eventsInterpolate, eventsCusum, eventsForecast, eventsIslands,
     eventsCohortLtv, eventsFunnelWindow, eventsEma, eventsSurvival,
-    eventsHolt, eventsRollingMedian)
+    eventsHolt, eventsRollingMedian, eventsAcf)
 }

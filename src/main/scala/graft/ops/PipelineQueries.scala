@@ -906,9 +906,73 @@ object PipelineQueries {
       ORDER BY ranked.event_type"""),
     notes = "Neyman n_h ~ N_h*sigma_h via exact integer moments; deterministic Knuth-hash selection")
 
+  /** k-anonymity / l-diversity audit — the privacy gate a training-data
+    * release runs before shipping records keyed by quasi-identifiers. The
+    * quasi-identifier grid is (nation, market segment, account-balance
+    * band); the sensitive attribute is the last digit of the balance in
+    * cents (a 10-value stand-in — the driver's customer table carries no
+    * phone/address column). Pass
+    * 1 sizes every equivalence class and counts its distinct sensitive
+    * values (one hash aggregate over the grid — O(classes) output however
+    * large the input); pass 2 rolls the audit up per segment: classes below
+    * k=5, records those classes expose (the re-identification risk mass),
+    * the minimum class size, and classes failing l-diversity (<2 distinct
+    * sensitive values — every member's sensitive value is revealed even
+    * when the class is k-large). Both engines' % keeps the dividend's sign,
+    * so negative balances map to negative digits identically on both sides.
+    *
+    * Scale shape: both aggregates are partial-aggregatable hash aggs; the
+    * second input is O(classes), so the whole audit is one shuffle of the
+    * narrow quasi-identifier projection. countDistinct(cc) rewrites to a
+    * two-phase expand+agg, still map-side combinable on (class, cc).
+    */
+  val pipelineKanonymity = QueryDef(
+    "pipeline_kanonymity",
+    (spark, dir) => {
+      val k = 5
+      val classes = load(spark, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast(LongType).as("bal_band"),
+          (graft.Tables.cents(col("c_acctbal")) % 10).as("cc"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("cc")).as("l_div"))
+      classes.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("class_size") < k, 1L).otherwise(0L))
+            .as("classes_below_k"),
+          sum(when(col("class_size") < k, col("class_size")).otherwise(lit(0L)))
+            .as("records_at_risk"),
+          min(col("class_size")).as("min_class_size"),
+          sum(when(col("l_div") < 2, 1L).otherwise(0L)).as("classes_below_l2"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) % 10))
+                 AS l_div
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment, bal_band)
+      SELECT c_mktsegment, COUNT(*) AS n_classes,
+             CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_k,
+             CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+               AS BIGINT) AS records_at_risk,
+             MIN(class_size) AS min_class_size,
+             CAST(SUM(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_l2
+      FROM classes
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""),
+    notes = "k-anonymity class sizing + l-diversity, rolled up per segment; k=5, l=2")
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
     pipelinePack, pipelineDecontaminate, textRepetition, pipelineRedact,
     sampleTemperature, sampleMixture, pipelineAttrition, pipelineShardBalance,
-    quantilesWeighted, pipelineDatasetCard, sampleEpochs, sampleStratified)
+    quantilesWeighted, pipelineDatasetCard, sampleEpochs, sampleStratified,
+    pipelineKanonymity)
 }

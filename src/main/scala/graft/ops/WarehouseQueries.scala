@@ -536,7 +536,59 @@ object WarehouseQueries {
       ORDER BY user_id"""),
     notes = "valid-time x transaction-time bitemporal AS OF; differing rows = retroactive corrections in (T1, T2]")
 
+  /** Incremental maintenance of a JOIN view — the two-sided delta rule
+    * Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB that an IVM engine applies when
+    * BOTH sides of a 100 TB join view receive inserts. The view here is the
+    * per-(mktsegment, orderstatus) order count/revenue over orders⋈customer;
+    * orders rows with o_orderkey % 13 == 0 and customers with
+    * c_custkey % 11 == 0 play the insert batches. The query materializes the
+    * old-state partial aggregate plus the three delta partial aggregates and
+    * merges them by summing — the oracle aggregates the full join directly,
+    * pinning the delta-join theorem exactly (insert-only deltas; deletes
+    * would subtract with the same shapes).
+    *
+    * Scale shape: in production the A_old⋈B_old term IS the stored MV (never
+    * recomputed — it is in-query here only because the gate has no persisted
+    * state); each refresh costs the three delta joins, every one bounded by
+    * |Δ| times join fan-out, independent of |A| and |B|. The two ΔA terms
+    * reuse one shuffle of ΔA (Spark plans both joins off the same scan), and
+    * the final merge moves only O(groups) partial rows.
+    */
+  val mvIncrementalJoin = QueryDef(
+    "mv_incremental_join",
+    (spark, dir) => {
+      val ord = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("pc"))
+      val cust = load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ordHist = ord.filter(col("o_orderkey") % 13 =!= 0)
+      val ordDelta = ord.filter(col("o_orderkey") % 13 === 0)
+      val custHist = cust.filter(col("c_custkey") % 11 =!= 0)
+      val custDelta = cust.filter(col("c_custkey") % 11 === 0)
+      def partial(o: org.apache.spark.sql.DataFrame,
+                  c: org.apache.spark.sql.DataFrame) =
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("pc")).as("s"))
+      partial(ordHist, custHist)
+        .unionByName(partial(ordDelta, custHist))
+        .unionByName(partial(ordHist, custDelta))
+        .unionByName(partial(ordDelta, custDelta))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(sum(col("n")).as("n_orders"), sum(col("s")).as("total_cents"))
+        .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+    },
+    Some("""
+      SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS total_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderstatus
+      ORDER BY c_mktsegment, o_orderstatus"""),
+    notes = "two-sided delta-join IVM: merged old+delta partials == full recompute")
+
   val all: Seq[QueryDef] = Seq(qualityExpectations, scd2Snapshot, scd2Asof,
     mvIncrementalAgg, reconcileChecksum, intervalSweep, profileColumns,
-    qualityDrift, scd2Bitemporal)
+    qualityDrift, scd2Bitemporal, mvIncrementalJoin)
 }
