@@ -834,7 +834,139 @@ object DedupQueries {
       LIMIT 50"""),
     notes = "Lee-et-al exact substring dedup: duplicated 8-gram islands merged to maximal spans, top-50")
 
+  /** WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken 2003 — the
+    * MOSS algorithm): slide a window of W=4 consecutive 4-token-gram hashes
+    * and keep each window's minimum, rightmost on ties. The guarantee: any
+    * shared run of ≥ W+K−1 tokens between two documents shares at least one
+    * fingerprint, at an expected density of 2/(W+1) — position-robust
+    * document fingerprinting with a proven detection bound, vs
+    * text_fingerprint's whole-doc hash (brittle to any edit) and
+    * dedup_substring_spans' every-gram index (W× heavier).
+    *
+    * The rightmost-argmin rule is evaluated per position p without
+    * materializing windows: p is selected iff SOME full window [p−a, p+b]
+    * (a+b = W−1) has every earlier in-window gram ≥ g[p] (ties lose to the
+    * right) and every later one > g[p] — an OR over the W splits, each two
+    * array_min's over adjacent slices.
+    *
+    * Scale design: gram hashing AND selection are one row-local projection
+    * over codegen'd rolling hashes (higher-order transform/filter — no
+    * per-gram explode of the heavy token stream); only the selected
+    * fingerprints (~0.4 of grams) shuffle, once, for the corpus-wide
+    * shared-fingerprint count — the same O(selected) exchange an index
+    * build would do. Slice starts are clamped to ≥1 because a 0 start
+    * errors in Spark while the bounds guard already kills those splits.
+    */
+  val textWinnowing = QueryDef(
+    "text_winnowing",
+    (spark, dir) => {
+      val M = 100000000000000000L
+      val K = 4 // gram size, tokens
+      val W = 4 // winnowing window, grams
+      val ths = transform(split(col("text"), " "), t => RollingHash(t))
+      val base = load(spark, dir, "documents")
+        .select(col("doc_id"), ths.as("ths"))
+        .filter(size(col("ths")) >= K + W - 1) // at least one full window
+      val gramArr = transform(
+        sequence(lit(0), size(col("ths")) - K),
+        p => aggregate(slice(col("ths"), p + 1, lit(K)), lit(0L),
+          (a, c) => (a * 31 + c) % M))
+      val withG = base.select(col("doc_id"), gramArr.as("g"))
+      val n = size(col("g"))
+      def selected(p: Column): Column = {
+        val gp = element_at(col("g"), p + 1)
+        (0 until W).map { a =>
+          val b = W - 1 - a
+          val bounds = (p >= lit(a)) && (p + lit(b) <= n - 1)
+          val prevOk =
+            if (a == 0) lit(true)
+            else array_min(slice(col("g"), greatest(p - a + 1, lit(1)),
+              lit(a))) >= gp
+          val nextOk =
+            if (b == 0) lit(true)
+            else array_min(slice(col("g"), p + 2, lit(b))) > gp
+          bounds && prevOk && nextOk
+        }.reduce(_ || _)
+      }
+      val fps = transform(
+        filter(sequence(lit(0), n - 1), p => selected(p)),
+        p => element_at(col("g"), p + 1))
+      val perDoc = withG
+        .select(col("doc_id"), n.cast("long").as("n_grams"), fps.as("fps"))
+        .select(col("doc_id"), col("n_grams"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_distinct(col("fps")).as("dfps"))
+      val fpDocs = perDoc.select(col("doc_id"), explode(col("dfps")).as("fp"))
+      val shared = fpDocs.groupBy(col("fp"))
+        .agg(count(lit(1)).as("ndocs")).filter(col("ndocs") >= 2)
+        .select(col("fp"))
+      val sharedPerDoc = fpDocs.join(shared, Seq("fp"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_fp"))
+      perDoc
+        .select(col("doc_id"), col("n_grams"), col("n_fp"),
+          size(col("dfps")).cast("long").as("n_distinct_fp"))
+        .join(sharedPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("n_fp"),
+          col("n_distinct_fp"),
+          coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 tok -> list_reduce(list_prepend(0::BIGINT,
+                   list_transform(list_filter(string_split(tok, ''),
+                     c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % 100000000000000000)) AS ths
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 7),
+      gl AS (
+        SELECT doc_id,
+               list_transform(range(0, len(ths) - 3), p ->
+                 list_reduce(list_prepend(0::BIGINT,
+                   ths[CAST(p + 1 AS INT):CAST(p + 4 AS INT)]),
+                   (a, c) -> (a * 31 + c) % 100000000000000000)) AS g
+        FROM d),
+      pos AS (
+        SELECT doc_id, g, len(g) AS n, CAST(r.p AS BIGINT) AS p,
+               g[CAST(r.p + 1 AS INT)] AS gp
+        FROM gl, UNNEST(range(0, len(g))) AS r(p)),
+      sel AS (
+        SELECT doc_id, p, gp FROM pos
+        WHERE (p + 3 <= n - 1
+               AND list_min(g[CAST(p + 2 AS INT):CAST(p + 4 AS INT)]) > gp)
+           OR (p >= 1 AND p + 2 <= n - 1
+               AND list_min(g[CAST(p AS INT):CAST(p AS INT)]) >= gp
+               AND list_min(g[CAST(p + 2 AS INT):CAST(p + 3 AS INT)]) > gp)
+           OR (p >= 2 AND p + 1 <= n - 1
+               AND list_min(g[CAST(p - 1 AS INT):CAST(p AS INT)]) >= gp
+               AND list_min(g[CAST(p + 2 AS INT):CAST(p + 2 AS INT)]) > gp)
+           OR (p >= 3
+               AND list_min(g[CAST(p - 2 AS INT):CAST(p AS INT)]) >= gp)),
+      per AS (
+        SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_grams FROM pos
+        GROUP BY doc_id),
+      selc AS (
+        SELECT doc_id, COUNT(*) AS n_fp,
+               COUNT(DISTINCT gp) AS n_distinct_fp
+        FROM sel GROUP BY doc_id),
+      fpd AS (SELECT DISTINCT doc_id, gp AS fp FROM sel),
+      shared AS (SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) >= 2),
+      spd AS (
+        SELECT doc_id, COUNT(*) AS n_shared_fp
+        FROM fpd SEMI JOIN shared USING (fp) GROUP BY doc_id)
+      SELECT per.doc_id, n_grams,
+             CAST(COALESCE(selc.n_fp, 0) AS BIGINT) AS n_fp,
+             CAST(COALESCE(selc.n_distinct_fp, 0) AS BIGINT) AS n_distinct_fp,
+             CAST(COALESCE(spd.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+      FROM per
+      LEFT JOIN selc ON per.doc_id = selc.doc_id
+      LEFT JOIN spd ON per.doc_id = spd.doc_id
+      ORDER BY per.doc_id"""),
+    notes = "MOSS robust winnowing (w=4 over 4-token grams): rightmost window minima, row-local selection, shared-fingerprint rollup")
+
   val all: Seq[QueryDef] = Seq(dedupMinhashLsh, dedupSimhash, dedupContainment,
     dedupPrefixFilter, dedupSortedNeighborhood, dedupEval, textCdcChunk,
-    dedupSubstringSpans)
+    dedupSubstringSpans, textWinnowing)
 }
