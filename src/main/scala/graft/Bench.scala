@@ -32,13 +32,21 @@ object Bench {
     // at random on first-touch page provisioning (see BASELINE.md); the min
     // of two warm runs reports engine speed, not whichever query a stall
     // happened to land on.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // A failed query yields None — never a time. Recording time-to-exception
+    // as a result made r7's 76 broken queries "run" in ~0.06 s each and the
+    // headline total IMPROVE; failures are excluded from every total and
+    // reported by name instead, so a red run can never bench faster than a
+    // green one.
+    def timedPass(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
     val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (name, v) => name -> math.min(v, p2(name)) }
+    val failed = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => p1(n).isEmpty || p2(n).isEmpty)
+    val results = p1.collect { case (name, Some(v)) if p2(name).isDefined =>
+      name -> math.min(v, p2(name).get) }.toMap
     // 3-decimal rounding keeps the full per-query line well under the
     // driver's stdout tail window (r1-r3 all had "parsed": null because the
     // ~6 KB full-precision line got its head clipped by that window).
@@ -73,10 +81,21 @@ object Bench {
     // 1700-byte budget (leaving room for sbt's trailing "[success]" line
     // inside the window) instead of a fixed top-10.
     val summaryBudget = 1700
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The summary line only carries failed NAMES while they fit its budget;
+    // failed_count is always present either way.
+    val failedSummary =
+      if (failedJson.length <= 300) s""""failed":$failedJson,""" else ""
     val fixedTail =
       s""","streaming_total":${f3(streamTotal)},"streaming_exec_total":${f3(streamExecTotal)},""" +
       s""""batch_count":${batchRes.size},""" +
-      s""""stream_count":${streamRes.size},"summary":"slowest_first","sf":"$sfDir"}"""
+      s""""stream_count":${streamRes.size},$failedSummary"failed_count":${failed.size},""" +
+      s""""summary":"slowest_first","sf":"$sfDir"}"""
+    // ADVICE r7: the fixed overhead embeds sfDir — if an unusually long path
+    // pushed head+tail alone past the budget the line head could get clipped
+    // by the driver's ~2000-byte stdout tail window; fail fast instead.
+    require(fixedTail.length + 120 <= summaryBudget,
+      s"summary fixed overhead ${fixedTail.length} too close to budget $summaryBudget (sfDir=$sfDir)")
     val head = s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","queries":{"""
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
@@ -90,7 +109,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""streaming_total":${f3(streamTotal)},"streaming_exec_total":${f3(streamExecTotal)},""" +
-      s""""sf":"$sfDir"}"""
+      s""""failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}"""
     // stdout is the driver's parse source, but it is at the mercy of log
     // interleaving/truncation — persist the full line to a file as well
     try java.nio.file.Files.writeString(

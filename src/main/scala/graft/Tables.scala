@@ -2,23 +2,37 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Shared helpers for the query registry. */
 object Tables {
 
   /** Load one driver test table (TESTDATA.md) from an sf dir.
     *
-    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * ([PARQUET_TYPE_ILLEGAL]). We read it as raw ns (legacy long mode) and
-    * rebuild the µs timestamp with integral division — bit-identical to
-    * DuckDB's own ns→µs truncation of the same column.
+    * `events.ts` has shipped as several physical parquet types across
+    * testdata generations, so the load adapts to whatever the file says
+    * rather than hardcoding one era's schema:
+    *
+    *  - TIMESTAMP(NANOS), which Spark 4 refuses ([PARQUET_TYPE_ILLEGAL])
+    *    unless read as raw ns longs (legacy mode): rebuild the µs timestamp
+    *    with integral division — bit-identical to DuckDB's own ns→µs
+    *    truncation of the same column.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    *    TIMESTAMP_NTZ: cast to session-tz TIMESTAMP. The session timezone is
+    *    pinned to UTC everywhere (Verify/Bench/specs), so the cast is a pure
+    *    type rebrand with identical micros — matching DuckDB, which reads
+    *    the same column as plain µs TIMESTAMP natively.
+    *  - TIMESTAMP(MICROS, utc-adjusted) → already TimestampType, pass through.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Exact-cents integerization of a 2-decimal money double.

@@ -25,9 +25,9 @@ import graft.streaming.EventStreams
   */
 object StreamingQueries {
 
-  /** Streaming read of the events table. Same TIMESTAMP(NANOS) handling as
-    * [[graft.Tables.load]]: legacy long ns → rebuilt µs timestamp (one batch
-    * schema sniff; the stream itself reads via the file source).
+  /** Streaming read of the events table. Same schema-adaptive `ts` handling
+    * as [[graft.Tables.load]] (ns-long rebuild / NTZ cast / passthrough; one
+    * batch schema sniff — the stream itself reads via the file source).
     */
   private def streamEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -65,8 +65,14 @@ object StreamingQueries {
       }
     }
     val schema = spark.read.parquet(src.toString).schema
-    spark.readStream.schema(schema).parquet(linkDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(linkDir.toString)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Per-sink micro-batch execution seconds from the last [[runToTable]]

@@ -302,21 +302,21 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    // the events parquet is TIMESTAMP(NANOS): stream it the same way
-    // Tables.load does — legacy ns-as-long + rebuilt µs timestamps
+    // stream the events parquet the same schema-adaptive way Tables.load
+    // reads it: sniff the physical ts type, then ns-long rebuild / NTZ cast
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
     // file-source streams need a directory, not a bare file
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    val stream = schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
     val q = EventStreams.tumblingCounts(stream, watermark = "1 hour", win = "1 day")
       .writeStream.format("memory").queryName("file_stream_out")
       .outputMode(OutputMode.Append).start()
