@@ -24,6 +24,16 @@ object Verify {
     // green). errors.json maps query → exception message so a broken query
     // surfaces as a named failure instead of disappearing.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Fixture-contract canary: if the driver regenerated testdata with new
+    // physical types, emit ONE named root-cause line (and an errors.json
+    // entry) up front instead of leaving dozens of opaque per-query errors
+    // as the only signal. Non-fatal — queries still run; those unaffected
+    // by the drift stay green.
+    val drift = TestdataContract.drift(spark, sfDir)
+    if (drift.nonEmpty) {
+      drift.foreach(d => System.err.println(s"[verify] SCHEMA DRIFT: $d"))
+      errors("__testdata_schema__") = drift.mkString(" | ")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -15,40 +15,13 @@ class TestdataSchemaSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  private val expected: Map[String, Seq[(String, String)]] = Map(
-    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
-    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
-      "n_regionkey" -> "int"),
-    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
-      "c_nationkey" -> "int", "c_acctbal" -> "double",
-      "c_mktsegment" -> "string"),
-    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
-      "s_nationkey" -> "int", "s_acctbal" -> "double"),
-    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
-      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
-      "p_retailprice" -> "double"),
-    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
-      "o_orderstatus" -> "string", "o_totalprice" -> "double",
-      "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"),
-    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
-      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
-      "l_quantity" -> "double", "l_extendedprice" -> "double",
-      "l_discount" -> "double", "l_tax" -> "double",
-      "l_returnflag" -> "string", "l_linestatus" -> "string",
-      "l_shipdate" -> "timestamp_ntz"),
-    // ts is the adapted type: whatever the file ships, Tables.load must
-    // surface a session-tz TIMESTAMP here (the type every events query,
-    // window frame, and watermark is written against).
-    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
-      "user_id" -> "bigint", "event_type" -> "string", "value" -> "double",
-      "props" -> "string"),
-    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
-      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
-    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
-      "label" -> "int")
-  )
-
-  for ((table, cols) <- expected.toSeq.sortBy(_._1)) {
+  // The contract itself lives in main (graft.TestdataContract) so Verify
+  // can flag drift during the driver's own run; this spec asserts it
+  // per-table with a readable diff. Note events.ts is the ADAPTED type:
+  // whatever the file ships, Tables.load must surface a session-tz
+  // TIMESTAMP (the type every events query, window frame, and watermark is
+  // written against).
+  for ((table, cols) <- TestdataContract.expected.toSeq.sortBy(_._1)) {
     test(s"testdata contract: $table") {
       val got = Tables.load(spark, sfDir, table).schema
         .map(f => f.name -> f.dataType.simpleString)
