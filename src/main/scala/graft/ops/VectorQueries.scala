@@ -722,24 +722,44 @@ object VectorQueries {
   /** Upper-triangle int8 Gram matrix as (i, j, gram) rows — shared by
     * [[vectorCovariance]] (which pins it against the oracle) and
     * [[vectorPowerIteration]] (which iterates on it).
+    *
+    * Shape settled BY MEASUREMENT (r8, `tools/GramAB` A/B, cell-exact on
+    * both corpora): per-vector product ARRAYS folded by a typed Long-sum
+    * Aggregator beat the previous explode+groupBy (2 080 (i,j,p) rows per
+    * vector through a hash aggregate) 2.2× — and the input repartition
+    * buys another 2.4× because the driver fixture is ONE parquet file, so
+    * without it the whole pair-product explode ran in a single task
+    * (2.25 s → 0.44 s combined at sf0.1; same win at 10×). The shuffle is
+    * `numPartitions × d(d+1)/2` longs regardless of corpus size — on a
+    * real cluster the scan arrives pre-split and the repartition of raw
+    * (id, 64-float) rows is noise next to the d² fold it parallelizes.
+    * Long addition is associative/commutative, so partial/merge order
+    * cannot change a cell (the float-exactness rules in `Tables` don't
+    * apply — everything here is already exact BIGINT).
     */
   private def gramUpper(spark: org.apache.spark.sql.SparkSession,
       dir: String) = {
-    val q = vecs(spark, dir)
+    import graft.functions.ArraySumAggregator
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val q = vecs(spark, dir).repartition(nPart)
       .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
       .filter(col("maxabs") > 0)
       .withColumn("q", transform(col("v"),
         x => floor(x / col("maxabs") * 127 + lit(0.5)).cast("long")))
-    q.select(explode(expr(
+    val summed = q.select(expr(
         """flatten(transform(q, (x, i) ->
-             transform(slice(q, i + 1, 64 - i), (y, k) ->
-               named_struct(
-                 'i', CAST(i + 1 AS BIGINT),
-                 'j', CAST(i + k + 1 AS BIGINT),
-                 'p', x * y))))""")).as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("p")).as("gram"))
+             transform(slice(q, i + 1, 64 - i), y -> x * y)))""").as("f"))
+      .agg(udaf(ArraySumAggregator).apply(col("f")).as("s"))
+    // flat upper-triangle position -> (i, j), same (i asc, j asc) order the
+    // lazy pair emission produces; closed-form pos (rows before i sum to
+    // 65(i-1) - i(i-1)/2), 2 080 rows, broadcast back onto the sums
+    val mapping = spark.range(1, 65).select(col("id").as("i"))
+      .select(col("i"), explode(expr("sequence(i, 64)")).as("j"))
+      .withColumn("pos",
+        expr("65 * (i - 1) - i * (i - 1) div 2 + (j - i)").cast("int"))
+    summed.select(posexplode(col("s")).as(Seq("pos", "gram")))
+      .join(broadcast(mapping), Seq("pos"))
+      .select(col("i"), col("j"), col("gram"))
   }
 
   /** The upper-triangle Gram CTE as DuckDB SQL, shared by both oracles. */
@@ -796,7 +816,9 @@ object VectorQueries {
     var v = spark.range(1, 65)
       .select(col("id").as("j"), lit(10000L).as("vval"))
     for (_ <- 1 to 3) {
-      val w = g.join(v, Seq("j"))
+      // v is d rows — broadcast it so each matvec round is a map-side hash
+      // join + one keyed sum instead of shuffling the d²-row Gram per round
+      val w = g.join(broadcast(v), Seq("j"))
         .groupBy(col("i")).agg(sum(col("gram") * col("vval")).as("w"))
       val m = w.agg(max(abs(col("w"))).as("m"))
       v = w.crossJoin(broadcast(m))
