@@ -70,9 +70,14 @@ object DedupQueries {
     * would pass n=3..5.
     */
   def minhashSignatures(docs: DataFrame, shingleN: Int = 1): DataFrame = {
+    // repartition first: the 64 permutation mins per exploded token run in
+    // the MAP-side partial aggregate, i.e. inside the scan task — and the
+    // driver fixtures are single-row-group parquet (one scan task), so
+    // without this the whole signature build is single-threaded (r8)
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
     // project the token array before any lambda references it — expressions
     // embedded in transform() bodies re-evaluate per element
-    val tokenized = docs.select(col("doc_id"), col("lang"),
+    val tokenized = docs.repartition(nPart).select(col("doc_id"), col("lang"),
       split(col("text"), " ").as("toks"))
     val units =
       if (shingleN <= 1) array_distinct(col("toks"))
@@ -561,7 +566,10 @@ object DedupQueries {
   val dedupEval = QueryDef(
     "dedup_eval",
     (spark, dir) => {
+      // repartition the sample once: both the ground-truth explode and the
+      // signature build below are row-local-heavy off a one-task scan (r8)
       val sub = load(spark, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .repartition(spark.sessionState.conf.numShufflePartitions)
       // exact ground truth: token-set Jaccard >= 0.70 via inverted-index join
       val toks = sub.select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -772,7 +780,12 @@ object DedupQueries {
       import org.apache.spark.sql.expressions.Window
       val M = 100000000000000000L
       val ths = transform(split(col("text"), " "), t => RollingHash(t))
+      // repartition BEFORE the token-hash/gram folds: the driver fixture is
+      // one parquet file (one scan task), and this plan evaluates the
+      // row-local gram build on both branches below — parallelize it
+      // (r8: 2.26 s → sub-second at sf0.1, output unchanged)
       val base = load(spark, dir, "documents")
+        .repartition(spark.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"), ths.as("ths"))
         .filter(size(col("ths")) >= 8)
       val gramArr = transform(

@@ -156,17 +156,28 @@ object MultimodalQueries {
   val multimodalPhash = QueryDef(
     "multimodal_phash",
     (spark, dir) => {
+      // Perf shape (r8, measured): split the 512-byte prefix into a
+      // char-code array ONCE per row, then block sums are slice-aggregates
+      // over it — the previous per-position ascii(substring(text, i, 1))
+      // rescanned the string per character (O(prefix²) per row). The
+      // repartition spreads the row-local work across cores: the driver
+      // fixture is one parquet file, i.e. one scan task.
+      val nPart = spark.sessionState.conf.numShufflePartitions
       graft.Tables.load(spark, dir, "documents")
+        .repartition(nPart)
         .select(col("doc_id"), col("text"),
           least(length(col("text")), lit(512)).cast("long").as("n"))
+        .withColumn("cs", expr(
+          """transform(split(substring(text, 1, 512), ''),
+               c -> CAST(ascii(c) AS BIGINT))"""))
         .withColumn("blocks", expr(
           """transform(sequence(0L, 31L), b -> named_struct(
                'b', b,
                'len', ((b + 1) * n) div 32 - ((b * n) div 32),
                's', CASE WHEN ((b + 1) * n) div 32 >= (b * n) div 32 + 1 THEN
                       aggregate(
-                        transform(sequence((b * n) div 32 + 1, ((b + 1) * n) div 32),
-                          i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)),
+                        slice(cs, CAST((b * n) div 32 + 1 AS INT),
+                          CAST(((b + 1) * n) div 32 - (b * n) div 32 AS INT)),
                         0L, (a, x) -> a + x)
                     ELSE 0L END))"""))
         .withColumn("total", expr("aggregate(blocks, 0L, (a, x) -> a + x.s)"))
