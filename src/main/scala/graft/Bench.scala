@@ -86,16 +86,20 @@ object Bench {
     // failed_count is always present either way.
     val failedSummary =
       if (failedJson.length <= 300) s""""failed":$failedJson,""" else ""
-    val fixedTail =
+    def tailWith(sf: String) =
       s""","streaming_total":${f3(streamTotal)},"streaming_exec_total":${f3(streamExecTotal)},""" +
       s""""batch_count":${batchRes.size},""" +
       s""""stream_count":${streamRes.size},$failedSummary"failed_count":${failed.size},""" +
-      s""""summary":"slowest_first","sf":"$sfDir"}"""
-    // ADVICE r7: the fixed overhead embeds sfDir — if an unusually long path
-    // pushed head+tail alone past the budget the line head could get clipped
-    // by the driver's ~2000-byte stdout tail window; fail fast instead.
-    require(fixedTail.length + 120 <= summaryBudget,
-      s"summary fixed overhead ${fixedTail.length} too close to budget $summaryBudget (sfDir=$sfDir)")
+      s""""summary":"slowest_first","sf":"$sf"}"""
+    // ADVICE r7: the fixed overhead embeds sfDir — an unusually long path
+    // could push head+tail alone past the budget and get the summary's head
+    // clipped by the driver's ~2000-byte stdout tail window. Degrade, never
+    // crash (a crash here would lose the whole bench artifact): drop the sf
+    // path from the SUMMARY line only (the full line + file still carry it).
+    val fixedTail = {
+      val full = tailWith(sfDir)
+      if (full.length + 120 <= summaryBudget) full else tailWith("<omitted>")
+    }
     val head = s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","queries":{"""
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
