@@ -59,7 +59,9 @@ object TestdataContract {
       got match {
         case Right(g) if g == cols => Nil
         case Right(g) =>
-          val diffs = cols.zipAll(g, ("<missing>", ""), ("<extra>", ""))
+          // zipAll pads: 1st pad fills `cols` (expected) when ACTUAL has extra
+          // columns; 2nd pad fills `g` (actual) when a column is MISSING.
+          val diffs = cols.zipAll(g, ("<none-extra-in-actual>", ""), ("<missing>", ""))
             .collect { case (e, a) if e != a => s"expected ${e._1}:${e._2}, got ${a._1}:${a._2}" }
           Seq(s"$table: ${diffs.mkString("; ")}")
         case Left(msg) => Seq(s"$table: unreadable (${Option(msg).getOrElse("?").linesIterator.next()})")

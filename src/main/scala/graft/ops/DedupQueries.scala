@@ -69,15 +69,19 @@ object DedupQueries {
     * is what actually surfaces near-duplicates here; real prose pipelines
     * would pass n=3..5.
     */
-  def minhashSignatures(docs: DataFrame, shingleN: Int = 1): DataFrame = {
+  def minhashSignatures(docs: DataFrame, shingleN: Int = 1,
+      repartitionFirst: Boolean = true): DataFrame = {
     // repartition first: the 64 permutation mins per exploded token run in
     // the MAP-side partial aggregate, i.e. inside the scan task — and the
     // driver fixtures are single-row-group parquet (one scan task), so
-    // without this the whole signature build is single-threaded (r8)
+    // without this the whole signature build is single-threaded (r8).
+    // Callers that already spread their input pass repartitionFirst=false
+    // to avoid a second full shuffle of the corpus.
     val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = if (repartitionFirst) docs.repartition(nPart) else docs
     // project the token array before any lambda references it — expressions
     // embedded in transform() bodies re-evaluate per element
-    val tokenized = docs.repartition(nPart).select(col("doc_id"), col("lang"),
+    val tokenized = spread.select(col("doc_id"), col("lang"),
       split(col("text"), " ").as("toks"))
     val units =
       if (shingleN <= 1) array_distinct(col("toks"))
@@ -584,8 +588,9 @@ object DedupQueries {
         .filter(col("inter") * 10000 >=
           lit(7000) * (col("na") + col("nb") - col("inter")))
         .select(col("a_id"), col("b_id")).withColumn("is_true", lit(1L))
-      // production candidate set: same banding as dedup_minhash_lsh
-      val sigs = minhashSignatures(sub).cache()
+      // production candidate set: same banding as dedup_minhash_lsh;
+      // sub is already repartitioned above — don't reshuffle it
+      val sigs = minhashSignatures(sub, repartitionFirst = false).cache()
       val rows = NumPerms / MinhashBands
       val bands = sigs.select(col("doc_id"), col("lang"), explode(array(
         (0 until MinhashBands).map { b =>

@@ -1,32 +1,31 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Throwaway A/B: Gram-matrix build via explode+hashAgg (current
-  * `VectorQueries.gramUpper` shape) vs a typed array-sum Aggregator
-  * (2 000 array rows instead of 4.16 M exploded rows). Measurement decides
-  * whether the Aggregator replaces the explode — see the r8
-  * `corpus_overlap_matrix` lesson: object aggregation has beaten codegen'd
-  * shapes exactly never so far.
+import graft.functions.ArraySumAggregator
+
+/** A/B: Gram-matrix build via explode+hashAgg (the pre-r8
+  * `VectorQueries.gramUpper` shape) vs the typed array-sum Aggregator
+  * (2 000 array rows instead of 4.16 M exploded rows) that now ships.
+  * Measurement decided: the Aggregator shape won 2.2× (5× with the scan
+  * repartition) and replaced the explode in r8.
+  *
+  * Uses the SAME `graft.functions.ArraySumAggregator` and the same
+  * closed-form pos→(i,j) mapping as the shipped `gramUpper`, so the "new"
+  * arm here stays the shape the registry actually runs — re-run this main
+  * whenever that shape is touched.
   */
 object GramAB {
 
-  object VecSum extends Aggregator[Array[Long], Array[Long], Array[Long]] {
-    def zero: Array[Long] = Array.empty[Long]
-    def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
-      if (b.isEmpty) a.clone
-      else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
-    def merge(x: Array[Long], y: Array[Long]): Array[Long] =
-      if (x.isEmpty) y else if (y.isEmpty) x
-      else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x }
-    def finish(r: Array[Long]): Array[Long] = r
-    def bufferEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-  }
+  /** Closed-form upper-triangle pos→(i,j) mapping, identical to
+    * `VectorQueries.gramUpper`'s (rows before i sum to 65(i-1) - i(i-1)/2).
+    */
+  private def posMapping(spark: SparkSession) =
+    spark.range(1, 65).select(col("id").as("i"))
+      .select(col("i"), explode(expr("sequence(i, 64)")).as("j"))
+      .withColumn("pos",
+        expr("65 * (i - 1) - i * (i - 1) div 2 + (j - i)").cast("int"))
 
   private def qcol(df: DataFrame): DataFrame = df
     .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
@@ -57,35 +56,19 @@ object GramAB {
       .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("gram"))
 
-    def gramNew(): DataFrame = {
-      val flat = qcol(vecs).select(expr(
+    def gramAgg(src: DataFrame): DataFrame = {
+      val flat = qcol(src).select(expr(
         """flatten(transform(q, (x, i) ->
              transform(slice(q, i + 1, 64 - i), y -> x * y)))""").as("f"))
       val summed = flat.as[Array[Long]].toDF("f")
-        .agg(udaf(VecSum).apply(col("f")).as("s"))
-      val mapping = spark.range(1, 65).select(col("id").as("i"))
-        .select(col("i"), explode(expr("sequence(i, 64)")).as("j"))
-        .withColumn("pos", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("i"), col("j"))) - 1)
+        .agg(udaf(ArraySumAggregator).apply(col("f")).as("s"))
       summed.select(posexplode(col("s")).as(Seq("pos", "gram")))
-        .join(broadcast(mapping), Seq("pos"))
+        .join(broadcast(posMapping(spark)), Seq("pos"))
         .select(col("i"), col("j"), col("gram"))
     }
 
-    def gramNewPar(): DataFrame = {
-      val flat = qcol(vecs.repartition(cpus.toInt)).select(expr(
-        """flatten(transform(q, (x, i) ->
-             transform(slice(q, i + 1, 64 - i), y -> x * y)))""").as("f"))
-      val summed = flat.as[Array[Long]].toDF("f")
-        .agg(udaf(VecSum).apply(col("f")).as("s"))
-      val mapping = spark.range(1, 65).select(col("id").as("i"))
-        .select(col("i"), explode(expr("sequence(i, 64)")).as("j"))
-        .withColumn("pos", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("i"), col("j"))) - 1)
-      summed.select(posexplode(col("s")).as(Seq("pos", "gram")))
-        .join(broadcast(mapping), Seq("pos"))
-        .select(col("i"), col("j"), col("gram"))
-    }
+    def gramNew(): DataFrame = gramAgg(vecs)
+    def gramNewPar(): DataFrame = gramAgg(vecs.repartition(cpus.toInt))
 
     val a = gramOld().orderBy("i", "j").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
