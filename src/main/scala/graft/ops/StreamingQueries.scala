@@ -29,7 +29,7 @@ object StreamingQueries {
     * as [[graft.Tables.load]] (ns-long rebuild / NTZ cast / passthrough; one
     * batch schema sniff — the stream itself reads via the file source).
     */
-  private def streamEvents(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def streamEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source requires a DIRECTORY (basePath); the test
     // tables are single parquet files, so expose the file through a
