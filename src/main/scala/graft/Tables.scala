@@ -35,6 +35,21 @@ object Tables {
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Repartition to the shuffle-partition count ONLY when the plan's
+    * current parallelism is materially below it. The driver fixtures are
+    * single-file single-row-group parquet — ONE scan task — so row-local-
+    * heavy compute placed before the first exchange silently runs
+    * single-threaded (the r8/r9 single-task-audit trap). On a real cluster
+    * the same scan arrives in thousands of splits and this is a NO-OP —
+    * which is the point: the unconditional-repartition alternative would
+    * reshuffle the whole corpus at 100 TB to fix a local-fixture artifact.
+    * `df.rdd.getNumPartitions` only plans (no job runs).
+    */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 < n) df.repartition(n) else df
+  }
+
   /** Exact-cents integerization of a 2-decimal money double.
     *
     * Cross-engine float determinism (the reason this exists): summing doubles

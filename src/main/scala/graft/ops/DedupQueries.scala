@@ -77,8 +77,8 @@ object DedupQueries {
     // without this the whole signature build is single-threaded (r8).
     // Callers that already spread their input pass repartitionFirst=false
     // to avoid a second full shuffle of the corpus.
-    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val spread = if (repartitionFirst) docs.repartition(nPart) else docs
+    val spread =
+      if (repartitionFirst) graft.Tables.spreadIfNarrow(docs) else docs
     // project the token array before any lambda references it — expressions
     // embedded in transform() bodies re-evaluate per element
     val tokenized = spread.select(col("doc_id"), col("lang"),
@@ -572,8 +572,8 @@ object DedupQueries {
     (spark, dir) => {
       // repartition the sample once: both the ground-truth explode and the
       // signature build below are row-local-heavy off a one-task scan (r8)
-      val sub = load(spark, dir, "documents").filter(col("doc_id") % 5 === 0)
-        .repartition(spark.sessionState.conf.numShufflePartitions)
+      val sub = graft.Tables.spreadIfNarrow(
+        load(spark, dir, "documents").filter(col("doc_id") % 5 === 0))
       // exact ground truth: token-set Jaccard >= 0.70 via inverted-index join
       val toks = sub.select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -785,12 +785,12 @@ object DedupQueries {
       import org.apache.spark.sql.expressions.Window
       val M = 100000000000000000L
       val ths = transform(split(col("text"), " "), t => RollingHash(t))
-      // repartition BEFORE the token-hash/gram folds: the driver fixture is
+      // spread BEFORE the token-hash/gram folds: the driver fixture is
       // one parquet file (one scan task), and this plan evaluates the
       // row-local gram build on both branches below — parallelize it
-      // (r8: 2.26 s → sub-second at sf0.1, output unchanged)
-      val base = load(spark, dir, "documents")
-        .repartition(spark.sessionState.conf.numShufflePartitions)
+      // (r8: 2.26 s → sub-second at sf0.1, output unchanged; no-op on a
+      // pre-split cluster scan)
+      val base = graft.Tables.spreadIfNarrow(load(spark, dir, "documents"))
         .select(col("doc_id"), ths.as("ths"))
         .filter(size(col("ths")) >= 8)
       val gramArr = transform(

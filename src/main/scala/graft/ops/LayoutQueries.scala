@@ -185,8 +185,13 @@ object LayoutQueries {
     "layout_dpp",
     (spark, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+      // repartition on the partition column before the write: one task per
+      // day directory (and one file per partition — the layout a real fact
+      // table wants) instead of the single scan task writing all 30 dirs
+      // (r9 single-task audit: 0.69 s stage)
       load(spark, dir, "events")
         .withColumn("day", to_date(col("ts")))
+        .repartition(col("day"))
         .write.mode("overwrite").partitionBy("day").parquet(tmp)
       val fact = spark.read.parquet(tmp)
       val dim = load(spark, dir, "events")
@@ -234,12 +239,18 @@ object LayoutQueries {
       val oTab = s"graft_orders_b_$tag"
       val lTab = s"graft_lineitem_b_$tag"
       val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+      // repartition on the bucket key (same Murmur3 hash as bucketBy) so
+      // the 8 bucket files are written by 8 parallel tasks — one bucket per
+      // task, one file per bucket — instead of the single scan task writing
+      // all 8 from one thread (r9 single-task audit: 0.30 s stage)
       load(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey"))
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/$oTab").mode("overwrite").saveAsTable(oTab)
       load(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"))
+        .repartition(8, col("l_orderkey"))
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/$lTab").mode("overwrite").saveAsTable(lTab)
       bucketedJoin(spark, oTab, lTab)

@@ -160,11 +160,10 @@ object MultimodalQueries {
       // char-code array ONCE per row, then block sums are slice-aggregates
       // over it — the previous per-position ascii(substring(text, i, 1))
       // rescanned the string per character (O(prefix²) per row). The
-      // repartition spreads the row-local work across cores: the driver
-      // fixture is one parquet file, i.e. one scan task.
-      val nPart = spark.sessionState.conf.numShufflePartitions
-      graft.Tables.load(spark, dir, "documents")
-        .repartition(nPart)
+      // spread widens the row-local work across cores: the driver
+      // fixture is one parquet file, i.e. one scan task (no-op on a
+      // pre-split cluster scan).
+      graft.Tables.spreadIfNarrow(graft.Tables.load(spark, dir, "documents"))
         .select(col("doc_id"), col("text"),
           least(length(col("text")), lit(512)).cast("long").as("n"))
         .withColumn("cs", expr(

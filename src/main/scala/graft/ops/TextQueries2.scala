@@ -234,7 +234,10 @@ object TextQueries2 {
     "text_ngrams",
     (spark, dir) => {
       import graft.functions.NGrams
-      val grams = load(spark, dir, "documents")
+      // spread first: the trigram Generate otherwise runs inside the
+      // one-task single-file scan (r9 single-task audit: 0.34 s stage;
+      // A/B 0.78 -> 0.66 s). No-op on a pre-split cluster scan.
+      val grams = graft.Tables.spreadIfNarrow(load(spark, dir, "documents"))
         .select(col("lang"), NGrams(col("text"), 3).as("ngram"))
       val counts = grams.groupBy(col("lang"), col("ngram"))
         .agg(count(lit(1)).as("cnt"))
@@ -436,6 +439,10 @@ object TextQueries2 {
   val textBpeStep = QueryDef(
     "text_bpe_step",
     (spark, dir) => {
+      // NOT repartitioned before tokenize, by measurement (r9 A/B,
+      // tools/Repeat at sf0.1: 0.40 s as-is vs 0.51 s with a pre-explode
+      // repartition): the word-frequency collapse's map-side combine makes
+      // the scan-task tokenize cheaper than shuffling the raw text.
       val wf = load(spark, dir, "documents")
         .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
         .filter(length(col("w")) >= 2)
@@ -491,7 +498,10 @@ object TextQueries2 {
     "corpus_overlap_matrix",
     (spark, dir) => {
       import graft.functions.NGrams
-      val sh = load(spark, dir, "documents")
+      // spread first: the 5-gram Generate otherwise runs inside the
+      // one-task single-file scan (r9 single-task audit: 0.43 s stage;
+      // A/B 1.12 -> 1.06 s). No-op on a pre-split cluster scan.
+      val sh = graft.Tables.spreadIfNarrow(load(spark, dir, "documents"))
         .select(col("source"), NGrams(col("text"), 5).as("sh"))
         .distinct()
       val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("nsh"))

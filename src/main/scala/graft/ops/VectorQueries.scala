@@ -740,8 +740,7 @@ object VectorQueries {
   private def gramUpper(spark: org.apache.spark.sql.SparkSession,
       dir: String) = {
     import graft.functions.ArraySumAggregator
-    val nPart = spark.sessionState.conf.numShufflePartitions
-    val q = vecs(spark, dir).repartition(nPart)
+    val q = graft.Tables.spreadIfNarrow(vecs(spark, dir))
       .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
       .filter(col("maxabs") > 0)
       .withColumn("q", transform(col("v"),
@@ -877,7 +876,10 @@ object VectorQueries {
         .agg(sort_array(collect_list(struct(col("j"), col("vval"))))
           .as("vs"))
         .select(transform(col("vs"), s => s.getField("vval")).as("varr"))
-      val q = vecs(spark, dir)
+      // spread the apply pass: quantize + zip_with dot otherwise run
+      // inside the one-task single-file scan (r9 single-task audit: 0.40 s;
+      // A/B 1.61 -> 1.52 s). No-op on a pre-split cluster scan.
+      val q = graft.Tables.spreadIfNarrow(vecs(spark, dir))
         .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
         .filter(col("maxabs") > 0)
         .withColumn("q", transform(col("v"),
