@@ -335,6 +335,112 @@ object RankingQueries {
       ORDER BY df DESC, tok
       LIMIT 20"""))
 
+  /** Model-score quality filtering — the fastText/DCLM-style linear
+    * classifier pass every production LLM-curation pipeline runs (score
+    * each document with a frozen model, keep above threshold, audit the
+    * score distribution). The heuristic `text_quality` gates on surface
+    * stats; this is the learned-model shape.
+    *
+    * The "model" is a 64-entry integer-bp weight vector over hashed token
+    * features (the `text_hash_embed` bucketing: rolling-hash mod 64). The
+    * weights here are a frozen deterministic stand-in — derived from the
+    * bucket id so the oracle can rebuild them — because nothing in the
+    * plumbing depends on where the numbers came from: swap the `range(64)`
+    * for a real trained weight table and every other line stands. A doc's
+    * score is the exact-integer mean feature weight (fastText's
+    * average-of-embeddings with a linear head, collapsed to 1 dimension).
+    *
+    * Scale design, the part that matters at 100 TB:
+    *  - the corpus is touched by ONE explode → broadcast-join(weights) →
+    *    doc-keyed aggregate pass; the weight table is O(buckets), always
+    *    broadcast, so scoring never shuffles anything corpus-sized except
+    *    the per-doc partial sums (map-side combined);
+    *  - the decile boundaries come from the score HISTOGRAM: scores are
+    *    integers in [0, 2000], so the rank window runs over ≤2001 rows
+    *    regardless of corpus size — never a global sort of the corpus.
+    *    Each histogram row's decile is `(docs_below · 10) div n_docs`;
+    *  - the keep/drop audit (threshold 1000 bp = the weight midpoint) is
+    *    a rollup of the deciled histogram — docs AND token counts, so the
+    *    attrition report shows both document and token survival.
+    * Everything is exact BIGINT end-to-end; the DuckDB oracle rebuilds
+    * weights, scores, deciles, and rollup from the same formulas.
+    */
+  val textQualityScore = QueryDef(
+    "text_quality_score",
+    (spark, dir) => {
+      import graft.functions.RollingHash
+      val weights = spark.range(64).select(col("id").as("b"),
+        expr("((id + 7) * 2654435761) % 1000003 % 2001").as("w_bp"))
+      val scored = load(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), (RollingHash(col("tok")) % 1048573 % 64).as("b"))
+        .join(broadcast(weights), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("w_bp")).as("sum_w"))
+        .select(col("doc_id"), col("n_toks"),
+          expr("sum_w div n_toks").as("score_bp"))
+      val hist = scored.groupBy(col("score_bp"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_toks")).as("nt"))
+      // both the running count and the total come from ONE window over the
+      // histogram (≤2001 rows) — a separate total aggregate would re-run
+      // the whole corpus pass as a second plan branch
+      val wOrd = Window.orderBy(col("score_bp"))
+      val deciled = hist
+        .withColumn("c_lt", coalesce(sum(col("nd")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_docs", sum(col("nd")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("score_bp"), col("nd"), col("nt"),
+          expr("(c_lt * 10) div n_docs").as("decile"))
+      deciled
+        .groupBy(col("decile"), (col("score_bp") >= 1000).as("keep"))
+        .agg(sum(col("nd")).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          min(col("score_bp")).as("min_score_bp"),
+          max(col("score_bp")).as("max_score_bp"))
+        .orderBy(col("decile"), col("keep"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      bk AS (
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+                                  c -> CAST(unicode(c) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 100000000000000000) % 1048573 % 64 AS b
+        FROM toks),
+      w AS (SELECT CAST(t.i AS BIGINT) AS b,
+                   ((t.i + 7) * 2654435761) % 1000003 % 2001 AS w_bp
+            FROM UNNEST(range(0, 64)) AS t(i)),
+      scored AS (
+        SELECT doc_id, COUNT(*) AS n_toks,
+               CAST(SUM(w_bp) // COUNT(*) AS BIGINT) AS score_bp
+        FROM bk JOIN w USING (b)
+        GROUP BY doc_id),
+      hist AS (
+        SELECT score_bp, COUNT(*) AS nd, CAST(SUM(n_toks) AS BIGINT) AS nt
+        FROM scored GROUP BY score_bp),
+      cum AS (
+        SELECT score_bp, nd, nt,
+               COALESCE(SUM(nd) OVER (ORDER BY score_bp
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt,
+               SUM(nd) OVER () AS n_docs
+        FROM hist),
+      dec AS (
+        SELECT score_bp, nd, nt,
+               CAST((c_lt * 10) // n_docs AS BIGINT) AS decile
+        FROM cum)
+      SELECT decile, score_bp >= 1000 AS keep,
+             CAST(SUM(nd) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             MIN(score_bp) AS min_score_bp,
+             MAX(score_bp) AS max_score_bp
+      FROM dec
+      GROUP BY decile, keep
+      ORDER BY decile, keep"""),
+    notes = "linear-classifier quality scoring: broadcast weight vector, one corpus pass, histogram-bounded deciles, keep/drop audit")
+
   val all: Seq[QueryDef] = Seq(textTfidf, textBm25, textHashEmbed, textKeywords,
-    topkSketch, textPostings)
+    topkSketch, textPostings, textQualityScore)
 }
