@@ -718,7 +718,137 @@ object TextQueries2 {
       ORDER BY freq DESC, a, b LIMIT 20"""),
     notes = "full BPE iteration: top merge applied greedily (parity-in-island windows), new pair table out")
 
+  /** Gopher-style rule gate (Rae et al. 2021 §A1.1): the classic
+    * pre-training quality filter as four independent pass/fail rules per
+    * document — mean word length in [3,10], ≥80% of words contain an
+    * alphabetic character, ≥2 distinct required stop words present, word
+    * count in [50,100k] — reported as per-language fail counts per rule
+    * plus the docs surviving all four. Every threshold is an integer
+    * cross-multiplication (`3·n_tok ≤ n_nonspace`, `5·n_alpha ≥ 4·n_tok`),
+    * so no float boundary can flip a rule cross-engine. The required-word
+    * list is adapted to the fixture's 31-word vocabulary (only `the`/`a`
+    * of Gopher's originals occur); the ≥2-distinct semantics are Gopher's.
+    *
+    * Scale: one narrow codegen'd pass over the corpus (split + two
+    * higher-order filters, all row-local) into a 5-key hash agg — no wide
+    * shuffle, linear to 100 TB.
+    */
+  val textGopherRules = QueryDef(
+    "text_gopher_rules",
+    (spark, dir) => {
+      val toks = split(col("text"), " ")
+      val reqWords = Seq("the", "a", "and", "of", "in", "to")
+      val m = load(spark, dir, "documents")
+        .select(col("lang"),
+          size(toks).cast("long").as("n_tok"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace"),
+          size(filter(toks, w => w.rlike("[a-z]"))).cast("long").as("n_alpha"),
+          size(array_intersect(array_distinct(toks),
+            array(reqWords.map(lit): _*))).cast("long").as("n_reqstop"))
+        .select(col("lang"),
+          (lit(3) * col("n_tok") <= col("n_nonspace") &&
+            col("n_nonspace") <= lit(10) * col("n_tok")).as("p_wordlen"),
+          (lit(5) * col("n_alpha") >= lit(4) * col("n_tok")).as("p_alpha"),
+          (col("n_reqstop") >= 2).as("p_stop"),
+          col("n_tok").between(50, 100000).as("p_count"))
+      m.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(!col("p_wordlen"), 1)).as("fail_wordlen"),
+          count(when(!col("p_alpha"), 1)).as("fail_alpha"),
+          count(when(!col("p_stop"), 1)).as("fail_stop"),
+          count(when(!col("p_count"), 1)).as("fail_count"),
+          count(when(col("p_wordlen") && col("p_alpha") && col("p_stop") &&
+            col("p_count"), 1)).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT lang,
+               string_split(text, ' ') AS t,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+        FROM documents),
+      m AS (
+        SELECT lang, n_nonspace,
+               CAST(len(t) AS BIGINT) AS n_tok,
+               CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+               CAST(len(list_intersect(list_distinct(t),
+                 ['the','a','and','of','in','to'])) AS BIGINT) AS n_reqstop
+        FROM s),
+      r AS (
+        SELECT lang,
+               (3 * n_tok <= n_nonspace AND n_nonspace <= 10 * n_tok) AS p_wordlen,
+               (5 * n_alpha >= 4 * n_tok) AS p_alpha,
+               (n_reqstop >= 2) AS p_stop,
+               (n_tok BETWEEN 50 AND 100000) AS p_count
+        FROM m)
+      SELECT lang, COUNT(*) AS n_docs,
+             COUNT(*) FILTER (WHERE NOT p_wordlen) AS fail_wordlen,
+             COUNT(*) FILTER (WHERE NOT p_alpha) AS fail_alpha,
+             COUNT(*) FILTER (WHERE NOT p_stop) AS fail_stop,
+             COUNT(*) FILTER (WHERE NOT p_count) AS fail_count,
+             COUNT(*) FILTER (WHERE p_wordlen AND p_alpha AND p_stop AND p_count) AS n_kept
+      FROM r GROUP BY lang ORDER BY lang"""),
+    notes = "Gopher rule gate: integer-cross-multiplied thresholds, per-lang per-rule attrition")
+
+  /** Character-diversity / repetitiveness signal without logarithms: the
+    * Rényi-2 (collision) diversity of the per-document character
+    * distribution. True Shannon entropy needs `log`, whose last-ulp
+    * behavior differs across engines and would break hash-exact compare
+    * (same reason `text_bigram_lm` avoids -log p); `Σ count²` is an exact
+    * integer carrying the same repetitive-vs-diverse ordering signal
+    * (collision probability = Σp², monotone in Rényi-2 entropy).
+    *
+    * Scale design: NO explode. A per-row higher-order `aggregate` over the
+    * sorted character array computes run lengths, Σrun², distinct count and
+    * max run in one pass — the corpus never leaves its input partitions and
+    * the char-multiplied row blowup of the explode shape (×~250 rows/doc
+    * here, ×doc_len in general) never exists. The DuckDB oracle uses the
+    * explode shape (fine at oracle scale) — the numbers are exact integers
+    * either way.
+    */
+  val textCharDiversity = QueryDef(
+    "text_char_diversity",
+    (spark, dir) => {
+      val runStats = expr("""
+        aggregate(
+          array_sort(split(replace(text, ' ', ''), '')),
+          named_struct('prev', '', 'run', 0L, 'sumsq', 0L, 'ndis', 0L, 'mx', 0L),
+          (acc, c) -> IF(c = acc.prev,
+            named_struct('prev', c, 'run', acc.run + 1L, 'sumsq', acc.sumsq,
+                         'ndis', acc.ndis, 'mx', acc.mx),
+            named_struct('prev', c, 'run', 1L,
+                         'sumsq', acc.sumsq + acc.run * acc.run,
+                         'ndis', acc.ndis + 1L,
+                         'mx', greatest(acc.mx, acc.run))),
+          acc -> named_struct('sumsq', acc.sumsq + acc.run * acc.run,
+                              'ndis', acc.ndis, 'mx', greatest(acc.mx, acc.run)))""")
+      load(spark, dir, "documents")
+        .select(col("doc_id"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"),
+          runStats.as("d"))
+        .select(col("doc_id"), col("n_chars"),
+          col("d.ndis").as("n_distinct"),
+          col("d.sumsq").as("sum_sq"),
+          expr("(d.sumsq * 10000) DIV (n_chars * n_chars)").as("collision_bp"),
+          expr("(d.mx * 10000) DIV n_chars").as("top_char_bp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id, unnest(string_split(replace(text, ' ', ''), '')) AS ch
+        FROM documents),
+      g AS (SELECT doc_id, ch, COUNT(*) AS n FROM c GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+             CAST(SUM(n * n) * 10000 // (SUM(n) * SUM(n)) AS BIGINT) AS collision_bp,
+             CAST(MAX(n) * 10000 // SUM(n) AS BIGINT) AS top_char_bp
+      FROM g GROUP BY doc_id ORDER BY doc_id"""),
+    notes = "Rényi-2 collision diversity: log-free exact-integer repetitiveness; run-length HOF, no explode")
+
   val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents,
     dedupKeepBest, textNormalize, textNgrams, textChunk, textBigramLm,
-    textBpeStep, corpusOverlapMatrix, textLmCoverage, textBpeApply)
+    textBpeStep, corpusOverlapMatrix, textLmCoverage, textBpeApply,
+    textGopherRules, textCharDiversity)
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+/** Hand-computed cases for the Gopher rule gate and the run-length
+  * character-diversity HOF — the two signals whose arithmetic (integer
+  * cross-multiplied thresholds; sorted-run Σrun² without explode) is easy
+  * to get subtly wrong and invisible in a registry-wide smoke test.
+  */
+class TextRulesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Write a tiny documents.parquet into a temp sf dir and return the dir. */
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textrules").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("text_char_diversity: sorted-run stats match hand count") {
+    // "aab ba" → spaces stripped "aabba" → a:3 b:2.
+    // n=5, distinct=2, Σrun²=9+4=13, collision_bp=13*10000 div 25=5200,
+    // top_char_bp=3*10000 div 5=6000.
+    val dir = docsDir(Seq((7L, "aab ba", "en", "s1")))
+    val out = ops.TextQueries2.textCharDiversity.fn(spark, dir).collect()
+    assert(out.toSeq === Seq(Row(7L, 5L, 2L, 13L, 5200L, 6000L)))
+  }
+
+  test("text_char_diversity: single-run and all-distinct edges") {
+    // "zzzz" → one run of 4: Σrun²=16, collision_bp=10000, top=10000.
+    // "abcd" → four runs of 1: Σrun²=4, collision_bp=2500, top=2500.
+    val dir = docsDir(Seq((1L, "zzzz", "en", "s1"), (2L, "abcd", "en", "s1")))
+    val out = ops.TextQueries2.textCharDiversity.fn(spark, dir).collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 4L, 1L, 16L, 10000L, 10000L),
+      Row(2L, 4L, 4L, 4L, 2500L, 2500L)))
+  }
+
+  test("text_gopher_rules: per-rule attrition on crafted docs") {
+    val passDoc = ("the a " + Seq.fill(58)("table").mkString(" "), "pass")
+    val noStop  = (Seq.fill(60)("table").mkString(" "), "fail_stop")
+    val tooShort = ("the a table", "fail_count")
+    val dir = docsDir(Seq(
+      (1L, passDoc._1, "en", "s1"),
+      (2L, noStop._1, "en", "s1"),
+      (3L, tooShort._1, "en", "s1")))
+    val out = ops.TextQueries2.textGopherRules.fn(spark, dir).collect()
+    // lang, n_docs, fail_wordlen, fail_alpha, fail_stop, fail_count, n_kept
+    assert(out.toSeq === Seq(Row("en", 3L, 0L, 0L, 1L, 1L, 1L)))
+  }
+}
