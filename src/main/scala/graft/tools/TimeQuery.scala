@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Local profiling harness: time named registry queries under the exact
+  * Bench session config (same master/shuffle-partitions/TZ), N repetitions
+  * each, min reported — so a candidate rewrite can be A/B-ed on one query
+  * in seconds instead of re-running the full 230-query bench.
+  *
+  * Usage: runMain graft.tools.TimeQuery <sfDir> <reps> <query> [query ...]
+  * With `-explain` as a query name prefix set, also prints the formatted
+  * plan once per query (e.g. `-explain graph_bfs`).
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val explain = args.contains("-explain")
+    val names = args.drop(2).filterNot(_ == "-explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val registry = graft.SparkEntry.queries
+    names.foreach { name =>
+      val fn = registry.getOrElse(name, sys.error(s"unknown query: $name"))
+      if (explain) fn(spark, sfDir).explain("formatted")
+      fn(spark, sfDir).count() // warm: codegen + parquet footers
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[timequery] $name min=${times.min}%.3f times=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
