@@ -304,7 +304,54 @@ object ParityQueries {
       GROUP BY 1 ORDER BY 1"""),
     notes = "DSv2 aggregate pushdown: readers emit per-bucket partials, Spark final-merges; composes with filter pushdown")
 
+  /** The connector's STORAGE-PARTITIONED JOIN: both sides load with
+    * `partitionBy=bucket`, so each scan plans one input partition per bucket
+    * value (`HasPartitionKey`) and reports
+    * `KeyGroupedPartitioning(identity(bucket))`. With
+    * `spark.sql.sources.v2.bucketing.enabled` (set once here; it only
+    * affects sources that report a key-grouped layout) Spark satisfies both
+    * `GROUP BY bucket` aggregates AND the bucket equi-join from the
+    * reported layout — ZERO shuffle Exchanges end to end, the DSv2
+    * analogue of a co-bucketed warehouse join (the Iceberg-bucket
+    * contract). SynthSpjSpec pins the Exchange-free executed plan; at
+    * 100 TB this is the difference between a metadata-aligned join and
+    * re-shuffling both fact tables. In bucket mode the source deliberately
+    * DECLINES aggregate pushdown: the pushdown's `group_col_0` rename hides
+    * the key-grouped layout from EnsureRequirements (KeyGroupedPartitioning
+    * is not alias-projected), so pushing partials would re-introduce both
+    * shuffles — zero network beats reader-side pre-aggregation here (the
+    * rationale is measured and documented at the decline site in
+    * SynthSource.pushAggregation).
+    */
+  val sourceSynthSpj = QueryDef(
+    "source_synth_spj",
+    (spark, dir) => {
+      // Harmless globally: only DSv2 scans reporting KeyGroupedPartitioning
+      // (i.e. only this connector in bucket mode) change plans under it.
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      def synth(n: Long) = spark.read.format("graft.sources.SynthSource")
+        .option("numRows", n.toString).option("partitionBy", "bucket").load()
+      val a = synth(200000L).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_a"), sum(col("v_cents")).as("cents_a"))
+      val b = synth(100000L).groupBy(col("bucket"))
+        .agg(sum(col("v_cents")).as("cents_b"))
+      a.join(b, Seq("bucket"))
+        .select(col("bucket"), col("n_a"), col("cents_a"), col("cents_b"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH sa AS (${graft.sources.SynthSource.oracleSql(200000L)}),
+           sb AS (${graft.sources.SynthSource.oracleSql(100000L)})
+      SELECT a.bucket, a.n_a, a.cents_a, b.cents_b
+      FROM (SELECT bucket, COUNT(*) AS n_a,
+                   CAST(SUM(v_cents) AS BIGINT) AS cents_a
+            FROM sa GROUP BY 1) a
+      JOIN (SELECT bucket, CAST(SUM(v_cents) AS BIGINT) AS cents_b
+            FROM sb GROUP BY 1) b USING (bucket)
+      ORDER BY bucket"""),
+    notes = "DSv2 storage-partitioned join: co-bucketed scans report KeyGroupedPartitioning; agg + join plan with zero shuffle Exchanges")
+
   val all: Seq[QueryDef] = Seq(goldCsv, goldApi, parityFuncs, geoNeighborJoin,
     sourceSynthPushdown, sinkDigestWrite, sourceSynthColumnar,
-    sourceSynthAggPushdown)
+    sourceSynthAggPushdown, sourceSynthSpj)
 }

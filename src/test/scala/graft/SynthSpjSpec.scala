@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-partitioned join over the SynthSource connector: with
+  * `partitionBy=bucket` each scan plans one HasPartitionKey partition per
+  * bucket and reports KeyGroupedPartitioning(identity(bucket)), so under
+  * `spark.sql.sources.v2.bucketing.enabled` the per-side `GROUP BY bucket`
+  * aggregates AND the bucket equi-join must all be satisfied from the
+  * reported layout — zero ShuffleExchange anywhere in the executed plan.
+  */
+class SynthSpjSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def shuffleCount(df: DataFrame): Int = {
+    df.collect() // materialize so AQE finalizes the plan
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+      case q: QueryStageExec => count(q.plan)
+      case s: ShuffleExchangeExec => 1 + s.children.map(count).sum
+      case other => other.children.map(count).sum +
+        other.subqueries.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+
+  private def synth(rows: Long, bucketed: Boolean): DataFrame = {
+    val r = spark.read.format("graft.sources.SynthSource")
+      .option("numRows", rows.toString)
+    (if (bucketed) r.option("partitionBy", "bucket") else r).load()
+  }
+
+  private def aggJoin(bucketed: Boolean): DataFrame = {
+    val a = synth(20000L, bucketed).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_a"), sum(col("v_cents")).as("cents_a"))
+    val b = synth(10000L, bucketed).groupBy(col("bucket"))
+      .agg(sum(col("v_cents")).as("cents_b"))
+    a.join(b, Seq("bucket"))
+      .select(col("bucket"), col("n_a"), col("cents_a"), col("cents_b"))
+  }
+
+  test("bucketed scans report the layout: agg + join plan with zero shuffles") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // pin the SMJ path
+    try {
+      val spj = aggJoin(bucketed = true)
+      val plain = aggJoin(bucketed = false)
+      assert(shuffleCount(plain) >= 2,
+        "unbucketed control should shuffle for the aggregates")
+      assert(shuffleCount(spj) === 0,
+        "storage-partitioned plan must contain no ShuffleExchange\n" +
+          spj.queryExecution.executedPlan.toString)
+      // identical results either way
+      assert(spj.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet ===
+        plain.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("bucketed partitions cover the keyspace exactly once") {
+    // 64 single-bucket partitions re-derive membership; union must be the
+    // full table, bit-identical to the range-partitioned read
+    val b = synth(20000L, bucketed = true)
+      .select(col("id"), col("bucket"), col("v_cents"), col("tag"))
+    val p = synth(20000L, bucketed = false)
+      .select(col("id"), col("bucket"), col("v_cents"), col("tag"))
+    assert(b.count() === 20000L)
+    assert(b.exceptAll(p).count() === 0L)
+    assert(p.exceptAll(b).count() === 0L)
+  }
+
+  test("filter pushdown composes with the bucketed layout") {
+    val df = synth(20000L, bucketed = true)
+      .filter(col("id") >= 5000L && col("id") < 6000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SynthScan[5000, 6000)"), plan)
+    assert(df.count() === 1000L)
+  }
+}
