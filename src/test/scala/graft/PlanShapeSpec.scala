@@ -23,6 +23,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "cdc_merge_apply" -> "broadcast 1-row stream-bounds aggregate (t1 cutoff)",
     "ann_bruteforce" -> "broadcast fixed query-vector set (8 probes) vs corpus",
     "ann_ivf" -> "broadcast centroid table (8 cells) + query set",
+    "dedup_semantic" -> "broadcast centroid table (16 rows) for cluster assignment",
     "ann_ivf_pq" -> "broadcast coarse centroids (16) + PQ codebook (4x4) + ADC table (128 rows)",
     "ann_recall" -> "broadcast query set joined to its own ground truth",
     "kmeans_step" -> "broadcast current centroids (k=8)",
