@@ -570,10 +570,21 @@ object DedupQueries {
   val dedupEval = QueryDef(
     "dedup_eval",
     (spark, dir) => {
+      // The eval sample is FIXED-SIZE, not a fixed fraction: the modulus
+      // auto-sizes from the corpus count (~1000 sampled docs at any scale;
+      // floor of 5 keeps the sf0.01/sf0.1 gates on the historical 20%
+      // sample). An LSH-quality estimate does not improve with corpus size
+      // — the exact ground truth's inverted-index pair join must not grow
+      // with it either (r9: 100× axis showed 0.57×/row with the 20%
+      // fraction; fixed-size sampling makes eval cost scale-flat). Both
+      // engines derive the modulus from the same count (the
+      // dedup_containment auto-band precedent).
+      val docs = load(spark, dir, "documents")
+      val mod = math.max(5L, docs.count() / 1000L)
       // repartition the sample once: both the ground-truth explode and the
       // signature build below are row-local-heavy off a one-task scan (r8)
       val sub = graft.Tables.spreadIfNarrow(
-        load(spark, dir, "documents").filter(col("doc_id") % 5 === 0))
+        docs.filter(col("doc_id") % mod === 0))
       // exact ground truth: token-set Jaccard >= 0.70 via inverted-index join
       val toks = sub.select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -628,8 +639,10 @@ object DedupQueries {
         }
         s"SELECT doc_id, lang, $b AS band, $bh AS bh FROM sigs"
       }.mkString("\n  UNION ALL\n  ")
-      s"""WITH sub AS (
-         |  SELECT * FROM documents WHERE doc_id % 5 = 0),
+      s"""WITH w AS (
+         |  SELECT GREATEST(5, COUNT(*) // 1000) AS md FROM documents),
+         |sub AS (
+         |  SELECT d.* FROM documents d, w WHERE doc_id % md = 0),
          |toks AS (
          |  SELECT doc_id, lang,
          |         unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -799,9 +812,14 @@ object DedupQueries {
           (a, c) => (a * 31 + c) % M))
       val grams = base
         .select(col("doc_id"), posexplode(gramArr).as(Seq("pos", "g")))
-      val dupG = grams.select(col("g"), col("doc_id")).distinct()
-        .groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
-        .filter(col("ndocs") >= 2)
+      // cross-doc test in ONE shuffle of the gram stream: a gram is
+      // duplicated iff ≥2 DISTINCT docs share it ⇔ min(doc_id) ≠
+      // max(doc_id) (per-doc repeats collapse in the map-side partial);
+      // the previous distinct()+count formulation shuffled the grams twice
+      // (r9 A/B at 100×: 46.8 → 23.9 s, same output)
+      val dupG = grams.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx"))
         .select(col("g"))
       val dupPos = grams.join(dupG, Seq("g"), "left_semi")
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -834,8 +852,8 @@ object DedupQueries {
                  (a, c) -> (a * 31 + c) % 100000000000000000) AS g
         FROM d, UNNEST(range(0, len(ths) - 7)) AS r(i)),
       dup_g AS (
-        SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
-        GROUP BY g HAVING COUNT(*) >= 2),
+        SELECT g FROM grams
+        GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
       dup_pos AS (
         SELECT grams.doc_id, grams.pos FROM grams SEMI JOIN dup_g USING (g)),
       isl AS (

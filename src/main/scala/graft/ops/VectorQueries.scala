@@ -193,8 +193,8 @@ object VectorQueries {
     })
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
-    * embedding space (deterministic coarse quantizer — first 16 vectors as
-    * centroids, the oracle-replayable k-means stand-in also used by
+    * embedding space (deterministic coarse quantizer — the first k vectors
+    * as centroids, the oracle-replayable k-means stand-in also used by
     * `ann_ivf`), then prune near-duplicates WITHIN each cluster only: a
     * vector is dropped when an earlier (lower-id) member of its cluster is
     * within the similarity threshold (3000 bp, chosen from the corpus'
@@ -203,26 +203,36 @@ object VectorQueries {
     * keep/drop, the canonical earlier member it duplicates, and the best
     * similarity — so the output stays O(N).
     *
-    * Scale posture: centroids broadcast (k·dim doubles); assignment is a
-    * map-side scan + per-vector rank; the only shuffle keys on `cid`. The
-    * within-cluster self-join is the SemDeDup contract: k grows with the
-    * corpus (k ≈ N/10k in the paper) so expected cluster size — and the
-    * per-cluster quadratic term — stays constant; no all-pairs join exists
-    * at any scale.
+    * Scale posture: k AUTO-SIZES with the corpus (k = max(16, ⌈N/125⌉), the
+    * SemDeDup contract of constant expected cluster size — the
+    * `dedup_containment` auto-band precedent: both engines derive k from
+    * the same count, Spark via one count job, the oracle via a scalar CTE),
+    * so the within-cluster quadratic term is bounded at every scale; no
+    * all-pairs join exists. Centroids broadcast (k·dim doubles). The
+    * assignment argmax is a partial-aggregable `max(struct(sbp, -cid))`,
+    * NOT a window rank: the N·k candidate rows collapse map-side to N rows
+    * before any shuffle (a window would sort-shuffle all N·k). At real
+    * scale the remaining cost is the N·k assignment scan itself — the known
+    * SemDeDup bottleneck, attacked with IVF/hierarchical assignment, which
+    * `ann_ivf` demonstrates on this same corpus.
     */
   val dedupSemantic = QueryDef(
     "dedup_semantic",
     (spark, dir) => {
-      val e = vecs(spark, dir)
-      val cent = e.filter(col("vec_id") < 16)
+      val raw = vecs(spark, dir)
+      val k = math.max(16L, (raw.count() + 124) / 125)
+      val e = Tables.spreadIfNarrow(raw)
+      val cent = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val assignW = Window.partitionBy(col("vec_id")).orderBy(col("sbp").desc, col("cid"))
       val assign = e.join(broadcast(cent), lit(true))
         .select(col("vec_id"), col("v"), col("cid"),
           basisPoints(cosine(col("v"), col("cv"))).as("sbp"))
-        .withColumn("arn", row_number().over(assignW))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"))
+        .groupBy(col("vec_id"))
+        // lexicographic struct max = highest sbp, tie → smallest cid (the
+        // same order the oracle's ROW_NUMBER ... ORDER BY sbp DESC, cid uses)
+        .agg(max(struct(col("sbp"), (-col("cid")).as("ncid"))).as("best"),
+          first(col("v")).as("v")) // v is functionally determined by vec_id
+        .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid"))
       val dups = assign.as("a").join(assign.as("b"),
           col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
         .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("a_id"),
@@ -240,7 +250,9 @@ object VectorQueries {
     },
     Some(s"""
       WITH e AS ($DuckVecs),
-           cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+           w AS (SELECT GREATEST(16, CAST(ceil(COUNT(*) / 125.0) AS BIGINT)) AS k
+                 FROM e),
+           cent AS (SELECT vec_id AS cid, v AS cv FROM e, w WHERE vec_id < k),
            ascore AS (SELECT e.vec_id, e.v, cid, ${duckSim("e.v", "cv")} AS sbp
                       FROM e CROSS JOIN cent),
            assign AS (SELECT vec_id, v, cid FROM (
@@ -261,7 +273,7 @@ object VectorQueries {
              COALESCE(best_sim_bp, 0) AS best_sim_bp
       FROM assign a LEFT JOIN dups USING (vec_id)
       ORDER BY a.vec_id"""),
-    notes = "SemDeDup: cluster-blocked semantic near-dup pruning; centroids broadcast, shuffle keyed on cluster id only")
+    notes = "SemDeDup: cluster-blocked semantic near-dup pruning; auto-sized k, broadcast centroids, agg-argmax assignment")
 
   /** One Lloyd iteration of k-means (k=8, first 8 vectors as the
     * deterministic seed): assign every vector to its nearest centroid by
