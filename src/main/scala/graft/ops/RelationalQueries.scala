@@ -401,6 +401,52 @@ object RelationalQueries {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Spark 4 VARIANT end to end: build a NESTED semi-structured doc
+    * (object + array) from the event columns, `parse_json` it into a
+    * VARIANT, then read it back with typed `variant_get` paths — nested
+    * field, array index, and a `try_variant_get` miss that must yield null
+    * instead of erroring. VARIANT is Spark 4's binary semi-structured
+    * encoding (shredded, no per-access re-parse — the 100 TB answer to
+    * string-JSON columns, where `get_json_object` re-tokenizes the blob on
+    * every extraction). The oracle verifies the VALUES from the base
+    * columns directly: the doc build + round-trip is the Spark-side
+    * exercise, so no JSON dialect can drift the comparison.
+    */
+  val eventsVariant = QueryDef(
+    "events_variant",
+    (spark, dir) => {
+      val doc = concat(lit("""{"meta":{"type":""""), col("event_type"),
+        lit("""","uid":"""), col("user_id").cast("string"),
+        lit("""},"vals":["""), get_json_object(col("props"), "$.k"),
+        lit(","), cents(col("value")).cast("string"), lit("]}"))
+      load(spark, dir, "events")
+        .select(parse_json(doc).as("v"))
+        .select(
+          variant_get(col("v"), "$.meta.type", "string").as("vtype"),
+          variant_get(col("v"), "$.meta.uid", "long").as("uid"),
+          variant_get(col("v"), "$.vals[0]", "long").as("k"),
+          variant_get(col("v"), "$.vals[1]", "long").as("vc"),
+          try_variant_get(col("v"), "$.meta.absent", "long").as("absent"))
+        .groupBy(col("vtype"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          sum(col("vc")).as("sum_vc"),
+          countDistinct(col("uid")).as("n_users"),
+          sum(when(col("absent").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_absent"))
+        .orderBy(col("vtype"))
+    },
+    Some("""
+      SELECT event_type AS vtype, COUNT(*) AS n,
+             CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_vc,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             COUNT(*) AS n_absent
+      FROM events
+      GROUP BY 1
+      ORDER BY 1"""),
+    notes = "Spark 4 VARIANT: parse_json → typed variant_get (nested path + array index), try_variant_get miss → null; oracle checks values from base columns")
+
   /** Event-time tumbling window (batch twin of the streaming aggregation in
     * [[graft.streaming.EventStreams]]): 1-day UTC buckets.
     */
@@ -751,6 +797,6 @@ object RelationalQueries {
     joinRangeInterval, joinRangeRule, joinAsof, aggRollup, aggDistinct, aggCube,
     aggUdafLastValue, aggApprox, aggApproxRollup, windowTopk, windowRunning,
     topkGlobal, setOps,
-    eventsJson, eventsTumbling, eventsSliding, eventsSessionize, eventsDatetime,
-    mathFuncs)
+    eventsJson, eventsVariant, eventsTumbling, eventsSliding, eventsSessionize,
+    eventsDatetime, mathFuncs)
 }
