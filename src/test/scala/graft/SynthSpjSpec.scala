@@ -64,6 +64,29 @@ class SynthSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ survives a pushed filter on one side (partition values stay aligned)") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // bucket mode plans all 64 bucket partitions regardless of the pushed
+      // id range, so both sides' partition values match and the join needs
+      // no Exchange even when one side scans a narrowed keyspace
+      val a = synth(20000L, bucketed = true)
+        .filter(col("id") >= 5000L && col("id") < 15000L)
+        .groupBy(col("bucket")).agg(sum(col("v_cents")).as("cents_a"))
+      val b = synth(10000L, bucketed = true)
+        .groupBy(col("bucket")).agg(sum(col("v_cents")).as("cents_b"))
+      val j = a.join(b, Seq("bucket"))
+      assert(shuffleCount(j) === 0,
+        "filtered SPJ plan must contain no ShuffleExchange\n" +
+          j.queryExecution.executedPlan.toString)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SynthScan[5000, 15000)"), plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("bucketed partitions cover the keyspace exactly once") {
     // 64 single-bucket partitions re-derive membership; union must be the
     // full table, bit-identical to the range-partitioned read
