@@ -46,6 +46,11 @@ object Tables {
     * `df.rdd.getNumPartitions` only plans (no job runs).
     */
   def spreadIfNarrow(df: DataFrame): DataFrame = {
+    // PRECONDITION: call this on scan-stage plans only (scan / filter /
+    // project). `df.rdd` finalizes the plan, and under AQE that EXECUTES any
+    // upstream shuffle stages as real jobs — on a plan with an exchange the
+    // probe would silently run those stages twice. Every current call site
+    // passes a raw table scan (optionally filtered/projected).
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions * 2 < n) df.repartition(n) else df
   }

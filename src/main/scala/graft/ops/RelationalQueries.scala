@@ -415,10 +415,15 @@ object RelationalQueries {
   val eventsVariant = QueryDef(
     "events_variant",
     (spark, dir) => {
-      val doc = concat(lit("""{"meta":{"type":""""), col("event_type"),
-        lit("""","uid":"""), col("user_id").cast("string"),
-        lit("""},"vals":["""), get_json_object(col("props"), "$.k"),
-        lit(","), cents(col("value")).cast("string"), lit("]}"))
+      // doc built via to_json, not string concat: correct quoting whatever
+      // the field values, and a missing/non-numeric props.k becomes a JSON
+      // null array element (try_cast) instead of null-propagating the whole
+      // doc or injecting malformed JSON
+      val doc = to_json(struct(
+        struct(col("event_type").as("type"), col("user_id").as("uid"))
+          .as("meta"),
+        array(get_json_object(col("props"), "$.k").try_cast("long"),
+          cents(col("value"))).as("vals")))
       load(spark, dir, "events")
         .select(parse_json(doc).as("v"))
         .select(

@@ -826,6 +826,10 @@ object TextQueries2 {
         .select(col("doc_id"),
           length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"),
           runStats.as("d"))
+        // empty/whitespace-only docs: n_chars = 0 would divide by zero
+        // (ANSI error) where the oracle's unnest simply emits no row —
+        // filter them on this side so both engines agree on the row set
+        .filter(col("n_chars") > 0)
         .select(col("doc_id"), col("n_chars"),
           col("d.ndis").as("n_distinct"),
           col("d.sumsq").as("sum_sq"),

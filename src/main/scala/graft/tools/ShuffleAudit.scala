@@ -24,19 +24,22 @@ object ShuffleAudit {
   private val shuffleWrite = new AtomicLong
   private val shuffleRecords = new AtomicLong
   private val spill = new AtomicLong
-  // stageId -> (tasksEnded, summed executorRunTime ms); single-task stages
-  // surface as (1, thatTask'sRunTime)
+  // (stageId, stageAttemptId) -> (successfulTasks, summed executorRunTime
+  // ms); single-task stages surface as (1, thatTask'sRunTime). Keyed per
+  // attempt and restricted to successful tasks so a retried or speculative
+  // task can't make a single-task stage look multi-task (or fold failed-run
+  // time into the sums).
   private val stageAgg =
-    new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), (Int, Long)]
 
   private object Listener extends SparkListener {
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) {
+      if (m != null && te.reason == org.apache.spark.Success) {
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
         spill.addAndGet(m.diskBytesSpilled)
-        stageAgg.merge(te.stageId, (1, m.executorRunTime),
+        stageAgg.merge((te.stageId, te.stageAttemptId), (1, m.executorRunTime),
           (a, b) => (a._1 + b._1, a._2 + b._2))
       }
     }

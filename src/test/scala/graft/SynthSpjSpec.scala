@@ -43,10 +43,25 @@ class SynthSpjSpec extends AnyFunSuite {
       .select(col("bucket"), col("n_a"), col("cents_a"), col("cents_b"))
   }
 
-  test("bucketed scans report the layout: agg + join plan with zero shuffles") {
+  // the shared session outlives this suite: restore BOTH confs so later
+  // suites don't run order-dependently with V2 bucketing flipped on
+  private def withSpjConfs[T](body: => T): T = {
+    val prevBucketing =
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // pin the SMJ path
-    try {
+    try body
+    finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      prevBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
+  test("bucketed scans report the layout: agg + join plan with zero shuffles") {
+    withSpjConfs {
       val spj = aggJoin(bucketed = true)
       val plain = aggJoin(bucketed = false)
       assert(shuffleCount(plain) >= 2,
@@ -59,15 +74,11 @@ class SynthSpjSpec extends AnyFunSuite {
         r.getLong(3))).toSet ===
         plain.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).toSet)
-    } finally {
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 
   test("SPJ survives a pushed filter on one side (partition values stay aligned)") {
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withSpjConfs {
       // bucket mode plans all 64 bucket partitions regardless of the pushed
       // id range, so both sides' partition values match and the join needs
       // no Exchange even when one side scans a narrowed keyspace
@@ -82,8 +93,6 @@ class SynthSpjSpec extends AnyFunSuite {
           j.queryExecution.executedPlan.toString)
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("SynthScan[5000, 15000)"), plan)
-    } finally {
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 
