@@ -424,7 +424,10 @@ object RelationalQueries {
           .as("meta"),
         array(get_json_object(col("props"), "$.k").try_cast("long"),
           cents(col("value"))).as("vals")))
-      load(spark, dir, "events")
+      // the JSON build + variant parse + four typed extractions are all
+      // row-local-heavy: spread the one-file fixture scan first (no-op on a
+      // pre-split cluster scan; r9 A/B warm 0.88 → 0.55 s, stage 1.3 → 0.1)
+      Tables.spreadIfNarrow(load(spark, dir, "events"))
         .select(parse_json(doc).as("v"))
         .select(
           variant_get(col("v"), "$.meta.type", "string").as("vtype"),
