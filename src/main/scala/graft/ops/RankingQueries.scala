@@ -441,6 +441,154 @@ object RankingQueries {
       ORDER BY decile, keep"""),
     notes = "linear-classifier quality scoring: broadcast weight vector, one corpus pass, histogram-bounded deciles, keep/drop audit")
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): LEARN per-feature
+    * importance weights from a target slice vs the raw pool over hashed
+    * n-gram (unigram + bigram) features, score every document by its mean
+    * weight, and audit selection by decile. [[textQualityScore]] is the
+    * frozen linear classifier; this is the learned companion — the weights
+    * come from the data itself (target = `lang = 'en'`, the slice the
+    * curator wants more of; raw = the whole pool, target included, the
+    * simplest consistent estimator), so the pipeline ships no model
+    * artifact at all.
+    *
+    * Exact-integer transliteration of DSIR's log-ratio: the per-feature
+    * weight is the Laplace-smoothed importance RATIO in bp,
+    * `w_f = (10⁴·ŝ_t) div max(1, ŝ_r)` with `ŝ_x = (10⁶(x_f+1)) div (n_x+B)`
+    * the 10⁻⁶-precision smoothed shares, capped at 10× (10⁵ bp) the way
+    * DSIR implementations clip extreme log-ratios. A RATIO, not a share
+    * delta, because rare-but-target-loaded features are exactly the signal
+    * — an absolute delta drowns them in the bulk (measured: delta scores
+    * collapsed the corpus into a 9-bp band; ratios spread it over ~10³ bp).
+    * Every operand is non-negative by construction, which is load-bearing:
+    * Spark `div` truncates toward zero while DuckDB `//` floors, so the
+    * engines agree only on non-negative division. A doc's score is the
+    * mean weight over its features — the additive analog of Σ log(p_t/p_r),
+    * ranking target-like documents the same way while staying BIGINT end
+    * to end. Overflow bound: `10⁶·(r_f+1)` caps the exact form at ~9·10¹²
+    * features (≈ tens of TB of text); past that, widen the share multiplies
+    * to DECIMAL(38,0) — the structure is unchanged.
+    *
+    * Scale: feature stats are ONE corpus pass collapsing to B=256 hash
+    * buckets (map-side combine; BOTH distributions fall out of the same
+    * pass via a conditional sum — no second target scan); the weight
+    * table is O(B) and broadcast; scoring is one more pass + doc-keyed
+    * agg; deciles ride the ≤2·10⁴+1-row score histogram, never a
+    * corpus-sized sort. Unigrams and bigrams share one explode, spread
+    * off the single-file scan before the row-local hashing.
+    */
+  val textDsirSelect = QueryDef(
+    "text_dsir_select",
+    (spark, dir) => {
+      import graft.functions.RollingHash
+      val feats = graft.Tables.spreadIfNarrow(load(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+          split(col("text"), " ").as("t"))
+        // slice(t, 1, size-1) is empty for 1-token docs, so no CASE guard
+        .select(col("doc_id"), col("tgt"), explode(expr(
+          """concat(t, transform(slice(t, 1, size(t) - 1),
+               (x, i) -> concat(x, ' ', element_at(t, i + 2))))""")).as("f"))
+        .select(col("doc_id"), col("tgt"),
+          (RollingHash(col("f")) % 1048573 % 256).as("b"))
+      val stats = feats.groupBy(col("b"))
+        .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("t_f"),
+          count(lit(1)).as("r_f"))
+      val totals = stats.agg(sum(col("t_f")).as("n_t"), sum(col("r_f")).as("n_r"))
+      val weights = stats.crossJoin(broadcast(totals))
+        .select(col("b"),
+          least(lit(100000L), expr(
+            """(10000L * ((1000000L * (t_f + 1)) div (n_t + 256)))
+               div greatest(1L, (1000000L * (r_f + 1)) div (n_r + 256))"""))
+            .as("w_bp"))
+      val scored = feats.join(broadcast(weights), "b")
+        .groupBy(col("doc_id"), col("tgt"))
+        .agg(count(lit(1)).as("n_f"), sum(col("w_bp")).as("sw"))
+        .select(col("doc_id"), col("tgt"), col("n_f"),
+          expr("sw div n_f").as("score_bp"))
+      val hist = scored.groupBy(col("score_bp"))
+        .agg(count(lit(1)).as("nd"),
+          sum(when(col("tgt"), 1L).otherwise(0L)).as("ntg"),
+          sum(col("n_f")).as("nf"))
+      val wOrd = Window.orderBy(col("score_bp"))
+      hist
+        .withColumn("c_lt", coalesce(sum(col("nd")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_all", sum(col("nd")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("score_bp"), col("nd"), col("ntg"), col("nf"),
+          expr("(c_lt * 10) div n_all").as("decile"))
+        .groupBy(col("decile"))
+        .agg(sum(col("nd")).as("n_docs"), sum(col("ntg")).as("n_target_docs"),
+          sum(col("nf")).as("n_features"),
+          min(col("score_bp")).as("min_score_bp"),
+          max(col("score_bp")).as("max_score_bp"))
+        .select(col("decile"), (col("decile") >= 8).as("keep"), col("n_docs"),
+          col("n_target_docs"), col("n_features"),
+          col("min_score_bp"), col("max_score_bp"))
+        .orderBy(col("decile"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS t
+        FROM documents),
+      feats AS (
+        SELECT doc_id, tgt,
+               unnest(list_concat(t,
+                 list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+                 AS f
+        FROM base),
+      bk AS (
+        SELECT doc_id, tgt,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(list_filter(string_split(f, ''), c -> c <> ''),
+                                  c -> CAST(unicode(c) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 100000000000000000) % 1048573 % 256 AS b
+        FROM feats),
+      stats AS (
+        SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_f, COUNT(*) AS r_f
+        FROM bk GROUP BY b),
+      totals AS (
+        SELECT CAST(SUM(t_f) AS BIGINT) AS n_t, CAST(SUM(r_f) AS BIGINT) AS n_r
+        FROM stats),
+      weights AS (
+        SELECT b,
+               LEAST(100000,
+                 (10000 * ((1000000 * (t_f + 1)) // (n_t + 256)))
+                 // GREATEST(1, (1000000 * (r_f + 1)) // (n_r + 256))) AS w_bp
+        FROM stats CROSS JOIN totals),
+      scored AS (
+        SELECT doc_id, tgt, COUNT(*) AS n_f,
+               CAST(SUM(w_bp) // COUNT(*) AS BIGINT) AS score_bp
+        FROM bk JOIN weights USING (b)
+        GROUP BY doc_id, tgt),
+      hist AS (
+        SELECT score_bp, COUNT(*) AS nd,
+               SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ntg,
+               CAST(SUM(n_f) AS BIGINT) AS nf
+        FROM scored GROUP BY score_bp),
+      cum AS (
+        SELECT score_bp, nd, ntg, nf,
+               COALESCE(SUM(nd) OVER (ORDER BY score_bp
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt,
+               SUM(nd) OVER () AS n_all
+        FROM hist),
+      dec AS (
+        SELECT score_bp, nd, ntg, nf,
+               CAST((c_lt * 10) // n_all AS BIGINT) AS decile
+        FROM cum)
+      SELECT decile, decile >= 8 AS keep,
+             CAST(SUM(nd) AS BIGINT) AS n_docs,
+             CAST(SUM(ntg) AS BIGINT) AS n_target_docs,
+             CAST(SUM(nf) AS BIGINT) AS n_features,
+             MIN(score_bp) AS min_score_bp,
+             MAX(score_bp) AS max_score_bp
+      FROM dec
+      GROUP BY decile
+      ORDER BY decile"""),
+    notes = "DSIR importance resampling: target-vs-raw hashed n-gram ratios learned in one pass, broadcast O(B) weights, histogram-bounded deciles")
+
   val all: Seq[QueryDef] = Seq(textTfidf, textBm25, textHashEmbed, textKeywords,
-    topkSketch, textPostings, textQualityScore)
+    topkSketch, textPostings, textQualityScore, textDsirSelect)
 }

@@ -45,7 +45,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "vector_pca_project" -> "broadcast 1-row eigenvector array (64 entries) + per-iteration rescale rows",
     "sample_stratified" -> "broadcast 1-row Neyman weight-total aggregate",
     "text_bpe_apply" -> "broadcast 1-row top-merge-pair aggregate",
-    "graph_kcore" -> "broadcast 1-row edge-count aggregate per peel round (3 rows total)")
+    "graph_kcore" -> "broadcast 1-row edge-count aggregate per peel round (3 rows total)",
+    "text_dsir_select" -> "broadcast 1-row feature-total aggregate (DSIR share denominators)")
 
   /** Streaming queries execute the stream inside fn (their returned plan is
     * the memory-sink table scan — nothing to gate), and dedup_components
