@@ -994,8 +994,91 @@ object VectorQueries {
       ORDER BY proj DESC, vec_id LIMIT 20"""),
     notes = "fit/apply split: eigenvector folded to one broadcast array row, row-local zip_with dot product, global top-20")
 
+  /** Embedding-space OUTLIER detection — the filtering step a DataComp-style
+    * curation pipeline runs between per-class health stats ([[vectorStats]])
+    * and semantic dedup ([[dedupSemantic]]): drop vectors far from the
+    * corpus distribution before they poison clustering or training. The
+    * distance is diagonal Mahalanobis — per-dimension standardized squared
+    * deviation, summed — which catches both "far along one broken axis"
+    * (a bad encoder batch) and "mildly off everywhere" (out-of-domain),
+    * unlike a plain L2-to-centroid which conflates scale across dims.
+    *
+    * Exact-integer design: vectors quantize to bp and SHIFT by +10⁴ so every
+    * per-dim sum is non-negative (embeddings straddle 0, and Spark `div`
+    * truncates while DuckDB `//` floors — they agree only on non-negative
+    * operands; deviations may go negative but are squared before any
+    * division). Per-dim variance in bp² uses the floored-moment form
+    * `max(0, ss div n − (s div n)²)` (the floor can undershoot a zero
+    * variance by 1, never more); z²_d = `(10⁴·dev²) div max(1, var)` — so a
+    * dev at exactly 1σ contributes ~10⁴ and the 64-dim sum of a typical
+    * vector sits near 64·10⁴. `n_dims_over` counts |z|>3 dims (z² > 9·10⁴)
+    * for interpretability: axis failure vs diffuse drift.
+    *
+    * Scale: pass 1 collapses the corpus to d=64 stat rows (posexplode →
+    * 64-key agg with map-side combine; per-dim Σq² caps BIGINT at ~2·10¹⁰
+    * vectors — past that, widen to DECIMAL); stats broadcast back over
+    * pass 2, whose top-15 is TakeOrderedAndProject — never a global sort.
+    */
+  val vectorOutliers = QueryDef(
+    "vector_outliers",
+    (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(toDoubleArray(col("embedding")),
+            x => (floor(x * 10000 + lit(0.5)) + lit(10000)).cast("long")).as("q"))
+      val dims = e.select(posexplode(col("q")).as(Seq("pos", "qd")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("qd")).as("s"),
+          sum(expr("qd * qd")).as("ss"))
+        .select(col("pos"), expr("s div n").as("mean_bp"),
+          greatest(lit(0L),
+            expr("(ss div n) - (s div n) * (s div n)")).as("var_bp2"))
+      e.select(col("vec_id"), col("label"), posexplode(col("q")).as(Seq("pos", "qd")))
+        .join(broadcast(dims), "pos")
+        .withColumn("z2",
+          expr("(10000L * (qd - mean_bp) * (qd - mean_bp)) div greatest(1L, var_bp2)"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("z2")).as("z2_sum"),
+          sum(when(col("z2") > 90000L, 1L).otherwise(0L)).as("n_dims_over"))
+        .orderBy(col("z2_sum").desc, col("vec_id"))
+        .limit(15)
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * 10000 + 0.5) AS BIGINT) + 10000) AS q
+        FROM embeddings),
+      px AS (
+        SELECT vec_id, label, CAST(t.pos AS INTEGER) AS pos, q[t.pos + 1] AS qd
+        FROM e CROSS JOIN UNNEST(range(0, 64)) AS t(pos)),
+      dims AS (
+        SELECT pos, COUNT(*) AS n,
+               CAST(SUM(qd) AS BIGINT) AS s,
+               CAST(SUM(qd * qd) AS BIGINT) AS ss
+        FROM px GROUP BY pos),
+      stats AS (
+        SELECT pos, s // n AS mean_bp,
+               GREATEST(0, (ss // n) - (s // n) * (s // n)) AS var_bp2
+        FROM dims),
+      z AS (
+        SELECT vec_id, label,
+               (10000 * (qd - mean_bp) * (qd - mean_bp))
+                 // GREATEST(1, var_bp2) AS z2
+        FROM px JOIN stats USING (pos))
+      SELECT vec_id, label,
+             CAST(SUM(z2) AS BIGINT) AS z2_sum,
+             CAST(SUM(CASE WHEN z2 > 90000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dims_over
+      FROM z
+      GROUP BY vec_id, label
+      ORDER BY z2_sum DESC, vec_id
+      LIMIT 15"""),
+    notes = "diagonal-Mahalanobis embedding outliers: corpus collapses to d stat rows, broadcast back, top-k via TakeOrderedAndProject")
+
   val all: Seq[QueryDef] = Seq(annBruteforce, annIvf, dedupEmbeddingLsh,
     dedupSemantic,
     kmeansStep, kmeansIter, vectorStats, vectorQuantize, annRecall, annPq,
-    annIvfPq, vectorCovariance, vectorPowerIteration, vectorPcaProject)
+    annIvfPq, vectorCovariance, vectorPowerIteration, vectorPcaProject,
+    vectorOutliers)
 }
