@@ -26,8 +26,8 @@ import graft.functions.RollingHash
   */
 object DedupQueries {
 
-  private val NumPerms = 64
-  private val MinhashBands = 16 // 16 bands × 4 rows
+  private[ops] val NumPerms = 64
+  private[ops] val MinhashBands = 16 // 16 bands × 4 rows
   private val SimhashBits = 30 // bits 0..29 of a mod-(2^31-1) hash
   private val SimhashBands = 3 // 3 bands × 10 bits
   private val HammingMax = 4
@@ -38,7 +38,7 @@ object DedupQueries {
     */
   private val TokMod = 1048573L
   private[ops] val P = 2147483647L // 2^31 - 1, prime
-  private val BandMod = 1099511627776L // 2^40: acc·8191 + m stays < 2^53
+  private[ops] val BandMod = 1099511627776L // 2^40: acc·8191 + m stays < 2^53
 
   /** Deterministic permutation constants, shared verbatim by the Spark plan
     * and the generated oracle SQL (computed once here — they cannot drift).
@@ -95,6 +95,44 @@ object DedupQueries {
         (1 until NumPerms).map(s => min(perm(col("h"), s)).as(s"m$s")): _*)
       .select(col("doc_id"), col("lang"),
         array((0 until NumPerms).map(s => col(s"m$s")): _*).as("sig"))
+  }
+
+  /** Row-local MinHash LSH band keys: the same 64-perm signature and
+    * 16×4 band hashes as [[minhashSignatures]] + the banding in
+    * `dedup_minhash_lsh`, but computed entirely WITHIN each row (array
+    * transforms over the token array — no explode + per-doc shuffle
+    * aggregate). Value-identical to the batch path by construction: both
+    * take min over the same permutations of the same distinct-token
+    * hashes. This is the form a STREAMING gate needs — a per-doc shuffle
+    * aggregate before a stateful operator is either disallowed or a
+    * second stateful op, while a row-local projection composes freely.
+    * Row cost is NumPerms passes over the token array, the same work the
+    * batch map-side partial aggregate does per exploded token.
+    *
+    * `bands` sets the r/b precision knob: a band collides when all
+    * NumPerms/bands of its signature rows match, i.e. with probability
+    * J^(NumPerms/bands) — 16 narrow bands (the batch LSH default, backed
+    * by a verify join) catch J≳0.7; a VERIFY-LESS caller should pass few
+    * wide bands (4×16 ⇒ J≳0.85) and let precision come from band width.
+    */
+  def minhashBandKeys(docs: DataFrame,
+      bands: Int = MinhashBands): DataFrame = {
+    val rows = NumPerms / bands
+    val hashed = docs.select(col("doc_id"), col("lang"),
+      transform(array_distinct(split(col("text"), " ")),
+        t => tokHash(t)).as("hs"))
+    val sig = hashed.select(col("doc_id") +: col("lang") +:
+      (0 until NumPerms).map(s => array_min(transform(col("hs"),
+        h => (lit(permA(s)) * h + lit(permB(s))) % lit(P))).as(s"m$s")): _*)
+    sig.select(col("doc_id"), col("lang"), explode(array(
+        (0 until bands).map { b =>
+          val bh = (0 until rows).foldLeft(lit(0L): Column) { (acc, i) =>
+            (acc * lit(8191L) + col(s"m${b * rows + i}")) % lit(BandMod)
+          }
+          struct(lit(b).as("band"), bh.as("bh"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("lang"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
   /** Per-doc summary of verified candidate pairs: n_near + canonical min id. */
