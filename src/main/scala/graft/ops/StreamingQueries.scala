@@ -783,7 +783,7 @@ object StreamingQueries {
         .as[graft.streaming.DocumentStreams.BandRow]
       val coll = runToTable(
         graft.streaming.DocumentStreams.neardupGate(bands).toDF(),
-        "stream_neardup_sink", OutputMode.Append)
+        "stream_neardup_gate_sink", OutputMode.Append)
       val held = coll.select(col("doc_id"), col("lang")).distinct()
         .groupBy(col("lang")).agg(count(lit(1)).as("n_held"))
       val hits = coll.groupBy(col("lang"))

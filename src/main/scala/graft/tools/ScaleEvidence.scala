@@ -115,16 +115,20 @@ object ScaleEvidence {
     // both scales, isolating STATE-STORE growth (the scale risk batch
     // queries don't have) from file-count effects.
     val streamDir = s"$outDir/stream1"
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$streamDir/events.parquet"))) {
-      val tmp = s"$streamDir/_coalesced"
-      spark.read.parquet(s"$outDir/events.parquet")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file in $tmp"))
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    // (documents too: stream_neardup_gate streams documents and batch-reads
+    // them for its attrition rollup from the same dir)
+    for (table <- Seq("events", "documents")) {
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$streamDir/$table.parquet"))) {
+        val tmp = s"$streamDir/_coalesced"
+        spark.read.parquet(s"$outDir/$table.parquet")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $tmp"))
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$streamDir/$table.parquet"))
+      }
     }
     val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$outDir/embeddings.parquet").count()
