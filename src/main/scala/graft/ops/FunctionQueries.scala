@@ -557,8 +557,70 @@ object FunctionQueries {
       FROM s ORDER BY event_type"""),
     notes = "OLS from integer sufficient statistics over the daily rollup; two audited IEEE divisions")
 
+  /** Declarative SQL UDFs (Spark 4 `CREATE FUNCTION … RETURN expr`) — the
+    * third extension path next to native Catalyst expressions and typed
+    * Aggregators, and the only one a pure-SQL user can reach. Unlike a
+    * Scala/Python UDF these are INLINED by the analyzer: the executed plan
+    * contains the substituted expression, not a black-box call — predicate
+    * pushdown, constant folding, and whole-stage codegen all still apply,
+    * so the engine's "zero opaque UDFs" property survives user-defined
+    * helpers. Exercised here: two scalar functions (row level AND re-used
+    * over aggregated columns — one definition, both call sites) plus a SQL
+    * TABLE function parameterized by a foldable literal, consumed like any
+    * relation. `CREATE OR REPLACE TEMPORARY` keeps re-runs in a warm
+    * session idempotent. The oracle states the inlined expressions
+    * directly — which is precisely the semantics inlining guarantees.
+    */
+  val sqlUdfFuncs = QueryDef(
+    "sql_udf_funcs",
+    (spark, dir) => {
+      load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+      load(spark, dir, "part").createOrReplaceTempView("part")
+      spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION cents_of(x DOUBLE)
+        RETURNS BIGINT RETURN CAST(floor(x * 100 + 0.5) AS BIGINT)""")
+      spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION share_bp(a BIGINT, b BIGINT)
+        RETURNS BIGINT RETURN (10000 * a) DIV GREATEST(b, 1)""")
+      spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION brand_parts(b STRING)
+        RETURNS TABLE (p_partkey BIGINT, p_retailprice DOUBLE)
+        RETURN SELECT p_partkey, p_retailprice FROM part WHERE p_brand = b""")
+      spark.sql("""
+        SELECT l.l_returnflag,
+               COUNT(*) AS n_lines,
+               SUM(cents_of(l.l_extendedprice)) AS gross_cents,
+               SUM(cents_of(l.l_extendedprice * (1 - l.l_discount)))
+                 AS net_cents,
+               share_bp(SUM(cents_of(l.l_extendedprice * (1 - l.l_discount))),
+                        SUM(cents_of(l.l_extendedprice))) AS net_share_bp,
+               SUM(cents_of(bp.p_retailprice)) AS brand_retail_cents
+        FROM lineitem l
+        JOIN brand_parts('Brand#11') bp ON l.l_partkey = bp.p_partkey
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag""")
+    },
+    Some("""
+      SELECT l.l_returnflag,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS gross_cents,
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+               + 0.5) AS BIGINT)) AS BIGINT) AS net_cents,
+             CAST((10000 * SUM(CAST(floor(l.l_extendedprice
+                 * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)))
+               // GREATEST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                 AS BIGINT)), 1) AS BIGINT) AS net_share_bp,
+             CAST(SUM(CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS brand_retail_cents
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#11'
+      GROUP BY l.l_returnflag
+      ORDER BY l.l_returnflag"""),
+    notes = "Spark 4 SQL UDFs: analyzer-inlined scalar + table functions, oracle = the inlined expressions")
+
   val all: Seq[QueryDef] = Seq(regexFuncs, datetimeFuncs, nullFuncs,
     bitHashFuncs, statsMoments, aggCollect, structArgminmax, aggApproxQuantile,
     aggMode, tryFuncs, joinNullSafe, aggBitmapDistinct, aggHllSetops,
-    aggLinreg)
+    aggLinreg, sqlUdfFuncs)
 }
