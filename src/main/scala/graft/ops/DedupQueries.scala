@@ -1040,7 +1040,125 @@ object DedupQueries {
       ORDER BY per.doc_id"""),
     notes = "MOSS robust winnowing (w=4 over 4-token grams): rightmost window minima, row-local selection, shared-fingerprint rollup")
 
+  /** Gate-quality audit: precision/recall of the VERIFY-LESS streaming
+    * near-dup gate (`stream_neardup_gate`'s 4×16 wide banding, restated in
+    * batch) against the batch verified-LSH standard — the measurement that
+    * justifies (or indicts) shipping an ingestion gate without its verify
+    * join. Ground truth = the docs [[dedupMinhashLsh]] would REMOVE
+    * (canonical_id < doc_id after the ≥45/64 signature-overlap verify);
+    * gate positives = docs a 4-band bucket pairs with a smaller doc_id.
+    * Reports per-language n_removable / n_held / true positives /
+    * precision / recall in bp — the r/b-tradeoff numbers the gate's
+    * docstring cites, now a regression-gated query instead of a one-off
+    * measurement. Composes the two existing pipelines (the `ann_recall`
+    * pattern); the wide-band candidate pass adds one bucket-keyed shuffle
+    * on top of the LSH run, nothing corpus-quadratic.
+    */
+  val dedupGateEval = QueryDef(
+    "dedup_gate_eval",
+    (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val removable = dedupMinhashLsh.fn(spark, dir)
+        .filter(col("canonical_id") < col("doc_id"))
+        .select(col("doc_id")).withColumn("removable", lit(1))
+      val gateBands = minhashBandKeys(docs, bands = 4)
+      val keepers = gateBands.groupBy(col("band"), col("bh"), col("lang"))
+        .agg(min(col("doc_id")).as("keeper"))
+      val held = gateBands.join(keepers, Seq("band", "bh", "lang"))
+        .filter(col("doc_id") > col("keeper"))
+        .select(col("doc_id")).distinct().withColumn("held", lit(1))
+      docs.select(col("doc_id"), col("lang"))
+        .join(removable, Seq("doc_id"), "left")
+        .join(held, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(col("removable")).as("n_removable"),
+          count(col("held")).as("n_held"),
+          sum(when(col("removable") === 1 && col("held") === 1, 1L)
+            .otherwise(0L)).as("n_true_pos"))
+        .select(col("lang"), col("n_removable"), col("n_held"),
+          col("n_true_pos"),
+          expr("(10000L * n_true_pos) div greatest(n_held, 1L)")
+            .as("precision_bp"),
+          expr("(10000L * n_true_pos) div greatest(n_removable, 1L)")
+            .as("recall_bp"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val rows16 = NumPerms / MinhashBands
+      val rows4 = NumPerms / 4
+      val minCols = (0 until NumPerms)
+        .map(s => s"MIN((${permA(s)} * h + ${permB(s)}) % $P) AS m$s")
+        .mkString(",\n    ")
+      def bandSelects(nBands: Int, rows: Int) = (0 until nBands).map { b =>
+        val bh = (0 until rows).foldLeft("0") { (acc, i) =>
+          s"(($acc * 8191 + m${b * rows + i}) % $BandMod)"
+        }
+        s"SELECT doc_id, lang, $b AS band, $bh AS bh FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      val matchTerms = (0 until NumPerms)
+        .map(s => s"(CASE WHEN sa.m$s = sb.m$s THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id, lang, ${tokHashSql("tok")} AS h FROM toks),
+         |sigs AS (
+         |  SELECT doc_id, lang,
+         |    $minCols
+         |  FROM hashed GROUP BY doc_id, lang),
+         |bands AS (
+         |  ${bandSelects(MinhashBands, rows16)}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.lang = b.lang
+         |   AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT a_id, b_id
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = a_id
+         |  JOIN sigs sb ON sb.doc_id = b_id
+         |  WHERE $matchTerms >= ${(NumPerms * 7 + 9) / 10}),
+         |removable AS (
+         |  -- pairs always has a_id < b_id, so "has a smaller verified
+         |  -- partner" (canonical_id < doc_id in the Spark summarize) is
+         |  -- exactly the b_id side
+         |  SELECT DISTINCT b_id AS doc_id FROM pairs),
+         |gate_bands AS (
+         |  ${bandSelects(4, rows4)}),
+         |keepers AS (
+         |  SELECT band, bh, lang, MIN(doc_id) AS keeper
+         |  FROM gate_bands GROUP BY band, bh, lang),
+         |held AS (
+         |  SELECT DISTINCT g.doc_id
+         |  FROM gate_bands g JOIN keepers k
+         |    ON g.band = k.band AND g.bh = k.bh AND g.lang = k.lang
+         |  WHERE g.doc_id > k.keeper)
+         |SELECT d.lang,
+         |       COUNT(r.doc_id) AS n_removable,
+         |       COUNT(hd.doc_id) AS n_held,
+         |       CAST(SUM(CASE WHEN r.doc_id IS NOT NULL
+         |                      AND hd.doc_id IS NOT NULL
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
+         |       CAST((10000 * SUM(CASE WHEN r.doc_id IS NOT NULL
+         |                              AND hd.doc_id IS NOT NULL
+         |                             THEN 1 ELSE 0 END))
+         |         // GREATEST(COUNT(hd.doc_id), 1) AS BIGINT) AS precision_bp,
+         |       CAST((10000 * SUM(CASE WHEN r.doc_id IS NOT NULL
+         |                              AND hd.doc_id IS NOT NULL
+         |                             THEN 1 ELSE 0 END))
+         |         // GREATEST(COUNT(r.doc_id), 1) AS BIGINT) AS recall_bp
+         |FROM documents d
+         |LEFT JOIN removable r ON d.doc_id = r.doc_id
+         |LEFT JOIN held hd ON d.doc_id = hd.doc_id
+         |GROUP BY d.lang
+         |ORDER BY d.lang""".stripMargin
+    },
+    notes = "gate audit: verify-less 4-band held set scored against the verified LSH removable set, precision/recall in bp per lang")
+
   val all: Seq[QueryDef] = Seq(dedupMinhashLsh, dedupSimhash, dedupContainment,
     dedupPrefixFilter, dedupSortedNeighborhood, dedupEval, textCdcChunk,
-    dedupSubstringSpans, textWinnowing)
+    dedupSubstringSpans, textWinnowing, dedupGateEval)
 }
