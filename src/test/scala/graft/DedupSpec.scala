@@ -36,6 +36,31 @@ class DedupSpec extends AnyFunSuite {
     assert(overlap(0L, 3L) <= 10, s"disjoint-vocab overlap ${overlap(0L, 3L)}/64")
   }
 
+  test("row-local band keys equal the batch signature banding exactly") {
+    // stream_neardup_gate's whole correctness argument is that
+    // minhashBandKeys (array-transform, within-row) produces the SAME
+    // values as the batch explode+agg signature path — pin it for both
+    // the batch banding (16) and the gate's wide banding (4)
+    val sigs = DedupQueries.minhashSignatures(docs)
+      .select($"doc_id", $"lang", $"sig").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+    val bandMod = 1099511627776L // 2^40, the DedupQueries band modulus
+    def expected(bands: Int) = sigs.flatMap { case ((id, lang), sig) =>
+      val rows = 64 / bands
+      (0 until bands).map { b =>
+        val bh = (0 until rows).foldLeft(0L)(
+          (acc, i) => (acc * 8191L + sig(b * rows + i)) % bandMod)
+        (id, lang, b, bh)
+      }
+    }.toSet
+    for (bands <- Seq(16, 4)) {
+      val got = DedupQueries.minhashBandKeys(docs, bands).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      assert(got === expected(bands), s"bands=$bands")
+    }
+  }
+
   test("simhash: identical texts give identical fingerprints, similar are near") {
     // thresholds scaled to the 30-bit fingerprint: expected hamming between
     // unrelated docs ≈ 15; measured 1-token-change = 9, disjoint-vocab = 14
