@@ -1737,6 +1737,15 @@ object EventAnalyticsQueries {
         .repartition(col("user_id"))
         .localCheckpoint()
         .createOrReplaceTempView("rcte_chain")
+      // Spark guards runaway recursion with a cumulative ROW limit
+      // (default 10^6) — at 100× events the 16 levels × users legitimately
+      // exceed it (found by the 100× scale harness, not speculation). This
+      // recursion is depth-bounded by construction (rn ≤ 16 and each
+      // level's join strictly advances rn), so the guard can't serve its
+      // purpose here; raise it well past any fixture scale. Session-scoped
+      // set (queries run sequentially; execution happens after fn returns,
+      // so a set-and-restore would un-set it before the plan runs).
+      spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
       spark.sql("""
         WITH RECURSIVE
         decay AS (
