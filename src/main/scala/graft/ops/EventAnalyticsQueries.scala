@@ -424,9 +424,9 @@ object EventAnalyticsQueries {
     "events_anomaly_mad",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val vCents = cents(col("value"))
       val ev = load(spark, dir, "events")
-        .select(col("event_id"), col("event_type"), cents.as("v"))
+        .select(col("event_id"), col("event_type"), vCents.as("v"))
       val hist = ev.groupBy(col("event_type"), col("v"))
         .agg(count(lit(1)).as("cnt"))
       val wType = Window.partitionBy(col("event_type"))
@@ -651,9 +651,9 @@ object EventAnalyticsQueries {
     "events_percentiles",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val vCents = cents(col("value"))
       val hist = load(spark, dir, "events")
-        .select(col("event_type"), cents.as("v"))
+        .select(col("event_type"), vCents.as("v"))
         .groupBy(col("event_type"), col("v"))
         .agg(count(lit(1)).as("cnt"))
       val wCum = Window.partitionBy(col("event_type"))
@@ -707,10 +707,12 @@ object EventAnalyticsQueries {
     * credits provably re-sum to every purchase's exact value). The batch
     * twin of `stream_attribution` upgraded from pairing to credit
     * assignment; same equi+interval join shape, bounded by the 1-hour
-    * window. Division semantics: Spark `div` truncates toward zero while
-    * DuckDB `//` floors — they differ on negative operands, so the oracle
-    * computes the truncating quotient explicitly as (a − a%b) // b (exact
-    * for all signs; both engines' % is C-style). The credit identity
+    * window. Division semantics: measured, BOTH Spark `div` and DuckDB
+    * `//` truncate toward zero ((−7)//2 = −3 in DuckDB) — the oracle still
+    * computes the quotient in the sign-safe (a − a%b) // b form, which is
+    * exact for all signs under either floor or trunc semantics (both
+    * engines' % is C-style), so a dialect drift can't break refunds. The
+    * credit identity
     * Σcredits = value_cents holds for negative values (refunds) too.
     */
   val eventsAttributionLinear = QueryDef(
@@ -756,11 +758,11 @@ object EventAnalyticsQueries {
           AND c.c_ms <= p.p_ms AND c.c_ms >= p.p_ms - 3600000)
       SELECT purchase_id, user_id, click_id, touch_rank,
              CAST(n_touches AS BIGINT) AS n_touches,
-             -- (a - a%b) // b = truncating division for ALL signs: DuckDB //
-             -- floors while Spark `div` truncates, so a bare // would break
-             -- equivalence on negative value_cents (refunds). Both engines'
-             -- integer % is C-style (sign of dividend), so a - a%b is exactly
-             -- trunc(a/b)*b and the // on it is exact.
+             -- (a - a%b) // b = truncating division for ALL signs under
+             -- either floor or trunc `//` semantics (measured: DuckDB //
+             -- truncates like Spark div, but this form doesn't depend on
+             -- it). Both engines' integer % is C-style (sign of dividend),
+             -- so a - a%b is exactly trunc(a/b)*b and the // on it is exact.
              CAST((value_cents - (value_cents % n_touches)) // n_touches
                   + CASE WHEN touch_rank = 1 THEN value_cents % n_touches
                          ELSE 0 END AS BIGINT) AS credit_cents
@@ -783,9 +785,9 @@ object EventAnalyticsQueries {
   val eventsAbTest = QueryDef(
     "events_ab_test",
     (spark, dir) => {
-      val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val vCents = cents(col("value"))
       val agg = load(spark, dir, "events")
-        .select(col("event_type"), (col("user_id") % 2).as("variant"), cents.as("x"))
+        .select(col("event_type"), (col("user_id") % 2).as("variant"), vCents.as("x"))
         .groupBy(col("event_type"), col("variant"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
           sum(col("x") * col("x")).as("ss"))
@@ -1344,7 +1346,6 @@ object EventAnalyticsQueries {
     "events_ema",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val cents = (c: Column) => floor(c * 100 + lit(0.5)).cast("long")
       val daily = load(spark, dir, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),
           cents(col("value")).as("v"))
@@ -1497,7 +1498,6 @@ object EventAnalyticsQueries {
   val eventsHolt = QueryDef(
     "events_holt",
     (spark, dir) => {
-      val cents = (c: Column) => floor(c * 100 + lit(0.5)).cast("long")
       val daily = load(spark, dir, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),
           cents(col("value")).as("v"))
@@ -1569,7 +1569,6 @@ object EventAnalyticsQueries {
     "events_rolling_median",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val cents = (c: Column) => floor(c * 100 + lit(0.5)).cast("long")
       val daily = load(spark, dir, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),
           cents(col("value")).as("v"))
@@ -1640,11 +1639,17 @@ object EventAnalyticsQueries {
           sum(col("cnt") * col("y")).as("sxy"),
           sum(col("cnt") * col("cnt")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
-        .withColumn("acf_bp", floor(
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
-            * 10000 + 0.5).cast("long"))
+        // zero-variance series (constant daily counts over a lag pairing)
+        // → 0/0 = NaN → ANSI cast-to-long throws; emit NULL instead, the
+        // same degenerate-series policy as events_zscore's rad guard
+        .withColumn("acf_bp", when(
+          col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0,
+          floor(
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+              * 10000 + 0.5).cast("long")))
         .orderBy(col("lag"))
     },
     Some("""
@@ -1673,11 +1678,13 @@ object EventAnalyticsQueries {
                CAST(SUM(y * y) AS BIGINT) AS syy
         FROM pairs GROUP BY lag)
       SELECT lag, n, sx, sy, sxy, sxx, syy,
-             CAST(floor(
-               (CAST(n * sxy - sx * sy AS DOUBLE) /
-                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-                  sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
-               * 10000 + 0.5) AS BIGINT) AS acf_bp
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+               THEN CAST(floor(
+                 (CAST(n * sxy - sx * sy AS DOUBLE) /
+                   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                    sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                 * 10000 + 0.5) AS BIGINT)
+               ELSE NULL END AS acf_bp
       FROM sums
       ORDER BY lag"""),
     notes = "integer-exact ACF sums at lags 1/2/3/7; one IEEE correlation expression both sides")
@@ -1707,8 +1714,9 @@ object EventAnalyticsQueries {
     *    last-16 score by at most 1 cent (s_max/2^16 < 1 plus a floor
     *    carry). The oracle computes the same last-16 definition, so
     *    cross-engine exactness is unaffected by the truncation.
-    * Non-negative `value` keeps `div 2` floor-equal across engines; the
-    * DuckDB oracle runs the same recursion natively.
+    * Non-negative `value` makes `div 2` exact under either floor or trunc
+    * `//` semantics (measured: both engines truncate); the DuckDB oracle
+    * runs the same recursion natively.
     */
   val eventsDecayRcte = QueryDef(
     "events_decay_rcte",

@@ -460,9 +460,11 @@ object RankingQueries {
     * delta, because rare-but-target-loaded features are exactly the signal
     * — an absolute delta drowns them in the bulk (measured: delta scores
     * collapsed the corpus into a 9-bp band; ratios spread it over ~10³ bp).
-    * Every operand is non-negative by construction, which is load-bearing:
-    * Spark `div` truncates toward zero while DuckDB `//` floors, so the
-    * engines agree only on non-negative division. A doc's score is the
+    * Every operand is non-negative by construction — defense in depth for
+    * the integer divisions: measured, BOTH engines truncate toward zero
+    * ((−7)//2 = −3 in DuckDB, same as Spark `div`), but on non-negative
+    * operands the query is correct under either floor or trunc semantics,
+    * so a dialect drift can't silently flip a score. A doc's score is the
     * mean weight over its features — the additive analog of Σ log(p_t/p_r),
     * ranking target-like documents the same way while staying BIGINT end
     * to end. Overflow bound: `10⁶·(r_f+1)` caps the exact form at ~9·10¹²

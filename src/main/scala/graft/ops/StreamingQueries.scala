@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.QueryDef
+import graft.Tables.cents
 import graft.streaming.EventStreams
 
 /** Streaming queries in the HARD correctness signal: each entry runs a real
@@ -126,8 +127,35 @@ object StreamingQueries {
     spark.table(name)
   }
 
-  private def cents(c: org.apache.spark.sql.Column) =
-    floor(c * 100 + lit(0.5)).cast("long")
+  /** Run a foreachBatch SINK query (upsert / MV merge) to completion with
+    * the stream-partition conf held for its whole lifetime, record its
+    * micro-batch exec seconds under `name`, then build the result while
+    * the conf is still in force. Shared by the four versioned-sink
+    * queries so the subtle conf-timing rule lives in ONE place: like
+    * [[runToTable]], the conf is captured into the first batch's metadata
+    * asynchronously after start() returns, so it must not be restored
+    * before termination — and `start`/`result` are by-name so staging
+    * (slice layout, temp dirs) and snapshot reads also run inside the
+    * held-conf region, exactly as the inline originals did.
+    */
+  private def runSink(spark: SparkSession, name: String)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)(
+      result: => DataFrame): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    try {
+      val q = start
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+      val execMs = q.recentProgress.iterator
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+        .sum
+      lastExecSec += name -> execMs / 1e3
+      result
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   /** Streaming tumbling counts, complete mode: the stream result must equal
     * the batch `events_tumbling` aggregation exactly — same oracle shape.
@@ -393,26 +421,17 @@ object StreamingQueries {
   val streamUpsert = QueryDef(
     "stream_upsert",
     (spark, dir) => {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
-      try {
-        val tablePath = Files.createTempDirectory("graft-upsert-table").toString
-        val ckpt = Files.createTempDirectory("graft-upsert-ck").toString
-        val q = EventStreams.runUpsertSink(streamEvents(spark, dir), tablePath, ckpt)
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
-        val execMs = q.recentProgress.iterator
-          .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-          .sum
-        lastExecSec += "stream_upsert" -> execMs / 1e3
+      val tablePath = Files.createTempDirectory("graft-upsert-table").toString
+      val ckpt = Files.createTempDirectory("graft-upsert-ck").toString
+      runSink(spark, "stream_upsert") {
+        EventStreams.runUpsertSink(streamEvents(spark, dir), tablePath, ckpt)
+      } {
         EventStreams.readSnapshot(spark, tablePath)
           .getOrElse(sys.error(s"upsert sink produced no snapshot at $tablePath"))
           .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
             col("event_id"), cents(col("value")).as("value_cents"))
           .orderBy(col("user_id"))
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     },
     Some("""
       SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
@@ -464,24 +483,15 @@ object StreamingQueries {
   val snapshotAsof = QueryDef(
     "snapshot_asof",
     (spark, dir) => {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
-      try {
+      val tablePath = Files.createTempDirectory("graft-tt-table").toString
+      val ckpt = Files.createTempDirectory("graft-tt-ck").toString
+      runSink(spark, "snapshot_asof") {
         val ev = graft.Tables.load(spark, dir, "events")
         val incoming = stageEventSlices(ev, 3)
         val stream = spark.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(incoming)
-        val tablePath = Files.createTempDirectory("graft-tt-table").toString
-        val ckpt = Files.createTempDirectory("graft-tt-ck").toString
-        val q = EventStreams.runUpsertSink(stream, tablePath, ckpt)
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
-        val execMs = q.recentProgress.iterator
-          .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-          .sum
-        lastExecSec += "snapshot_asof" -> execMs / 1e3
+        EventStreams.runUpsertSink(stream, tablePath, ckpt)
+      } {
         val versions = EventStreams.snapshotVersions(tablePath)
         require(versions.map(_._1) == Seq(0L, 1L, 2L),
           s"expected versions v0..v2, got ${versions.map(_._1)}")
@@ -490,7 +500,7 @@ object StreamingQueries {
           .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
             col("event_id"), cents(col("value")).as("value_cents"))
           .orderBy(col("user_id"))
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     },
     Some("""
       SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
@@ -517,30 +527,21 @@ object StreamingQueries {
   val streamMvAgg = QueryDef(
     "stream_mv_agg",
     (spark, dir) => {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
-      try {
+      val tablePath = Files.createTempDirectory("graft-mv-table").toString
+      val ckpt = Files.createTempDirectory("graft-mv-ck").toString
+      runSink(spark, "stream_mv_agg") {
         val ev = graft.Tables.load(spark, dir, "events")
         val incoming = stageEventSlices(ev, 3)
         val stream = spark.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(incoming)
-        val tablePath = Files.createTempDirectory("graft-mv-table").toString
-        val ckpt = Files.createTempDirectory("graft-mv-ck").toString
-        val q = EventStreams.runAggSink(stream, tablePath, ckpt)
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
-        val execMs = q.recentProgress.iterator
-          .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-          .sum
-        lastExecSec += "stream_mv_agg" -> execMs / 1e3
+        EventStreams.runAggSink(stream, tablePath, ckpt)
+      } {
         EventStreams.readSnapshot(spark, tablePath)
           .getOrElse(sys.error(s"no MV snapshot at $tablePath"))
           .select(col("event_type"), col("day"), col("n").as("n_events"),
             col("s").as("value_cents"), col("mx").as("max_cents"))
           .orderBy(col("event_type"), col("day"))
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     },
     Some("""
       SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -613,24 +614,15 @@ object StreamingQueries {
   val snapshotChanges = QueryDef(
     "snapshot_changes",
     (spark, dir) => {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
-      try {
+      val tablePath = Files.createTempDirectory("graft-cdf-table").toString
+      val ckpt = Files.createTempDirectory("graft-cdf-ck").toString
+      runSink(spark, "snapshot_changes") {
         val ev = graft.Tables.load(spark, dir, "events")
         val incoming = stageEventSlices(ev, 3)
         val stream = spark.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(incoming)
-        val tablePath = Files.createTempDirectory("graft-cdf-table").toString
-        val ckpt = Files.createTempDirectory("graft-cdf-ck").toString
-        val q = EventStreams.runUpsertSink(stream, tablePath, ckpt)
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
-        val execMs = q.recentProgress.iterator
-          .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-          .sum
-        lastExecSec += "snapshot_changes" -> execMs / 1e3
+        EventStreams.runUpsertSink(stream, tablePath, ckpt)
+      } {
         def snap(v: Long) = EventStreams.readSnapshotAsOf(spark, tablePath, v)
           .getOrElse(sys.error(s"no snapshot as of v$v at $tablePath"))
           .select(col("user_id"), col("event_id"),
@@ -646,7 +638,7 @@ object StreamingQueries {
             col("o.value_cents").as("old_value_cents"),
             col("n.value_cents").as("new_value_cents"))
           .orderBy(col("user_id"))
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     },
     Some("""
       WITH v1 AS (

@@ -377,6 +377,10 @@ object VectorQueries {
         .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
         .withColumn("maxabs",
           array_max(transform(col("v"), x => abs(x))))
+        // all-zero vector → 0.0/0.0 = NaN → ANSI cast-to-long throws
+        // (while the oracle would NULL) — same degenerate-vector guard as
+        // gramUpper / pca_project
+        .filter(col("maxabs") > 0)
       val quant = transform(col("v"),
         x => floor(x / col("maxabs") * 127 + lit(0.5)).cast("long"))
       e.withColumn("q", quant)
@@ -398,7 +402,7 @@ object VectorQueries {
       q AS (
         SELECT vec_id, v, maxabs,
                list_transform(v, x -> CAST(floor(x / maxabs * 127 + 0.5) AS BIGINT)) AS qv
-        FROM e)
+        FROM e WHERE maxabs > 0)
       SELECT vec_id,
              CAST(floor(maxabs * 10000 + 0.5) AS BIGINT) AS maxabs_bp,
              CAST(list_reduce(list_prepend(0::BIGINT, qv), (a, x) -> a + x) AS BIGINT) AS q_sum,
@@ -685,8 +689,9 @@ object VectorQueries {
     * bit-identical cross-engine where float centroids would diverge by
     * summation order at iteration 1. Centroid update is truncating integer
     * division (Spark `div`; components can be NEGATIVE, so the oracle uses
-    * the sign-safe (s − s%n) // n form — DuckDB `//` floors, see
-    * events_attribution_linear). Empty clusters carry their previous
+    * the sign-safe (s − s%n) // n form — measured, DuckDB `//` also
+    * truncates, and this form is exact under either floor or trunc
+    * semantics, see events_interpolate). Empty clusters carry their previous
     * centroid (left join + coalesce, both engines).
     *
     * Scale shape per iteration: centroids broadcast (k·dim rows), the
@@ -1004,10 +1009,10 @@ object VectorQueries {
     * unlike a plain L2-to-centroid which conflates scale across dims.
     *
     * Exact-integer design: vectors quantize to bp and SHIFT by +10⁴ so every
-    * per-dim sum is non-negative (embeddings straddle 0, and Spark `div`
-    * truncates while DuckDB `//` floors — they agree only on non-negative
-    * operands; deviations may go negative but are squared before any
-    * division). Per-dim variance in bp² uses the floored-moment form
+    * per-dim sum is non-negative (embeddings straddle 0; measured, both
+    * engines' integer division truncates, but non-negative operands make
+    * the query correct under either floor or trunc semantics — deviations
+    * may go negative but are squared before any division). Per-dim variance in bp² uses the floored-moment form
     * `max(0, ss div n − (s div n)²)` (the floor can undershoot a zero
     * variance by 1, never more); z²_d = `(10⁴·dev²) div max(1, var)` — so a
     * dev at exactly 1σ contributes ~10⁴ and the 64-dim sum of a typical

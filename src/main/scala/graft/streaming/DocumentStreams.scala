@@ -42,8 +42,13 @@ object DocumentStreams {
         case (_, rows, state: GroupState[Long]) =>
           val sorted = rows.map(r => (r.doc_id, r.lang, r.band))
             .toVector.sortBy(_._1)
-          val keeper =
-            math.min(state.getOption.getOrElse(Long.MaxValue), sorted.head._1)
+          // FIRST-SEEN keeper: an existing keeper from an earlier batch
+          // stays keeper even if a later batch brings a smaller doc_id —
+          // min() here would let that later doc silently usurp the bucket
+          // and pass the gate un-held (its collision row is exactly the
+          // one filtered out). Within the first batch for a bucket, the
+          // min id is the keeper, which is what the batch oracle states.
+          val keeper = state.getOption.getOrElse(sorted.head._1)
           state.update(keeper)
           sorted.iterator.filter(_._1 != keeper)
             .map { case (id, lang, band) => Collision(id, lang, band) }
