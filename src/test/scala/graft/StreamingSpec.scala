@@ -280,6 +280,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("neardup gate: first-seen keeper is sticky across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.DocumentStreams
+    import graft.streaming.DocumentStreams.{BandRow, Collision}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[BandRow]
+    val q = DocumentStreams.neardupGate(input.toDS())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: doc 10 occupies bucket (en, 0, 42) — passes, becomes keeper
+      input.addData(BandRow(10L, "en", 0, 42L))
+      q.processAllAvailable()
+      // batch 2: doc 5 (SMALLER id, the usurpation scenario) and doc 20
+      // land in the same bucket — BOTH must be held; the keeper from the
+      // earlier batch stays keeper regardless of id order
+      input.addData(BandRow(5L, "en", 0, 42L), BandRow(20L, "en", 0, 42L))
+      q.processAllAvailable()
+      // batch 3: keeper still 10 — another arrival is held too
+      input.addData(BandRow(7L, "en", 0, 42L))
+      q.processAllAvailable()
+      val held = spark.table("neardup_out").as[Collision].collect()
+        .map(_.doc_id).toSet
+      assert(held === Set(5L, 20L, 7L), s"got $held")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
