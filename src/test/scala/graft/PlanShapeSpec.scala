@@ -103,4 +103,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(readSchema.contains("l_quantity") && !readSchema.contains("l_comment"),
       s"q6 scan is not pruned: $readSchema")
   }
+
+  /** Broadcast sentinels: these queries' scale posture rests on a small
+    * side being BROADCAST back over the corpus (weight table / per-dim
+    * stats). A silent fall-back to SortMergeJoin would shuffle the whole
+    * corpus pass and not fail any correctness gate — pin the join strategy.
+    */
+  for (name <- Seq("text_dsir_select", "vector_outliers")) {
+    test(s"$name: the bounded side joins via BroadcastHashJoin") {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name shuffles a corpus pass through SortMergeJoin:\n$plan")
+    }
+  }
+
+  test("vector_outliers: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("vector_outliers")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
