@@ -54,6 +54,31 @@ object DedupQueries {
   private[ops] def perm(h: Column, s: Int): Column =
     (lit(permA(s)) * h + lit(permB(s))) % lit(P)
 
+  /** DuckDB SQL fragments shared by every minhash oracle (the 64 signature
+    * MIN columns, the band-key selects for any band count, the
+    * signature-overlap sum) — built from the same permutation/band
+    * constants as the Spark plans, and defined ONCE so the four minhash
+    * oracles (`dedup_minhash_lsh`, `dedup_eval`, `dedup_gate_eval`,
+    * `stream_neardup_gate`) cannot drift from each other.
+    */
+  private[ops] def minColsSql: String = (0 until NumPerms)
+    .map(s => s"MIN((${permA(s)} * h + ${permB(s)}) % $P) AS m$s")
+    .mkString(",\n    ")
+
+  private[ops] def bandSelectsSql(nBands: Int): String = {
+    val rows = NumPerms / nBands
+    (0 until nBands).map { b =>
+      val bh = (0 until rows).foldLeft("0") { (acc, i) =>
+        s"(($acc * 8191 + m${b * rows + i}) % $BandMod)"
+      }
+      s"SELECT doc_id, lang, $b AS band, $bh AS bh FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+  }
+
+  private[ops] def matchTermsSql: String = (0 until NumPerms)
+    .map(s => s"(CASE WHEN sa.m$s = sb.m$s THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
   /** DuckDB twin of [[tokHash]] over a token expression. */
   private[ops] def tokHashSql(tok: String): String =
     s"""list_reduce(
@@ -201,19 +226,9 @@ object DedupQueries {
       summarize(docs.select(col("doc_id")), pairs)
     },
     Some {
-      val rows = NumPerms / MinhashBands
-      val minCols = (0 until NumPerms)
-        .map(s => s"MIN((${permA(s)} * h + ${permB(s)}) % $P) AS m$s")
-        .mkString(",\n    ")
-      val bandSelects = (0 until MinhashBands).map { b =>
-        val bh = (0 until rows).foldLeft("0") { (acc, i) =>
-          s"(($acc * 8191 + m${b * rows + i}) % $BandMod)"
-        }
-        s"SELECT doc_id, lang, $b AS band, $bh AS bh FROM sigs"
-      }.mkString("\n  UNION ALL\n  ")
-      val matchTerms = (0 until NumPerms)
-        .map(s => s"(CASE WHEN sa.m$s = sb.m$s THEN 1 ELSE 0 END)")
-        .mkString(" + ")
+      val minCols = minColsSql
+      val bandSelects = bandSelectsSql(MinhashBands)
+      val matchTerms = matchTermsSql
       s"""WITH toks AS (
          |  SELECT doc_id, lang,
          |         unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -667,16 +682,8 @@ object DedupQueries {
             .as("recall_bp"))
     },
     Some {
-      val rows = NumPerms / MinhashBands
-      val minCols = (0 until NumPerms)
-        .map(s => s"MIN((${permA(s)} * h + ${permB(s)}) % $P) AS m$s")
-        .mkString(",\n    ")
-      val bandSelects = (0 until MinhashBands).map { b =>
-        val bh = (0 until rows).foldLeft("0") { (acc, i) =>
-          s"(($acc * 8191 + m${b * rows + i}) % $BandMod)"
-        }
-        s"SELECT doc_id, lang, $b AS band, $bh AS bh FROM sigs"
-      }.mkString("\n  UNION ALL\n  ")
+      val minCols = minColsSql
+      val bandSelects = bandSelectsSql(MinhashBands)
       s"""WITH w AS (
          |  SELECT GREATEST(5, COUNT(*) // 1000) AS md FROM documents),
          |sub AS (
@@ -1084,20 +1091,8 @@ object DedupQueries {
         .orderBy(col("lang"))
     },
     Some {
-      val rows16 = NumPerms / MinhashBands
-      val rows4 = NumPerms / 4
-      val minCols = (0 until NumPerms)
-        .map(s => s"MIN((${permA(s)} * h + ${permB(s)}) % $P) AS m$s")
-        .mkString(",\n    ")
-      def bandSelects(nBands: Int, rows: Int) = (0 until nBands).map { b =>
-        val bh = (0 until rows).foldLeft("0") { (acc, i) =>
-          s"(($acc * 8191 + m${b * rows + i}) % $BandMod)"
-        }
-        s"SELECT doc_id, lang, $b AS band, $bh AS bh FROM sigs"
-      }.mkString("\n  UNION ALL\n  ")
-      val matchTerms = (0 until NumPerms)
-        .map(s => s"(CASE WHEN sa.m$s = sb.m$s THEN 1 ELSE 0 END)")
-        .mkString(" + ")
+      val minCols = minColsSql
+      val matchTerms = matchTermsSql
       s"""WITH toks AS (
          |  SELECT doc_id, lang,
          |         unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -1109,7 +1104,7 @@ object DedupQueries {
          |    $minCols
          |  FROM hashed GROUP BY doc_id, lang),
          |bands AS (
-         |  ${bandSelects(MinhashBands, rows16)}),
+         |  ${bandSelectsSql(MinhashBands)}),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bands a JOIN bands b
@@ -1127,7 +1122,7 @@ object DedupQueries {
          |  -- exactly the b_id side
          |  SELECT DISTINCT b_id AS doc_id FROM pairs),
          |gate_bands AS (
-         |  ${bandSelects(4, rows4)}),
+         |  ${bandSelectsSql(4)}),
          |keepers AS (
          |  SELECT band, bh, lang, MIN(doc_id) AS keeper
          |  FROM gate_bands GROUP BY band, bh, lang),

@@ -790,18 +790,9 @@ object StreamingQueries {
         .orderBy(col("lang"))
     },
     Some {
-      import DedupQueries.{permA, permB, tokHashSql, NumPerms, BandMod, P}
-      val gateBands = 4
-      val rows = NumPerms / gateBands
-      val minCols = (0 until NumPerms)
-        .map(s => s"MIN((${permA(s)} * h + ${permB(s)}) % $P) AS m$s")
-        .mkString(",\n    ")
-      val bandSelects = (0 until gateBands).map { b =>
-        val bh = (0 until rows).foldLeft("0") { (acc, i) =>
-          s"(($acc * 8191 + m${b * rows + i}) % $BandMod)"
-        }
-        s"SELECT doc_id, lang, $b AS band, $bh AS bh FROM sigs"
-      }.mkString("\n  UNION ALL\n  ")
+      import DedupQueries.{tokHashSql, minColsSql, bandSelectsSql}
+      val minCols = minColsSql
+      val bandSelects = bandSelectsSql(4)
       s"""WITH toks AS (
          |  SELECT doc_id, lang,
          |         unnest(list_distinct(string_split(text, ' '))) AS tok
