@@ -148,7 +148,11 @@ object TextQueries2 {
           least(col("root"), coalesce(col("r_root"), col("root"))).as("root"),
           col("moved"))
       val materialized = next.localCheckpoint()
-      changed = materialized.agg(sum(col("moved"))).first().getLong(0)
+      // sum over ZERO rows is NULL (empty pair graph — possible under a
+      // regenerated or less-duplicated fixture); coalesce before getLong
+      // or the fixpoint check NPEs
+      changed = materialized.agg(coalesce(sum(col("moved")), lit(0L)))
+        .first().getLong(0)
       labels = materialized.select(col("id"), col("root"))
       rounds += 1
     }
@@ -392,6 +396,10 @@ object TextQueries2 {
       val toks = split(col("text"), " ")
       val pairs = load(spark, dir, "documents")
         .select(toks.as("toks"))
+        // 1-token docs: sequence(1, 0) is the DESCENDING [1, 0] in Spark,
+        // and its i=0 makes element_at throw — guard like textLmCoverage
+        // (the oracle's generate_series(1, 0) is simply empty)
+        .filter(size(col("toks")) >= 2)
         .select(explode(sequence(lit(1), size(col("toks")) - 1)).as("i"), col("toks"))
         .select(element_at(col("toks"), col("i")).as("a"),
           element_at(col("toks"), col("i") + 1).as("b"))

@@ -74,30 +74,43 @@ case class AsOfJoinExec(
       var lastMatchTime = 0L
       var rRow: InternalRow = null
       var rKeyV = 0L; var rTimeV = 0L
-      def advanceRight(): Unit =
-        if (rIter.hasNext) {
-          rRow = rIter.next()
-          val k = rProj(rRow); rKeyV = k.getLong(0); rTimeV = k.getLong(1)
-        } else rRow = null
+      // SQL semantics: a NULL key or time never matches — and getLong on a
+      // null slot reads 0, which would ALSO break the merge's monotonicity
+      // assumption (NULLS FIRST sorts null rows before every real value, so
+      // their phantom 0s would arrive out of order). Null right rows are
+      // skipped here; null left rows emit nothing below.
+      def advanceRight(): Unit = {
+        rRow = null
+        while (rRow == null && rIter.hasNext) {
+          val cand = rIter.next()
+          val k = rProj(cand)
+          if (!k.isNullAt(0) && !k.isNullAt(1)) {
+            rRow = cand; rKeyV = k.getLong(0); rTimeV = k.getLong(1)
+          }
+        }
+      }
       advanceRight()
       lIter.flatMap { lRow =>
         val k = lProj(lRow)
-        val lKeyV = k.getLong(0); val lTimeV = k.getLong(1)
-        // consume right rows strictly before (key, time); remember the last
-        // one whose key matches — sort order makes it the max (time, tiebreak)
-        while (rRow != null &&
-            (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV < lTimeV))) {
-          if (rKeyV == lKeyV) {
-            lastMatch = rRow.asInstanceOf[UnsafeRow].copy()
-            lastMatchKey = rKeyV
-            lastMatchTime = rTimeV
+        if (k.isNullAt(0) || k.isNullAt(1)) Iterator.empty
+        else {
+          val lKeyV = k.getLong(0); val lTimeV = k.getLong(1)
+          // consume right rows strictly before (key, time); remember the last
+          // one whose key matches — sort order makes it the max (time, tiebreak)
+          while (rRow != null &&
+              (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV < lTimeV))) {
+            if (rKeyV == lKeyV) {
+              lastMatch = rRow.asInstanceOf[UnsafeRow].copy()
+              lastMatchKey = rKeyV
+              lastMatchTime = rTimeV
+            }
+            advanceRight()
           }
-          advanceRight()
+          if (lastMatch != null && lastMatchKey == lKeyV &&
+              tol.forall(t => lTimeV - lastMatchTime <= t))
+            Iterator.single(outProj(joined(lRow, lastMatch)))
+          else Iterator.empty
         }
-        if (lastMatch != null && lastMatchKey == lKeyV &&
-            tol.forall(t => lTimeV - lastMatchTime <= t))
-          Iterator.single(outProj(joined(lRow, lastMatch)))
-        else Iterator.empty
       }
     }
   }

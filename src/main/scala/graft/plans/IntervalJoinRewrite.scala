@@ -147,8 +147,16 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjuncts(cond)
+      // EqualNullSafe counts too: ExtractEquiJoinKeys hash-joins on <=> just
+      // like =, so firing the bucket rewrite over it would 3x-explode the
+      // probe side of a join that needed no help (correct but strictly worse)
       val hasEqui = conjuncts.exists {
         case EqualTo(l, r) =>
+          (l.references.subsetOf(left.outputSet) &&
+            r.references.subsetOf(right.outputSet)) ||
+          (r.references.subsetOf(left.outputSet) &&
+            l.references.subsetOf(right.outputSet))
+        case EqualNullSafe(l, r) =>
           (l.references.subsetOf(left.outputSet) &&
             r.references.subsetOf(right.outputSet)) ||
           (r.references.subsetOf(left.outputSet) &&

@@ -134,7 +134,12 @@ final case class PagedJsonSource(
     */
   def loadRaw(spark: SparkSession): Dataset[String] = {
     import spark.implicits._
+    // limit ≤ 0 would divide by zero; totalRecords ≤ 0 would otherwise hit
+    // repartition(0), which throws before load()'s reference-parity
+    // "No data fetched." — an empty Dataset lets that path fire instead
+    require(limit > 0, s"page limit must be positive, got $limit")
     val nPages = ((totalRecords + limit - 1) / limit).toInt
+    if (nPages <= 0) return spark.emptyDataset[String]
     val f = fetcher
     val lim = limit
     val strict = failOnDroppedPage

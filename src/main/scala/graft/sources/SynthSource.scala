@@ -66,6 +66,24 @@ object SynthSource {
   /** id → hash; id·K ≤ 2⁶³ for id ≤ 3.4e9, so BIGINT-exact in any engine. */
   def hash(id: Long): Long = (id * K) % P
 
+  /** Split [lo, hi) into ≤`partitions` contiguous id ranges — shared by the
+    * batch scan and the micro-batch stream so the two can never split a
+    * range differently.
+    */
+  private[sources] def rangePartitions(
+      lo: Long, hi: Long, partitions: Int): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    if (n == 0L) Array.empty
+    else {
+      val parts = math.max(1, math.min(partitions, n).toInt)
+      val step = (n + parts - 1) / parts
+      (0 until parts).iterator
+        .map(i => SynthPartition(lo + i * step, math.min(hi, lo + (i + 1) * step)))
+        .filter(p => p.from < p.until)
+        .toArray[InputPartition]
+    }
+  }
+
   /** The oracle-side regeneration of the full table from range(numRows). */
   def oracleSql(numRows: Long): String =
     s"""SELECT id, CAST(h % 64 AS INTEGER) AS bucket, h % 100000 AS v_cents,
@@ -117,16 +135,7 @@ class SynthMicroBatchStream(numRows: Long, partitions: Int, rowsPerBatch: Long,
   override def reportLatestOffset(): Offset = SynthOffset(numRows)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (lo, hi) = (start.asInstanceOf[SynthOffset].v, end.asInstanceOf[SynthOffset].v)
-    val n = math.max(0L, hi - lo)
-    if (n == 0L) Array.empty
-    else {
-      val parts = math.max(1, math.min(partitions, n).toInt)
-      val step = (n + parts - 1) / parts
-      (0 until parts).iterator
-        .map(i => SynthPartition(lo + i * step, math.min(hi, lo + (i + 1) * step)))
-        .filter(p => p.from < p.until)
-        .toArray[InputPartition]
-    }
+    SynthSource.rangePartitions(lo, hi, partitions)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(cols)
@@ -155,13 +164,21 @@ class SynthScanBuilder(numRows: Long, partitions: Int, rowsPerBatch: Long,
       case EqualTo("id", _: Number) => true
       case _ => false
     }
+    // v + 1 must saturate, not wrap: `id <= Long.MaxValue` would otherwise
+    // make hi = Long.MinValue (empty scan) and `id > Long.MaxValue` would
+    // make lo = Long.MinValue (full scan) — silently wrong both ways,
+    // because the filter is reported as consumed and never re-checked.
+    def succ(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     ours.foreach {
-      case GreaterThan("id", v: Number) => lo = math.max(lo, v.longValue + 1)
+      case GreaterThan("id", v: Number) =>
+        // id > MaxValue is unsatisfiable: empty range, not lo = wrap
+        if (v.longValue == Long.MaxValue) { lo = numRows; hi = 0L }
+        else lo = math.max(lo, v.longValue + 1)
       case GreaterThanOrEqual("id", v: Number) => lo = math.max(lo, v.longValue)
       case LessThan("id", v: Number) => hi = math.min(hi, v.longValue)
-      case LessThanOrEqual("id", v: Number) => hi = math.min(hi, v.longValue + 1)
+      case LessThanOrEqual("id", v: Number) => hi = math.min(hi, succ(v.longValue))
       case EqualTo("id", v: Number) =>
-        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+        lo = math.max(lo, v.longValue); hi = math.min(hi, succ(v.longValue))
       case _ =>
     }
     accepted = ours
@@ -270,20 +287,8 @@ class SynthScanBuilder(numRows: Long, partitions: Int, rowsPerBatch: Long,
     else new UnknownPartitioning(partitions)
 
   private def planPartitions(lo: Long, hi: Long): Array[InputPartition] =
-    if (bucketed) bucketPartitions(lo, hi) else rangePartitions(lo, hi)
-
-  private def rangePartitions(lo: Long, hi: Long): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
-    if (n == 0L) Array.empty
-    else {
-      val parts = math.max(1, math.min(partitions, n).toInt)
-      val step = (n + parts - 1) / parts
-      (0 until parts).iterator
-        .map(i => SynthPartition(lo + i * step, math.min(hi, lo + (i + 1) * step)))
-        .filter(p => p.from < p.until)
-        .toArray[InputPartition]
-    }
-  }
+    if (bucketed) bucketPartitions(lo, hi)
+    else SynthSource.rangePartitions(lo, hi, partitions)
 
   /** One partition per bucket value, each carrying its partition key. The
     * readers re-derive membership (`hash(id) % 64 == bucket`) while walking
