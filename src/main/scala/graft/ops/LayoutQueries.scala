@@ -181,10 +181,28 @@ object LayoutQueries {
     * exchange. DppSpec pins `dynamicpruning` in the executed plan; the
     * oracle computes the same join from the raw table.
     */
+  /** Stable per-sfDir scratch location: layout queries rewrite real tables
+    * into a laid-out copy, and a fresh temp dir per invocation accumulates
+    * one full data copy per bench/verify iteration (plus, for the bucketed
+    * tables, permanent catalog entries). One deterministic dir per
+    * (prefix, sf dir), overwritten in place, bounds the footprint at one
+    * copy per fixture dir.
+    */
+  private def stableTmp(prefix: String, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString
+        .getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"$prefix-$key")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   val layoutDpp = QueryDef(
     "layout_dpp",
     (spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+      val tmp = stableTmp("graft-dpp", dir)
       // repartition on the partition column before the write: one task per
       // day directory (and one file per partition — the layout a real fact
       // table wants) instead of the single scan task writing all 30 dirs
@@ -235,10 +253,13 @@ object LayoutQueries {
   val layoutBucketed = QueryDef(
     "layout_bucketed",
     (spark, dir) => {
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val base = stableTmp("graft-bucketed", dir)
+      // table names keyed to the sf dir (not a per-run UUID): re-runs
+      // OVERWRITE one catalog entry per fixture dir instead of leaking a
+      // new table + data copy per invocation
+      val tag = new java.io.File(base).getName.takeRight(12)
       val oTab = s"graft_orders_b_$tag"
       val lTab = s"graft_lineitem_b_$tag"
-      val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
       // repartition on the bucket key (same Murmur3 hash as bucketBy) so
       // the 8 bucket files are written by 8 parallel tasks — one bucket per
       // task, one file per bucket — instead of the single scan task writing

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.Tables.{basisPoints, cents, exactDiv, load}
+import graft.Tables.{cents, exactDiv, load}
 
 /** Extension surface over the driver's star schema (SURVEY §2.4/§7.2.5):
   * joins (broadcast/semi/anti/range/as-of), aggregations (hash, distinct,
@@ -744,10 +744,8 @@ object RelationalQueries {
   val joinRangeRule = QueryDef(
     "join_range_rule",
     (spark, dir) => {
-      import graft.plans.RewriteIntervalJoin
-      if (!spark.experimental.extraOptimizations.contains(RewriteIntervalJoin))
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ RewriteIntervalJoin
+      import graft.plans.{RewriteIntervalJoin, SessionRules}
+      SessionRules.registerOptimization(spark, RewriteIntervalJoin)
       val ev = load(spark, dir, "events")
       val err = ev.filter(col("event_type") === "error")
         .select(col("event_id").as("e_id"), unix_millis(col("ts")).as("e_ms"))

@@ -202,10 +202,18 @@ object TextQueries {
         .filter(col("doc_id") % 20 === 0)
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-      val shExpr = array_distinct(transform(
-        sequence(lit(1), size(col("toks")) - 2),
-        i => concat_ws(" ", element_at(col("toks"), i),
-          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+      // <3-token docs: sequence(1, size-2) counts DOWN (Spark defaults to
+      // step -1 when start > stop), its i=0 makes element_at throw, and
+      // under the session's ANSI default even i=1's +2 lookup is
+      // out-of-bounds — so the whole shingle expression sits behind a lazy
+      // when(): CaseWhen evaluates only the taken branch, and the empty
+      // otherwise matches the oracle's empty generate_series(1, len-2)
+      val shExpr = when(size(col("toks")) >= 3,
+        array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+        .otherwise(array().cast("array<string>"))
       // bucket-pair formulation instead of a self-join: group doc ids per
       // shingle, expand in-bucket pairs — candidate generation is bounded by
       // bucket size, never a full relation self-join

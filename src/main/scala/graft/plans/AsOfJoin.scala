@@ -139,12 +139,8 @@ object AsOfJoinOps {
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column, rightTiebreak: Column,
       tolerance: Option[Long] = None): DataFrame = {
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    if (!spark.experimental.extraOptimizations.contains(PushLeftFilterThroughAsOfJoin))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ PushLeftFilterThroughAsOfJoin
+    SessionRules.registerStrategy(spark, AsOfJoinStrategy)
+    SessionRules.registerOptimization(spark, PushLeftFilterThroughAsOfJoin)
     GraftSqlBridge.ofRows(spark, AsOfJoin(
       GraftSqlBridge.analyzedPlan(leftDf), GraftSqlBridge.analyzedPlan(rightDf),
       GraftSqlBridge.expression(leftKey), GraftSqlBridge.expression(rightKey),

@@ -52,12 +52,25 @@ class DigestTable(writeSchema: StructType) extends Table with SupportsWrite {
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // Fail FAST on a shape the writers would silently mis-hash: they read
+    // the first three fields as non-null longs, so anything else must be
+    // rejected here, not committed as a plausible-but-wrong digest.
+    val s = info.schema()
+    require(s.length >= 3 &&
+      s.take(3).forall(f => f.dataType == org.apache.spark.sql.types.LongType),
+      s"digest sink requires the first 3 columns to be BIGINT, got ${s.simpleString}")
+    // The TRUNCATE capability above admits overwrite-mode plans, so the
+    // builder must actually support it — a no-op for this stateless sink
+    // (each commit fully replaces lastDigest anyway).
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new DigestBatchWrite
       }
     }
+  }
 }
 
 case class DigestMessage(rows: Long, digest: Long) extends WriterCommitMessage
@@ -78,6 +91,10 @@ class DigestWriterFactory extends DataWriterFactory {
       private var rows = 0L
       private var digest = 0L
       override def write(record: InternalRow): Unit = {
+        // getLong on a null slot reads 0 — a silent wrong digest; reject
+        if (record.isNullAt(0) || record.isNullAt(1) || record.isNullAt(2))
+          throw new IllegalArgumentException(
+            "digest sink: NULL in one of the three hashed columns")
         rows += 1
         digest += DigestSink.rowHash(
           record.getLong(0), record.getLong(1), record.getLong(2))

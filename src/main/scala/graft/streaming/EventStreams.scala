@@ -197,10 +197,18 @@ object EventStreams {
     Option(new java.io.File(tablePath).listFiles()).toSeq.flatten
       .filter(_.isDirectory)
       .flatMap(f => f.getName match {
-        case VersionDirName(n) => Some(n.toLong -> f.getAbsolutePath)
+        case VersionDirName(n) => Some((f.lastModified, n.toLong, f.getAbsolutePath))
         case _ => None
       })
-      .sortBy(_._1)
+      // CREATION order, not batch id: version names are checkpoint-scoped
+      // (<ckptTag>-v<batchId>) and a fresh checkpoint on a reused tablePath
+      // restarts batch ids at 0 — sorting by id alone would interleave the
+      // new run's v0 among the old run's history (and vacuum could then
+      // drop the LIVE version as "oldest"). Version dirs are written once
+      // and never touched again, so mtime IS creation order; batch id
+      // breaks ties within a tag's same-millisecond writes.
+      .sortBy { case (mtime, n, _) => (mtime, n) }
+      .map { case (_, n, dir) => n -> dir }
 
   /** TIME-TRAVEL read: the snapshot AS OF batch `asOfBatch` — the greatest
     * retained version ≤ the requested one, Delta `VERSION AS OF` semantics
@@ -223,7 +231,14 @@ object EventStreams {
   def vacuumSnapshots(tablePath: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must retain at least the live version")
     val versions = snapshotVersions(tablePath)
+    // Belt-and-braces on top of creation-order listing: never delete the
+    // directory `_LATEST` currently points to, whatever the ordering says.
+    val live = snapshotDir(tablePath)
     val drop = versions.dropRight(keepLast)
+      .filterNot { case (_, dir) =>
+        live.exists(l => java.nio.file.Paths.get(l).toAbsolutePath ==
+          java.nio.file.Paths.get(dir).toAbsolutePath)
+      }
     drop.foreach { case (_, dir) =>
       val root = java.nio.file.Paths.get(dir)
       // children first, then the version dir itself
@@ -249,17 +264,43 @@ object EventStreams {
     * plus an O(groups) merge — independent of how much history the MV
     * already aggregates, which is the whole point at 100 TB.
     */
-  def runAggSink(events: DataFrame, tablePath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ckptTag = java.security.MessageDigest.getInstance("SHA-256")
+  /** Checkpoint-scoped version-name tag shared by both versioned sinks:
+    * SHA-256 prefix of the absolute checkpoint path (see [[runUpsertSink]]
+    * for why versions are scoped to the checkpoint, not just the batch id).
+    */
+  private def ckptTag(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
       .digest(java.nio.file.Paths.get(checkpoint).toAbsolutePath.toString
         .getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
+
+  /** The versioned-snapshot COMMIT PROTOCOL shared by both sinks: skip when
+    * `_LATEST` already names this version (idempotent recovery — the
+    * previous attempt completed both the write and the repoint; rewriting
+    * would read from and overwrite the same directory), else write the
+    * merged snapshot to the fresh version dir and atomically swap the
+    * pointer. `merged` is by-name so its plan is only built (and `existing`
+    * only read through the pointer) when the write actually happens.
+    */
+  private def commitVersionedSnapshot(tablePath: String, version: String)(
+      merged: => DataFrame): Unit =
+    if (!snapshotDir(tablePath).contains(s"$tablePath/$version")) {
+      merged.write.mode("overwrite").parquet(s"$tablePath/$version")
+      val tmp = java.nio.file.Paths.get(tablePath, "_LATEST.tmp")
+      java.nio.file.Files.writeString(tmp, version)
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get(tablePath, "_LATEST"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  def runAggSink(events: DataFrame, tablePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = ckptTag(checkpoint)
     events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val version = s"$ckptTag-v$batchId"
-        if (!snapshotDir(tablePath).contains(s"$tablePath/$version")) {
+        commitVersionedSnapshot(tablePath, s"$tag-v$batchId") {
           val centsCol = floor(col("value") * 100 + lit(0.5)).cast("long")
           val part = batch
             .groupBy(col("event_type"),
@@ -269,7 +310,7 @@ object EventStreams {
           val existing = readSnapshot(spark, tablePath).getOrElse(
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], part.schema))
-          val merged = existing.as("a")
+          existing.as("a")
             .join(part.as("b"), Seq("event_type", "day"), "full_outer")
             .select(col("event_type"), col("day"),
               (coalesce(col("a.n"), lit(0L)) + coalesce(col("b.n"), lit(0L)))
@@ -278,13 +319,6 @@ object EventStreams {
                 .as("s"),
               greatest(coalesce(col("a.mx"), col("b.mx")),
                 coalesce(col("b.mx"), col("a.mx"))).as("mx"))
-          merged.write.mode("overwrite").parquet(s"$tablePath/$version")
-          val tmp = java.nio.file.Paths.get(tablePath, "_LATEST.tmp")
-          java.nio.file.Files.writeString(tmp, version)
-          java.nio.file.Files.move(tmp,
-            java.nio.file.Paths.get(tablePath, "_LATEST"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         ()
       }
@@ -319,18 +353,11 @@ object EventStreams {
     */
   def runUpsertSink(events: DataFrame, tablePath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ckptTag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(java.nio.file.Paths.get(checkpoint).toAbsolutePath.toString
-        .getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+    val tag = ckptTag(checkpoint)
     events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val version = s"$ckptTag-v$batchId"
-        // Idempotent-recovery guard: pointer already at this version means the
-        // previous attempt completed both the write and the repoint; rewriting
-        // would read from and overwrite the same directory.
-        if (!snapshotDir(tablePath).contains(s"$tablePath/$version")) {
+        commitVersionedSnapshot(tablePath, s"$tag-v$batchId") {
           val latest = batch
             .groupBy(col("user_id"))
             .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
@@ -339,18 +366,11 @@ object EventStreams {
           val existing = readSnapshot(spark, tablePath).getOrElse(
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema))
-          val merged = existing.unionByName(latest)
+          existing.unionByName(latest)
             .groupBy(col("user_id"))
             .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
             .select(col("user_id"), col("m.ts").as("ts"),
               col("m.event_id").as("event_id"), col("m.value").as("value"))
-          merged.write.mode("overwrite").parquet(s"$tablePath/$version")
-          val tmp = java.nio.file.Paths.get(tablePath, "_LATEST.tmp")
-          java.nio.file.Files.writeString(tmp, version)
-          java.nio.file.Files.move(tmp,
-            java.nio.file.Paths.get(tablePath, "_LATEST"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         ()
       }

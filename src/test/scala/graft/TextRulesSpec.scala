@@ -52,4 +52,22 @@ class TextRulesSpec extends AnyFunSuite {
     // lang, n_docs, fail_wordlen, fail_alpha, fail_stop, fail_count, n_kept
     assert(out.toSeq === Seq(Row("en", 3L, 0L, 0L, 1L, 1L, 1L)))
   }
+
+  test("short docs don't crash the n-gram queries (descending-sequence guard)") {
+    // 1- and 2-token docs made sequence(1, size-k) count DOWN (Spark
+    // defaults to step -1 when start > stop), so element_at saw index 0
+    // (always an error) or an ANSI out-of-bounds — both guarded now.
+    // doc_ids are multiples of 20 so the shingle query's sample keeps them.
+    val dir = docsDir(Seq(
+      (0L, "one", "en", "s1"),
+      (20L, "two words", "en", "s1"),
+      (40L, "three word doc here", "en", "s1"),
+      (60L, "three word doc here", "en", "s1")))
+    // shingles: only the 4-token twins can pair; short docs contribute none
+    val sh = ops.TextQueries.dedupJaccardShingles.fn(spark, dir).collect()
+    assert(sh.length === 1 && sh.head.getLong(0) === 40L, sh.toSeq.toString)
+    // bigram LM: the 1-token doc is skipped, everything else counts
+    val lm = ops.TextQueries2.textBigramLm.fn(spark, dir).collect()
+    assert(lm.nonEmpty)
+  }
 }
