@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.ops.{GoldPipeline, ParityQueries}
-import graft.sources.{CsvSource, LocalFixturePageFetcher, PagedJsonSource, Source}
+import graft.ops.GoldPipeline
+import graft.sources.Source
 
 /** CLI entry point — the reference's notebook-widget parameterization
   * (`Spatially ETL test.py:38-66`: `data_source ∈ {BLOB, API}`, paths, paging)
@@ -13,14 +13,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     val table = args.drop(1).headOption
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 
     // widget-parity resolution order: CLI arg > GRAFT_* env > widget default,
     // with fixture paging defaults suited to the bundled pages

@@ -10,13 +10,7 @@ object Verify {
     // iteration only — the driver always passes exactly two args)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.create(cpus)
     new java.io.File(outDir).mkdirs()
     // Failures must be LOUD: a query that errors writes no parquet, so
     // without a sidecar record it would simply vanish from the driver's

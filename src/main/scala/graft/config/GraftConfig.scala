@@ -38,10 +38,23 @@ object GraftConfig {
         .getOrElse("/root/repo/src/test/resources/brfss.csv"),
       pagesDir = env("GRAFT_PAGES_DIR")
         .getOrElse("/root/repo/src/test/resources/brfss_pages"),
-      limit = env("GRAFT_PAGE_LIMIT").map(_.toLong).getOrElse(10000L),
-      totalRecords = env("GRAFT_TOTAL_RECORDS").map(_.toLong).getOrElse(93249L),
+      limit = parseLong("GRAFT_PAGE_LIMIT", env).getOrElse(10000L),
+      totalRecords = parseLong("GRAFT_TOTAL_RECORDS", env).getOrElse(93249L),
       clientId = env("GRAFT_CLIENT_ID"),
       tenantId = env("GRAFT_TENANT_ID"),
       clientSecret = env("GRAFT_CLIENT_SECRET"),
       hadoopConf = Map.empty)
+
+  /** Parse a numeric env var NAMING the variable on failure — a bare
+    * NumberFormatException("10k") tells the operator nothing about which
+    * of the GRAFT_* knobs is malformed.
+    */
+  private def parseLong(name: String, env: String => Option[String]): Option[Long] =
+    env(name).map { v =>
+      try v.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$name must be a number, got '$v'")
+      }
+    }
 }

@@ -25,12 +25,24 @@ import org.apache.spark.sql.expressions.Aggregator
 object ArraySumAggregator
     extends Aggregator[Array[Long], Array[Long], Array[Long]] {
   def zero: Array[Long] = Array.empty[Long]
+  // ragged inputs must fail LOUDLY: depending on arrival order they would
+  // otherwise either throw an opaque AIOOBE deep in codegen or silently
+  // truncate longer rows' tails — a wrong Gram matrix with no error
+  private def requireSameLength(a: Int, b: Int): Unit =
+    if (a != b) throw new IllegalArgumentException(
+      s"array_sum: element arrays differ in length ($a vs $b)")
   def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
     if (b.isEmpty) a.clone
-    else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+    else {
+      requireSameLength(b.length, a.length)
+      var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b
+    }
   def merge(x: Array[Long], y: Array[Long]): Array[Long] =
     if (x.isEmpty) y else if (y.isEmpty) x
-    else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x }
+    else {
+      requireSameLength(x.length, y.length)
+      var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
+    }
   def finish(r: Array[Long]): Array[Long] = r
   def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()

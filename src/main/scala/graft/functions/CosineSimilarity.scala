@@ -43,7 +43,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object CosineSimilarityFn {
   /** Referenced from generated code. */
   def compute(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    // a prefix cosine over mismatched lengths would be plausible-but-wrong
+    // everywhere this feeds ANN/near-dup; the HOF reference null-poisons
+    // and DuckDB errors — fail loudly like the oracle, don't guess
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_similarity: vector lengths differ " +
+          s"(${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -49,8 +49,14 @@ object VectorFunctions {
     */
   def signLsh(v: Column, nBits: Int): Column = {
     val bits = (0 until nBits).map { p =>
+      // dimension index derived from the VECTOR's size, not a hardcoded
+      // 64: a shorter vector zip_with a longer index range null-pads,
+      // nulls the projection, and sends EVERY vector to bucket 0 — the
+      // LSH self-join then degenerates to an O(N²) cross product with no
+      // error raised
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(63)), (x, j) => x * planeWeight(p, j)),
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, j) => x * planeWeight(p, j)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }

@@ -301,7 +301,6 @@ object AdvancedQueries {
   val joinAsofNearest = QueryDef(
     "join_asof_nearest",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = load(spark, dir, "events")
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),

@@ -79,14 +79,22 @@ object Multimodal {
     * input row never materializes more than its own frames.
     */
   def sampleFrames(ds: Dataset[MediaRecord], decoder: MediaDecoder,
-      stride: Int = 4, frameSize: Int = 32): Dataset[FrameSample] = {
+      stride: Int = 4, frameSize: Int = 32,
+      batchSize: Int = 64): Dataset[FrameSample] = {
     import ds.sparkSession.implicits._
-    ds.flatMap { r =>
-      val feats = decoder.decodeBatch(Seq(r)).head
-      (0 until feats.n_frames by stride).map { i =>
-        val start = math.min(i * frameSize, math.max(r.content.length - 1, 0))
-        val end = math.min(start + frameSize, r.content.length)
-        FrameSample(r.media_id, i, r.content.slice(start, end))
+    // batch the decoder like decode() does — a per-row decodeBatch(Seq(r))
+    // pays a real codec's full per-invocation overhead on every video, the
+    // exact cost the MediaDecoder batch contract exists to amortize
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { chunk =>
+        decoder.decodeBatch(chunk).iterator.zip(chunk.iterator).flatMap {
+          case (feats, r) =>
+            (0 until feats.n_frames by stride).map { i =>
+              val start = math.min(i * frameSize, math.max(r.content.length - 1, 0))
+              val end = math.min(start + frameSize, r.content.length)
+              FrameSample(r.media_id, i, r.content.slice(start, end))
+            }
+        }
       }
     }
   }

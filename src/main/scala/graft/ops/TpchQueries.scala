@@ -284,7 +284,10 @@ object TpchQueries {
             col("l_quantity").between(1, 11)) ||
           (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
             col("l_quantity").between(10, 20)) ||
-          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          // textbook Q19 says Brand#34, but this fixture's brand domain is
+          // Brand#1..25 — a dead arm would leave a third of the disjunction
+          // untestable by the oracle (19 parts match Brand#24 here)
+          (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
             col("l_quantity").between(20, 30))))
         .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
           count(lit(1)).as("n_items"))
@@ -295,7 +298,7 @@ object TpchQueries {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""))
+         OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""))
 
   /** TPC-H Q22-shaped: dormant high-balance customers — global scalar
     * aggregate broadcast back as a cross join (the distributed form of a
