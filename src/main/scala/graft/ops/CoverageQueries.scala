@@ -237,13 +237,8 @@ object CoverageQueries {
     "dedup_levenshtein",
     (spark, dir) => {
       val d = load(spark, dir, "documents").filter(col("doc_id") % 10 === 0)
-      val bands = DedupQueries.simhashBands(
-        DedupQueries.simhashFingerprints(d))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
+      val cand = DedupQueries.bandCandidatePairs(
+        DedupQueries.simhashBands(DedupQueries.simhashFingerprints(d)))
       val pre = d.select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
       cand
         .join(pre.select(col("doc_id").as("a_id"), col("prefix").as("a_prefix")), "a_id")

@@ -308,13 +308,19 @@ object DedupQueries {
     * geometry on a big corpus. Returns (a_id, b_id, n_common,
     * containment_bp ≥ 8000) pairs.
     */
-  def containmentPairs(docs: DataFrame, bitsPerBand: Int): DataFrame = {
-    val bands = simhashBands(simhashFingerprints(docs), bitsPerBand)
-    val cand = bands.as("a").join(bands.as("b"),
+  /** Distinct same-band candidate pairs (a_id < b_id) from a simhash band
+    * table — shared by `dedup_containment` and `dedup_levenshtein` so the
+    * blocking join's key/distinct semantics live in one place.
+    */
+  def bandCandidatePairs(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+
+  def containmentPairs(docs: DataFrame, bitsPerBand: Int): DataFrame = {
+    val cand = bandCandidatePairs(simhashBands(simhashFingerprints(docs), bitsPerBand))
     val toks = docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ts"))
     cand

@@ -170,7 +170,10 @@ object ParityQueries {
         .filter(col("a_loc") < col("loc") && d2 <= lit(eps * eps))
         .select(col("a_loc"), col("loc").as("b_loc"),
           floor(d2 * 10000 + lit(0.5)).cast("long").as("dist_bp"))
-        .orderBy(col("a_loc"), col("b_loc"))
+        // dist_bp in the sort: a state pair with several qualifying point
+        // pairs emits one row per pair, so (a_loc, b_loc) alone is not a
+        // total order and the row-order-sensitive compare would be luck
+        .orderBy(col("a_loc"), col("b_loc"), col("dist_bp"))
     },
     Some(s"""$goldCsvNormalizeSql,
       g AS (SELECT * FROM n $goldWhereSql),
@@ -187,7 +190,7 @@ object ParityQueries {
         ON a.loc < b.loc
        AND (a.lat - b.lat) * (a.lat - b.lat)
          + (a.lon - b.lon) * (a.lon - b.lon) <= 4.0::DOUBLE
-      ORDER BY a_loc, b_loc"""))
+      ORDER BY a_loc, b_loc, dist_bp"""))
 
   /** End-to-end check of the [[graft.sources.SynthSource]] DSv2 connector:
     * the id-range predicate is PUSHED into the source (narrows the

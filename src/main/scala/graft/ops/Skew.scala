@@ -20,9 +20,18 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, key: Column, saltBuckets: Int,
       sumCols: (String, Column)*): DataFrame = {
+    // DETERMINISTIC salt (hash of the full row), not partition-id +
+    // monotonic-id: those change under task recomputation, so a stage
+    // retry after some phase-1 reducers committed re-routes rows to
+    // different (key, salt) groups and corrupts the partials silently —
+    // the SPARK-23207 class of bug. Content-hash salting recomputes
+    // identically; distinct rows under a hot key still spread across
+    // buckets (identical duplicate rows co-locate, which only concentrates
+    // load if the skew IS duplicate identical rows — then pre-aggregation
+    // is the right tool anyway). Same pattern as join_salted.
     val salted = df
-      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(saltBuckets)))
+      .withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*),
+        lit(saltBuckets.toLong)))
     val phase1 = salted
       .groupBy(key.as("__key"), col("__salt"))
       .agg(count(lit(1)).as("__n"),

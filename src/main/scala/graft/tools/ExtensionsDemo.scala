@@ -30,14 +30,19 @@ object ExtensionsDemo {
     require(r.getLong(0) == (('a' * 31 + 'b') * 31 + 'c'), "rolling_hash mismatch")
     require(math.abs(r.getDouble(1) - 1.0 / math.sqrt(2)) < 1e-15, "cosine mismatch")
 
-    // injected planner strategy + optimizer rule, via the public as-of API —
-    // note: NO runtime experimental registration here; resolution must come
-    // from the extensions alone, so clear anything the helper would add
+    // injected planner strategy + optimizer rule, via the public as-of API.
+    // The helper ALSO runtime-registers on spark.experimental, which would
+    // make this check vacuous (delete the extensions injections and it
+    // would still pass) — so actually clear the experimental hooks AFTER
+    // building the DataFrame and BEFORE executing it: planning happens at
+    // the action, and must then come from the extensions alone.
     val l = Seq((1L, 7L, 100L), (2L, 7L, 200L)).toDF("lid", "lkey", "ltime")
     val rr = Seq((10L, 7L, 50L), (11L, 7L, 150L)).toDF("rid", "rkey", "rtime")
     val joined = graft.plans.AsOfJoinOps.asofJoin(spark, l, rr,
       l("lkey"), rr("rkey"), l("ltime"), rr("rtime"), rr("rid"))
       .filter($"lid" === 2L)
+    spark.experimental.extraStrategies = Nil
+    spark.experimental.extraOptimizations = Nil
     val rows = joined.select($"lid", $"rid").as[(Long, Long)].collect().toSet
     println(s"[ext-demo] asof rows=$rows")
     require(rows == Set((2L, 11L)), "as-of result mismatch")

@@ -99,15 +99,31 @@ object ScaleEvidence {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/documents.parquet"))) {
+    // Factor marker: an existence-only guard silently reuses an OLD-factor
+    // corpus while perRow divides by the NEW factor (every figure ~k× too
+    // flat, no error), and a crash between the table writes wedges the dir.
+    // The marker is written only after ALL tables land, and a mismatch (or
+    // absence on a partially-built dir) regenerates everything.
+    val markerPath = java.nio.file.Paths.get(s"$outDir/_FACTOR")
+    val markerOk = java.nio.file.Files.exists(markerPath) &&
+      java.nio.file.Files.readString(markerPath).trim == factor.toString
+    if (!markerOk) {
+      java.nio.file.Files.deleteIfExists(markerPath)
       scaleDocuments(spark, baseDir, factor)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
       scaleEmbeddings(spark, baseDir, factor)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    }
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/events.parquet"))) {
       scaleEvents(spark, baseDir, factor)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      // stale single-file stream layout must regenerate with the tables
+      val streamFiles = java.nio.file.Paths.get(s"$outDir/stream1")
+      if (java.nio.file.Files.exists(streamFiles)) {
+        val walk = java.nio.file.Files.walk(streamFiles).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        try walk.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      java.nio.file.Files.writeString(markerPath, factor.toString)
     }
     // Streaming axis: the file-stream source wants dir/events.parquet to be
     // ONE file (like the driver fixtures), so the scaled events are re-laid
@@ -168,9 +184,18 @@ object ScaleEvidence {
       def once(dir: String): (Double, Double) = {
         val t0 = System.nanoTime(); registry(q)(spark, dir).count()
         val wall = (System.nanoTime() - t0) / 1e9
-        // the exec map is keyed by the memory-sink name ("<query>_sink")
+        // the exec map is keyed by the memory-sink name ("<query>_sink");
+        // a MISS must be loud — falling back to wall silently reports
+        // bootstrap-inclusive time as the _exec row, masking exactly the
+        // state-store growth that row exists to isolate (the sink-name
+        // contract drifted once already)
         val m = graft.ops.StreamingQueries.lastExecSec
-        (wall, m.getOrElse(q, m.getOrElse(s"${q}_sink", wall)))
+        val exec = m.get(q).orElse(m.get(s"${q}_sink")).getOrElse {
+          System.err.println(s"[scale] WARNING: no exec split for $q " +
+            s"(keys: ${m.keys.mkString(", ")}) — _exec row reports WALL time")
+          wall
+        }
+        (wall, exec)
       }
       def best(dir: String): (Double, Double) = {
         once(dir) // warm: codegen outside the timer
