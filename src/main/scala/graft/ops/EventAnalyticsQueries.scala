@@ -51,12 +51,20 @@ object EventAnalyticsQueries {
           count(col("t3")).as("n_purchase_after_click"))
     },
     Some("""
-      WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
                   WHERE event_type = 'signup' GROUP BY user_id),
-      s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
-             WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
-      s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
-             WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id),
+      -- stage predicates on epoch_us, not raw ts: under an ns-physical
+      -- fixture and an ns-preserving DuckDB, a raw-ts '>' could pass on
+      -- sub-microsecond differences Spark has truncated away (SURVEY risk
+      -- 6; the convention events_funnel_window already follows)
+      s2 AS (SELECT e.user_id, MIN(epoch_us(ts)) AS t2
+             FROM events e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND epoch_us(ts) > t1
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(epoch_us(ts)) AS t3
+             FROM events e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND epoch_us(ts) > t2
+             GROUP BY e.user_id),
       users AS (SELECT DISTINCT user_id FROM events)
       SELECT COUNT(*) AS n_users,
              COUNT(t1) AS n_signup,
@@ -168,12 +176,11 @@ object EventAnalyticsQueries {
   val eventsGapfill = QueryDef(
     "events_gapfill",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val daily = load(spark, dir, "events")
         .filter(col("user_id") % 30 === 0)
         .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
         .agg(count(lit(1)).as("n_events"),
-          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("day_cents"))
+          sum(cents(col("value"))).as("day_cents"))
       val grid = daily.groupBy(col("user_id"))
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(col("user_id"),
@@ -214,15 +221,26 @@ object EventAnalyticsQueries {
     * diff one equi join on the key; the 1-row bounds aggregate is broadcast
     * (allowlisted BNLJ).
     */
+  /** Shared CDC scaffold: the events fact projected to (user_id, ms,
+    * event_id[, extras], cents) with the exact-integer t1 split point —
+    * 60% through the epoch-ms range, the "what counts as the earlier
+    * snapshot" definition — broadcast onto every row. One definition for
+    * both CDC queries so the split point cannot drift between them.
+    */
+  private def cdcWithT1(spark: org.apache.spark.sql.SparkSession, dir: String,
+      extras: org.apache.spark.sql.Column*): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(Seq(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id")) ++ extras :+ cents(col("value")).as("cents"): _*)
+    val bounds = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+      .select(expr("lo + ((hi - lo) * 3) DIV 5").as("t1"))
+    ev.crossJoin(broadcast(bounds))
+  }
+
   val cdcDiff = QueryDef(
     "cdc_diff",
     (spark, dir) => {
-      val ev = load(spark, dir, "events")
-        .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
-          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-      val bounds = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
-        .select(expr("lo + ((hi - lo) * 3) DIV 5").as("t1"))
-      val withT1 = ev.crossJoin(broadcast(bounds))
+      val withT1 = cdcWithT1(spark, dir)
       def snap(pred: org.apache.spark.sql.Column) = withT1.filter(pred)
         .groupBy(col("user_id"))
         .agg(max(struct(col("ms"), col("event_id"), col("cents"))).as("m"))
@@ -288,13 +306,7 @@ object EventAnalyticsQueries {
   val cdcMergeApply = QueryDef(
     "cdc_merge_apply",
     (spark, dir) => {
-      val ev = load(spark, dir, "events")
-        .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
-          col("event_type"),
-          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-      val bounds = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
-        .select(expr("lo + ((hi - lo) * 3) DIV 5").as("t1"))
-      val withT1 = ev.crossJoin(broadcast(bounds))
+      val withT1 = cdcWithT1(spark, dir, col("event_type"))
       def latest(pred: org.apache.spark.sql.Column) = withT1.filter(pred)
         .groupBy(col("user_id"))
         .agg(max(struct(col("ms"), col("event_id"), col("event_type"),
@@ -357,11 +369,10 @@ object EventAnalyticsQueries {
   val eventsZscore = QueryDef(
     "events_zscore",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val daily = load(spark, dir, "events")
         .filter(col("user_id") % 30 === 0)
         .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
-        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("x"))
+        .agg(sum(cents(col("value"))).as("x"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
         .rowsBetween(-6, Window.currentRow)
       daily
@@ -420,27 +431,36 @@ object EventAnalyticsQueries {
     * integer fence. Same exact results as the row-rank form — the oracle
     * states the row-rank semantics and both agree.
     */
+  /** Histogram-cumsum rank machinery shared by [[eventsAnomalyMad]] and
+    * [[eventsPercentiles]]: attach the running cumulative count and the
+    * per-type total to a (event_type, valueCol, cnt) histogram; a value
+    * sits at rank r iff `cum − cnt < r ≤ cum` ([[rankBracket]]). `div`
+    * and the oracle `//` both truncate (measured r6) and every rank
+    * operand is a count — structurally nonnegative, cross-engine exact.
+    */
+  private def histCum(h: DataFrame, valueCol: String): DataFrame = {
+    val wCum = Window.partitionBy(col("event_type"))
+      .orderBy(col(valueCol)).rowsBetween(Window.unboundedPreceding, 0)
+    h.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+  }
+
+  private def rankBracket(rankExpr: String): Column =
+    col("cum") - col("cnt") < expr(rankExpr) && col("cum") >= expr(rankExpr)
+
   val eventsAnomalyMad = QueryDef(
     "events_anomaly_mad",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val vCents = cents(col("value"))
       val ev = load(spark, dir, "events")
         .select(col("event_id"), col("event_type"), vCents.as("v"))
       val hist = ev.groupBy(col("event_type"), col("v"))
         .agg(count(lit(1)).as("cnt"))
-      val wType = Window.partitionBy(col("event_type"))
-      def histMedian(h: DataFrame, valueCol: String): DataFrame = {
-        val wCum = Window.partitionBy(col("event_type"))
-          .orderBy(col(valueCol)).rowsBetween(Window.unboundedPreceding, 0)
-        h.withColumn("cum", sum(col("cnt")).over(wCum))
-          .withColumn("n", sum(col("cnt")).over(wType))
-          // `div` and oracle `//` BOTH truncate (measured r6) — and n is a
-          // COUNT — rank operands are structurally nonnegative
-          .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
-            col("cum") >= expr("(n + 1) div 2"))
+      def histMedian(h: DataFrame, valueCol: String): DataFrame =
+        histCum(h, valueCol)
+          .filter(rankBracket("(n + 1) div 2"))
           .select(col("event_type"), col(valueCol).as("m"), col("n"))
-      }
       val med = histMedian(hist, "v")
         .select(col("event_type"), col("m").as("med"), col("n"))
       val devHist = hist.join(broadcast(med), "event_type")
@@ -506,7 +526,6 @@ object EventAnalyticsQueries {
   val eventsSequencePattern = QueryDef(
     "events_sequence_pattern",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       // everything in epoch-ms: Spark sees µs-truncated timestamps and DuckDB
       // ns ones, so ordering/adjacency at raw precision could disagree on
       // sub-ms ties — ms is the shared exact granularity (same rule as the
@@ -605,7 +624,6 @@ object EventAnalyticsQueries {
   val eventsMarkov = QueryDef(
     "events_markov",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
       val wFrom = Window.partitionBy(col("event_type"))
       load(spark, dir, "events")
@@ -650,22 +668,14 @@ object EventAnalyticsQueries {
   val eventsPercentiles = QueryDef(
     "events_percentiles",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val vCents = cents(col("value"))
       val hist = load(spark, dir, "events")
         .select(col("event_type"), vCents.as("v"))
         .groupBy(col("event_type"), col("v"))
         .agg(count(lit(1)).as("cnt"))
-      val wCum = Window.partitionBy(col("event_type"))
-        .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
-      val cum = hist
-        .withColumn("cum", sum(col("cnt")).over(wCum))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
-      // `div` and oracle `//` both truncate (measured r6) in every rankExpr below:
-      // n is a COUNT, so all operands are structurally nonnegative
+      val cum = histCum(hist, "v")
       def atRank(rankExpr: String): Column =
-        max(when(col("cum") - col("cnt") < expr(rankExpr) &&
-          col("cum") >= expr(rankExpr), col("v")))
+        max(when(rankBracket(rankExpr), col("v")))
       cum.groupBy(col("event_type"))
         .agg(max(col("n")).as("n"),
           atRank("(25 * n + 99) div 100").as("p25_cents"),
@@ -718,12 +728,11 @@ object EventAnalyticsQueries {
   val eventsAttributionLinear = QueryDef(
     "events_attribution_linear",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = load(spark, dir, "events")
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           unix_millis(col("ts")).as("p_ms"),
-          floor(col("value") * 100 + lit(0.5)).cast("long").as("value_cents"))
+          cents(col("value")).as("value_cents"))
       val c = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
           unix_millis(col("ts")).as("c_ms"))
@@ -911,8 +920,6 @@ object EventAnalyticsQueries {
   val eventsRfm = QueryDef(
     "events_rfm",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import graft.Tables.cents
       val purch = load(spark, dir, "events")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), to_date(col("ts")).as("day"),
@@ -975,8 +982,6 @@ object EventAnalyticsQueries {
   val eventsInterpolate = QueryDef(
     "events_interpolate",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import graft.Tables.cents
       val daily = load(spark, dir, "events")
         .filter(col("event_id") % 97 === 0) // sparse slice -> real gaps
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -1070,10 +1075,9 @@ object EventAnalyticsQueries {
   val eventsCusum = QueryDef(
     "events_cusum",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val daily = load(spark, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("s"))
+        .agg(sum(cents(col("value"))).as("s"))
       val seq = Window.partitionBy(col("event_type")).orderBy(col("day"))
       val all = Window.partitionBy(col("event_type"))
       val scored = daily
@@ -1128,11 +1132,10 @@ object EventAnalyticsQueries {
   val eventsForecast = QueryDef(
     "events_forecast",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val hourly = load(spark, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"),
           hour(col("ts")).cast("long").as("hr"))
-        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("s"))
+        .agg(sum(cents(col("value"))).as("s"))
       val w = Window.partitionBy(col("event_type"), col("hr")).orderBy(col("day"))
       hourly
         .withColumn("fc", lag(col("s"), 1).over(w))
@@ -1173,7 +1176,6 @@ object EventAnalyticsQueries {
   val eventsIslands = QueryDef(
     "events_islands",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val m = load(spark, dir, "events")
         .groupBy(expr("unix_micros(ts) div 60000000").as("minute"))
         .agg(count(lit(1)).as("n"))
@@ -1218,13 +1220,12 @@ object EventAnalyticsQueries {
   val eventsCohortLtv = QueryDef(
     "events_cohort_ltv",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val week = floor(
         datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / 7)
         .cast("long")
       val ev = load(spark, dir, "events")
         .select(col("user_id"), week.as("week"),
-          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+          cents(col("value")).as("cents"))
       val cohort = ev.groupBy(col("user_id"))
         .agg(min(col("week")).as("cohort_week"))
       val cohortSizes = cohort.groupBy(col("cohort_week"))
@@ -1345,7 +1346,6 @@ object EventAnalyticsQueries {
   val eventsEma = QueryDef(
     "events_ema",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val daily = load(spark, dir, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),
           cents(col("value")).as("v"))
@@ -1401,7 +1401,6 @@ object EventAnalyticsQueries {
   val eventsSurvival = QueryDef(
     "events_survival",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = load(spark, dir, "events")
         .select(col("user_id"),
           expr("unix_micros(ts) div 3600000000").as("hr"))
@@ -1568,7 +1567,6 @@ object EventAnalyticsQueries {
   val eventsRollingMedian = QueryDef(
     "events_rolling_median",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val daily = load(spark, dir, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),
           cents(col("value")).as("v"))
@@ -1721,7 +1719,6 @@ object EventAnalyticsQueries {
   val eventsDecayRcte = QueryDef(
     "events_decay_rcte",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       // Materialize the rn-indexed chain table ONCE before the recursion:
       // the recursive plan re-evaluates its join side EVERY level, so an
       // inline windowed CTE would re-sort the whole fact once per level
@@ -1773,8 +1770,12 @@ object EventAnalyticsQueries {
       WITH RECURSIVE
       base AS (
         SELECT user_id,
+               -- epoch_us, not raw ts: an ns-preserving DuckDB would
+               -- otherwise rank same-microsecond events by their ns
+               -- residue while Spark ranks the truncated values, and the
+               -- SEQUENTIAL decay fold amplifies any rank swap
                ROW_NUMBER() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS rn0,
+                                  ORDER BY epoch_us(ts), event_id) AS rn0,
                COUNT(*) OVER (PARTITION BY user_id) AS cnt,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
         FROM events),
