@@ -12,17 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class BucketingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
-    df.collect() // materialize so AQE finalizes the plan
-    def count(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
-      case q: QueryStageExec => count(q.plan) // AQE stage: plan holds the exchange
-      case s: ShuffleExchangeExec => 1 + s.children.map(count).sum
-      case other => other.children.map(count).sum +
-        other.subqueries.map(count).sum
-    }
-    count(df.queryExecution.executedPlan)
-  }
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
+    SparkTestSession.shuffleCount(df)
 
   test("bucketed join on l_orderkey runs with zero shuffle exchanges") {
     val sf = "/root/testdata/sf0.001"

@@ -98,9 +98,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = SparkEntry.queries("q6_revenue")(spark, sfDir)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // 4 columns used (quantity, extendedprice, discount, shipdate) of 16
+    // 4 columns used (quantity, extendedprice, discount, shipdate) of the
+    // fixture's 11. The absence probe must be a column that EXISTS in the
+    // fixture and sits EARLY in its order (l_partkey is column 2): the old
+    // l_comment probe named a full-TPC-H column this fixture doesn't have,
+    // so an unpruned scan still passed; and a late column could fall past
+    // the explain's ~100-char ReadSchema truncation either way.
     val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
-    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_comment"),
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_partkey"),
       s"q6 scan is not pruned: $readSchema")
   }
 

@@ -57,7 +57,14 @@ class PropertySpec extends AnyFunSuite {
     val bufs = samples(bufGen, 120)
     val A = LastValueAggregator
     for (a <- bufs.take(30); b <- bufs.slice(30, 60)) {
-      assert(A.merge(a, b) === A.merge(b, a), s"commutativity for $a, $b")
+      // merge breaks exact (ms, id) ties by keeping its FIRST argument, so
+      // commutativity genuinely does not hold on tied keys with different
+      // payloads — that case cannot occur in the real domain (event ids
+      // are unique) and asserting it here made the test a seed-dependent
+      // coin flip (~1% tie odds per run)
+      val tied = a.set && b.set && a.ms == b.ms && a.id == b.id
+      if (!tied)
+        assert(A.merge(a, b) === A.merge(b, a), s"commutativity for $a, $b")
       assert(A.merge(a, A.zero) === a)
     }
     for (a <- bufs.take(15); b <- bufs.slice(15, 30); c <- bufs.slice(30, 45)) {
@@ -88,8 +95,10 @@ class PropertySpec extends AnyFunSuite {
       c <- Gen.choose(0L, 99L)
     } yield LastValueIn(ms, id, c)
     val rng = new scala.util.Random(7)
+    // one input set, thirty SHUFFLES — the samples() call is seed-fixed, so
+    // regenerating it inside the loop produced the same list 30 times over
+    val ins = samples(inGen, 40).distinct
     for (_ <- 0 until 30) {
-      val ins = samples(inGen, 40).distinct
       val direct = ins.foldLeft(LastValueAggregator.zero)(LastValueAggregator.reduce)
       val shuffled = rng.shuffle(ins)
         .grouped(7)

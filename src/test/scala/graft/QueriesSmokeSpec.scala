@@ -13,9 +13,13 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracleSql keys are a subset of queries keys") {
-    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  test("registry names are unique (toMap would silently keep the last)") {
+    // the old subset check here was tautological (both maps derive their
+    // keys from the same registry); the REAL adjacent hazard is two
+    // QueryDefs under one name collapsing in queries/oracleSql with no
+    // visible failure — one implementation silently shadowed
+    val dup = SparkEntry.registry.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dup.isEmpty, s"duplicate registry names: ${dup.mkString(", ")}")
   }
 
   for (q <- SparkEntry.registry) {

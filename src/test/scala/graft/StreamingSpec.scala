@@ -74,6 +74,16 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.table("enrich_out").as[(Long, Long, Option[String])]
         .collect().toSet
       assert(rows == Set((1L, 1L, Some("gold")), (2L, 3L, None)))
+      // the title's "without shuffling the stream" claim, checked in the
+      // PLAN (the broadcast hint could silently degrade to a shuffled join
+      // and the row-level assertions above would still pass): same enrich
+      // expression in batch mode must broadcast-hash-join, zero exchanges
+      val batchPlan = EventStreams.enrich(
+        Seq(Event(1, ts(0), 1L, "click", 1.0)).toDF(), dim)
+      assert(batchPlan.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "enrich lost its broadcast join")
+      assert(SparkTestSession.shuffleCount(batchPlan) === 0,
+        "enrich shuffles the stream side")
     } finally q.stop()
   }
 
@@ -328,49 +338,41 @@ class StreamingSpec extends AnyFunSuite {
   test("file-source stream over the events parquet matches batch day counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
-    // stream the events parquet the same schema-adaptive way Tables.load
-    // reads it: sniff the physical ts type, then ns-long rebuild / NTZ cast
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
-    // file-source streams need a directory, not a bare file
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
-      dir.resolve("events.parquet"))
-    val raw = spark.readStream.schema(schema).parquet(dir.toString)
-    val stream = schema("ts").dataType match {
-      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _                => raw
-    }
+    // stream through the PRODUCTION read path (schema sniff + ts-era
+    // adaptation live in streamEvents; an inline copy here silently
+    // diverged from it once the adaptation evolves)
+    val stream = graft.ops.StreamingQueries
+      .streamEvents(spark, "/root/testdata/sf0.001")
+      .select($"ts", $"event_type", $"value")
     val q = EventStreams.tumblingCounts(stream, watermark = "1 hour", win = "1 day")
       .writeStream.format("memory").queryName("file_stream_out")
       .outputMode(OutputMode.Append).start()
     try {
       q.processAllAvailable()
-      // append mode holds back windows the watermark hasn't passed; every
-      // emitted window must match the batch aggregation exactly
       val streamed = spark.table("file_stream_out")
         .select($"window_start", $"event_type", $"n").as[(Timestamp, String, Long)]
         .collect().toSet
-      val batch = EventStreams.tumblingCounts(
+      val batchAll = EventStreams.tumblingCounts(
           Tables.load(spark, "/root/testdata/sf0.001", "events")
             .select($"ts", $"event_type", $"value"))
         .select($"window_start", $"event_type", $"n").as[(Timestamp, String, Long)]
         .collect().toSet
-      assert(streamed.nonEmpty)
-      assert(streamed.subsetOf(batch), "streamed windows must agree with batch")
+      // append mode emits exactly the windows whose END the final
+      // watermark (max event time − 1h) has passed — assert EQUALITY with
+      // that batch-computed set, not just subset/nonEmpty: a regression
+      // that held back almost everything used to slip through
+      // Spark tracks event-time stats in MILLISECONDS — compute the final
+      // watermark in the same domain (ms, truncating) so the boundary
+      // predicate matches the engine's own emission rule (end ≤ watermark)
+      val maxTsMs = Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .agg(max(unix_millis($"ts"))).head.getLong(0)
+      val watermarkMs = maxTsMs - 3600L * 1000L
+      val expected = batchAll.filter { case (winStart, _, _) =>
+        winStart.getTime + 86400L * 1000L <= watermarkMs // day window end
+      }
+      assert(expected.nonEmpty, "fixture too small: no finalized windows")
+      assert(streamed === expected,
+        s"streamed ${streamed.size} windows, expected ${expected.size} finalized")
     } finally q.stop()
-  }
-
-  test("streaming tumbling agg matches the batch events_tumbling semantics") {
-    // same groupBy(window) expression runs in both modes — pin batch result
-    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
-    val streamShaped = EventStreams.tumblingCounts(
-      batch.select(org.apache.spark.sql.functions.col("ts"),
-        org.apache.spark.sql.functions.col("event_type"),
-        org.apache.spark.sql.functions.col("value")))
-    assert(streamShaped.count() > 0)
   }
 }

@@ -16,17 +16,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class SynthSpjSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private def shuffleCount(df: DataFrame): Int = {
-    df.collect() // materialize so AQE finalizes the plan
-    def count(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
-      case q: QueryStageExec => count(q.plan)
-      case s: ShuffleExchangeExec => 1 + s.children.map(count).sum
-      case other => other.children.map(count).sum +
-        other.subqueries.map(count).sum
-    }
-    count(df.queryExecution.executedPlan)
-  }
+  private def shuffleCount(df: DataFrame): Int =
+    SparkTestSession.shuffleCount(df)
 
   private def synth(rows: Long, bucketed: Boolean): DataFrame = {
     val r = spark.read.format("graft.sources.SynthSource")
