@@ -47,6 +47,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "text_bpe_apply" -> "broadcast 1-row top-merge-pair aggregate",
     "graph_kcore" -> "broadcast 1-row edge-count aggregate per peel round (3 rows total)",
     "text_dsir_select" -> "broadcast 1-row feature-total aggregate (DSIR share denominators)")
+  // dedup_eval's 1-row sample-modulus BNLJ runs eagerly inside its
+  // localCheckpoint, so it never appears in the gated (post-checkpoint) plan.
 
   /** Streaming queries execute the stream inside fn (their returned plan is
     * the memory-sink table scan — nothing to gate), and dedup_components
