@@ -44,21 +44,26 @@ object CoverageQueries {
         .orderBy(col("user_id"), col("session_start"))
     },
     Some("""
+      -- gap arithmetic on epoch_us, not raw ts: under an ns-preserving
+      -- DuckDB a gap of exactly 30min at us precision could carry an ns
+      -- residue and flip the >= threshold vs Spark's us-truncated events
       WITH e AS (
-        SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
-               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         >= INTERVAL 30 MINUTE
-                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        SELECT user_id, epoch_us(ts) AS tus,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+               CASE WHEN epoch_us(ts)
+                         - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                         >= 1800000000
+                    OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events WHERE user_id < 50),
       s AS (
-        SELECT user_id, ts, v_cents,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        SELECT user_id, tus, v_cents,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM e)
       SELECT user_id,
-             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-             strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+             strftime(make_timestamp(MIN(tus)), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(make_timestamp(MAX(tus) + 1800000000), '%Y-%m-%d %H:%M:%S') AS session_end,
              COUNT(*) AS n_events,
              CAST(SUM(v_cents) AS BIGINT) AS value_cents
       FROM s
@@ -184,17 +189,19 @@ object CoverageQueries {
         .orderBy(col("user_id"), col("event_id"))
     },
     Some("""
+      -- window order on epoch_us, not raw ts: an ns-preserving DuckDB would
+      -- rank same-us events by their ns residue before the event_id tiebreak
       SELECT user_id, event_id,
              LEAD(event_id, 1) OVER w AS next_event_id,
              LEAD(event_id, 2, -1) OVER w AS next2_or_default,
              FIRST_VALUE(event_id) OVER w AS first_event_id,
-             LAST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             LAST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                ROWS UNBOUNDED PRECEDING) AS running_last_id,
-             NTH_VALUE(event_id, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             NTH_VALUE(event_id, 3) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                ROWS UNBOUNDED PRECEDING) AS third_event_id
       FROM events
       WHERE user_id < 30
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       ORDER BY user_id, event_id"""))
 
   /** Positional explode: posexplode of the token array (Generate with

@@ -241,16 +241,20 @@ object FunctionQueries {
         .orderBy(col("user_id"))
     },
     Some("""
-      WITH e AS (SELECT user_id, ts, event_id FROM events WHERE user_id % 15 = 0),
-      r AS (SELECT user_id, ts, event_id,
-              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
-              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+      -- rank and emit on epoch_us, not raw ts: an ns-preserving DuckDB would
+      -- rank same-us events by ns residue before the event_id tiebreak and
+      -- emit ns-residue timestamps Spark's us events cannot match
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id
+                 FROM events WHERE user_id % 15 = 0),
+      r AS (SELECT user_id, tus, event_id,
+              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS ra,
+              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rd
             FROM e)
       SELECT user_id,
              MAX(event_id) FILTER (WHERE ra = 1) AS first_event_id,
-             MAX(ts)       FILTER (WHERE ra = 1) AS first_ts,
+             make_timestamp(MAX(tus) FILTER (WHERE ra = 1)) AS first_ts,
              MAX(event_id) FILTER (WHERE rd = 1) AS last_event_id,
-             MAX(ts)       FILTER (WHERE rd = 1) AS last_ts,
+             make_timestamp(MAX(tus) FILTER (WHERE rd = 1)) AS last_ts,
              COUNT(*) AS n_events
       FROM r
       GROUP BY user_id

@@ -197,8 +197,10 @@ object StreamingQueries {
              COUNT(*) AS n,
              CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
       FROM events
-      WHERE date_trunc('day', ts) + INTERVAL 1 DAY
-              <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+      -- watermark horizon on epoch_us, not raw ts: an ns-preserving DuckDB
+      -- would push the max(ts)-1h cutoff by the ns residue vs Spark's us
+      WHERE epoch_us(date_trunc('day', ts)) + 86400000000
+              <= (SELECT max(epoch_us(ts)) - 3600000000 FROM events)
       GROUP BY 1, 2
       ORDER BY day, event_type"""))
 
@@ -223,7 +225,10 @@ object StreamingQueries {
              CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS value_cents
       FROM events p JOIN events c
         ON c.user_id = p.user_id
-       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+       -- interval bounds on epoch_us, not raw ts (ns-preserving DuckDB
+       -- would flip boundary-equal pairs vs Spark's us-truncated events)
+       AND epoch_us(c.ts) <= epoch_us(p.ts)
+       AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
       WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       ORDER BY 1, 2, 4"""))
 
@@ -386,25 +391,27 @@ object StreamingQueries {
         .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
     },
     Some("""
+      -- interval/watermark bounds on epoch_us, not raw ts (ns-preserving
+      -- DuckDB would flip boundary-equal comparisons vs Spark's us events)
       WITH c AS (
-        SELECT user_id AS click_user, ts AS click_ts, event_id AS click_id
+        SELECT user_id AS click_user, epoch_us(ts) AS click_us, event_id AS click_id
         FROM events WHERE event_type = 'click'),
       p AS (
-        SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+        SELECT user_id, epoch_us(ts) AS purchase_us, event_id AS purchase_id, value
         FROM events WHERE event_type = 'purchase'),
       wm AS (
-        SELECT least((SELECT max(click_ts) FROM c),
-                     (SELECT max(purchase_ts) FROM p))
-               - INTERVAL 2 HOUR AS w)
-      SELECT c.click_user, c.click_id, epoch_ms(c.click_ts) AS click_ms,
+        SELECT least((SELECT max(click_us) FROM c),
+                     (SELECT max(purchase_us) FROM p))
+               - 7200000000 AS w)
+      SELECT c.click_user, c.click_id, c.click_us // 1000 AS click_ms,
              p.purchase_id,
              CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS value_cents
       FROM c LEFT JOIN p
         ON p.user_id = c.click_user
-       AND p.purchase_ts >= c.click_ts
-       AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+       AND p.purchase_us >= c.click_us
+       AND p.purchase_us <= c.click_us + 3600000000
       WHERE p.purchase_id IS NOT NULL
-         OR c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+         OR c.click_us + 3600000000 < (SELECT w FROM wm)
       ORDER BY c.click_id, p.purchase_id NULLS FIRST"""))
 
   /** foreachBatch upsert sink ([[EventStreams.runUpsertSink]]) in the hard

@@ -89,15 +89,18 @@ object WarehouseQueries {
         .orderBy(col("user_id"), col("version_no"))
     },
     Some("""
+      -- version order and emitted validity bounds on epoch_us, not raw ts:
+      -- an ns-preserving DuckDB would rank same-us events by ns residue and
+      -- emit ns-residue valid_from/valid_to Spark's us events cannot match
       WITH changes AS (
-        SELECT user_id, ts, event_id, value
+        SELECT user_id, epoch_us(ts) AS tus, event_id, value
         FROM events
         WHERE event_type = 'view' AND user_id % 20 = 0)
       SELECT user_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version_no,
-             ts AS valid_from,
-             LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-             CAST(LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS INTEGER) AS is_current,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS version_no,
+             make_timestamp(tus) AS valid_from,
+             make_timestamp(LEAD(tus, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id)) AS valid_to,
+             CAST(LEAD(tus, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL AS INTEGER) AS is_current,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
       FROM changes
       ORDER BY user_id, version_no"""))
