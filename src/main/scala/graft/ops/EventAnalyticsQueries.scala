@@ -1719,6 +1719,15 @@ object EventAnalyticsQueries {
   val eventsDecayRcte = QueryDef(
     "events_decay_rcte",
     (spark, dir) => {
+      // The recursion-row-limit raise below is scoped to a CHILD session
+      // (newSession(): shared SparkContext + cached data, isolated
+      // conf/catalog). Raising it on the caller's session would disable
+      // Spark's runaway-recursion guard for every LATER query in a shared
+      // Bench/Verify session, and set-and-restore can't work because
+      // execution is lazy — the restore would land before the plan runs.
+      // Builder-time confs (shuffle partitions, timezone) live in the
+      // shared SparkConf, so the child inherits them.
+      val sess = spark.newSession()
       // Materialize the rn-indexed chain table ONCE before the recursion:
       // the recursive plan re-evaluates its join side EVERY level, so an
       // inline windowed CTE would re-sort the whole fact once per level
@@ -1731,7 +1740,7 @@ object EventAnalyticsQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       val wAll = Window.partitionBy(col("user_id"))
-      load(spark, dir, "events")
+      load(sess, dir, "events")
         .select(col("user_id"), row_number().over(w).as("rn0"),
           count(lit(1)).over(wAll).as("cnt"),
           cents(col("value")).as("cents"))
@@ -1747,11 +1756,10 @@ object EventAnalyticsQueries {
       // exceed it (found by the 100× scale harness, not speculation). This
       // recursion is depth-bounded by construction (rn ≤ 16 and each
       // level's join strictly advances rn), so the guard can't serve its
-      // purpose here; raise it well past any fixture scale. Session-scoped
-      // set (queries run sequentially; execution happens after fn returns,
-      // so a set-and-restore would un-set it before the plan runs).
-      spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
-      spark.sql("""
+      // purpose here; raise it well past any fixture scale — on the child
+      // session only, so the guard stays live for every other query.
+      sess.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+      sess.sql("""
         WITH RECURSIVE
         decay AS (
           SELECT user_id, rn, cents AS s FROM rcte_chain WHERE rn = 1

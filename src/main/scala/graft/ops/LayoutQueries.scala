@@ -181,12 +181,15 @@ object LayoutQueries {
     * exchange. DppSpec pins `dynamicpruning` in the executed plan; the
     * oracle computes the same join from the raw table.
     */
-  /** Stable per-sfDir scratch location: layout queries rewrite real tables
-    * into a laid-out copy, and a fresh temp dir per invocation accumulates
-    * one full data copy per bench/verify iteration (plus, for the bucketed
-    * tables, permanent catalog entries). One deterministic dir per
-    * (prefix, sf dir), overwritten in place, bounds the footprint at one
-    * copy per fixture dir.
+  /** Stable per-(sfDir, JVM) scratch location: layout queries rewrite real
+    * tables into a laid-out copy, and a fresh temp dir per invocation
+    * accumulates one full data copy per bench/verify iteration (plus, for
+    * the bucketed tables, permanent catalog entries). One deterministic dir
+    * per (prefix, sf dir, process), overwritten in place, bounds the
+    * footprint at one copy per fixture per JVM — the pid component keeps
+    * two concurrent JVMs on the same fixture (test suite + bench/verify)
+    * from overwriting each other's laid-out tables mid-query, and a
+    * shutdown hook reclaims the copy so dead pids don't accumulate.
     */
   private def stableTmp(prefix: String, dir: String): String = {
     val key = java.security.MessageDigest.getInstance("SHA-256")
@@ -194,9 +197,25 @@ object LayoutQueries {
         .getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
     val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"$prefix-$key")
+      System.getProperty("java.io.tmpdir"),
+      s"$prefix-$key-p${ProcessHandle.current().pid()}")
     java.nio.file.Files.createDirectories(p)
+    if (cleanupRegistered.add(p.toString))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
     p.toString
+  }
+
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.util.Try
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Try(java.nio.file.Files.deleteIfExists(f)); () })
+      finally walk.close()
+    }
   }
 
   val layoutDpp = QueryDef(
@@ -257,7 +276,9 @@ object LayoutQueries {
       // table names keyed to the sf dir (not a per-run UUID): re-runs
       // OVERWRITE one catalog entry per fixture dir instead of leaking a
       // new table + data copy per invocation
-      val tag = new java.io.File(base).getName.takeRight(12)
+      // '-' → '_': the pid-suffixed dir name must stay a valid unquoted
+      // SQL identifier when embedded in the catalog table names below
+      val tag = new java.io.File(base).getName.replace('-', '_').takeRight(12)
       val oTab = s"graft_orders_b_$tag"
       val lTab = s"graft_lineitem_b_$tag"
       // repartition on the bucket key (same Murmur3 hash as bucketBy) so

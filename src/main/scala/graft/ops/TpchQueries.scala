@@ -298,7 +298,8 @@ object TpchQueries {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-         OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""))
+         OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""),
+    notes = "deviates from reference TPC-H Q19 text: third arm is Brand#24, not Brand#34 — the fixture's brand domain is Brand#1..25, so the textbook arm would be dead and oracle-untestable")
 
   /** TPC-H Q22-shaped: dormant high-balance customers — global scalar
     * aggregate broadcast back as a cross join (the distributed form of a

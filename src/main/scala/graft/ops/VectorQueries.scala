@@ -164,7 +164,7 @@ object VectorQueries {
     },
     { // oracle: same signature arithmetic, generated per bit
       val bitTerms = (0 until 16).map { p =>
-        s"""(CASE WHEN list_dot_product(v, list_transform(range(0, 64),
+        s"""(CASE WHEN list_dot_product(v, list_transform(range(0, len(v)),
            | j -> CAST(((${5 * p} + 7 * j + 3) % 11) - 5 AS DOUBLE))) > 0
            | THEN ${1L << p} ELSE 0 END)""".stripMargin.replace("\n", " ")
       }.mkString(" + ")
@@ -1056,7 +1056,9 @@ object VectorQueries {
         FROM embeddings),
       px AS (
         SELECT vec_id, label, CAST(t.pos AS INTEGER) AS pos, q[t.pos + 1] AS qd
-        FROM e CROSS JOIN UNNEST(range(0, 64)) AS t(pos)),
+        -- len(q), not a hardcoded 64: both engines derive dimensionality
+        -- from the data (same hazard class as the signLsh null-padding fix)
+        FROM e CROSS JOIN UNNEST(range(0, len(q))) AS t(pos)),
       dims AS (
         SELECT pos, COUNT(*) AS n,
                CAST(SUM(qd) AS BIGINT) AS s,

@@ -4,7 +4,9 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming NEAR-DUP GATE — the ingestion-time shape of MinHash/LSH dedup:
-  * as documents arrive, each one's 16 LSH band keys probe a keyed state
+  * as documents arrive, each one's LSH band keys (band count is
+  * caller-chosen; the registry's `stream_neardup_gate` uses 4 WIDE bands —
+  * the precision-over-recall trade its design note derives) probe a keyed state
   * store of "first document seen in this bucket"; any occupied bucket emits
   * a collision record, and a document with ≥1 collision is HELD (routed to
   * review/drop) while fresh documents pass. Batch dedup answers "which of
