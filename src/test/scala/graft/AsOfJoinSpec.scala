@@ -113,6 +113,105 @@ class AsOfJoinSpec extends AnyFunSuite {
       Set((2L, 11L)))
   }
 
+  test("timestamp-typed time columns ride the long-backed fast path correctly") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq((1L, 7L, ts("2024-01-01 00:00:10")),
+        (2L, 7L, ts("2024-01-01 00:00:20")),
+        (3L, 8L, ts("2024-01-01 00:00:10"))).toDF("lid", "lkey", "ltime")
+    val r = Seq((10L, 7L, ts("2024-01-01 00:00:05")),
+        (11L, 7L, ts("2024-01-01 00:00:15")),
+        (12L, 8L, ts("2024-01-01 00:00:10"))).toDF("rid", "rkey", "rtime")
+    val got = AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    // lid=3 drops: rid=12 is at EXACTLY the left time (strictly-before holds
+    // for timestamps too)
+    assert(got === Set((1L, 10L), (2L, 11L)))
+  }
+
+  test("timestamp tolerance is measured in microseconds") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq((1L, 7L, ts("2024-01-01 00:00:10"))).toDF("lid", "lkey", "ltime")
+    val r = Seq((10L, 7L, ts("2024-01-01 00:00:04"))).toDF("rid", "rkey", "rtime")
+    def run(tolUs: Long) = AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"),
+        tolerance = Some(tolUs))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(run(6000000L) === Set((1L, 10L))) // gap == 6 s exactly, inclusive
+    assert(run(5999999L) === Set.empty[(Long, Long)])
+  }
+
+  test("string keys take the interpreted-ordering path and match per key") {
+    val l = Seq((1L, "alpha", 100L), (2L, "beta", 200L), (3L, "alpha", 50L))
+      .toDF("lid", "lkey", "ltime").repartition(3)
+    val r = Seq((10L, "alpha", 90L), (11L, "beta", 150L), (12L, "alpha", 40L),
+        (13L, "gamma", 10L))
+      .toDF("rid", "rkey", "rtime").repartition(2)
+    val got = AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
+  test("date-typed time uses day-granular tolerance on the generic path") {
+    import java.sql.Date
+    val l = Seq((1L, 7L, Date.valueOf("2024-03-10")),
+        (2L, 7L, Date.valueOf("2024-03-20"))).toDF("lid", "lkey", "ltime")
+    val r = Seq((10L, 7L, Date.valueOf("2024-03-07")),
+        (11L, 7L, Date.valueOf("2024-03-12"))).toDF("rid", "rkey", "rtime")
+    val got = AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"),
+        tolerance = Some(3L)) // days
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    // lid=1 ← rid=10 at gap 3 days (inclusive); lid=2's latest prior rid=11
+    // is 8 days stale → drops without falling back
+    assert(got === Set((1L, 10L)))
+  }
+
+  test("tolerance with a non-integral time type is rejected at construction") {
+    val l = Seq((1L, 7L, "t100")).toDF("lid", "lkey", "ltime")
+    val r = Seq((10L, 7L, "t050")).toDF("rid", "rkey", "rtime")
+    val ex = intercept[Throwable] {
+      AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"),
+        tolerance = Some(5L)).collect()
+    }
+    assert(ex.getMessage.contains("integral-backed"),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
+  test("mismatched key types across sides are rejected at construction") {
+    val l = Seq((1L, "7", 100L)).toDF("lid", "lkey", "ltime")
+    val r = Seq((10L, 7L, 50L)).toDF("rid", "rkey", "rtime")
+    val ex = intercept[Throwable] {
+      AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid")).collect()
+    }
+    assert(ex.getMessage.contains("key types differ"),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
+  test("property: string-keyed as-of agrees with a reference computation") {
+    val rng = new scala.util.Random(23)
+    val left = (0 until 500).map(i =>
+      (i.toLong, s"key_${rng.nextInt(20)}", rng.nextInt(1000).toLong))
+    val right = (0 until 800).map(i =>
+      (1000L + i, s"key_${rng.nextInt(20)}", rng.nextInt(1000).toLong))
+    val expected = left.flatMap { case (lid, k, lt) =>
+      val cands = right.filter(r => r._2 == k && r._3 < lt)
+      if (cands.isEmpty) None
+      else Some((lid, cands.maxBy(r => (r._3, r._1))._1))
+    }.toSet
+    val l = left.toDF("lid", "lkey", "ltime").repartition(3)
+    val r = right.toDF("rid", "rkey", "rtime").repartition(2)
+    val got = AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("many keys across many partitions agree with a reference computation") {
     val rng = new scala.util.Random(11)
     val left = (0 until 500).map(i => (i.toLong, rng.nextInt(20).toLong, rng.nextInt(1000).toLong))
