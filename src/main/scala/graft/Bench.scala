@@ -36,11 +36,19 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
-    val (p1, p2) = (timedPass(), timedPass())
+    // Pass count is env-tunable (SPARK_GRAFT_BENCH_PASSES, default 2): the
+    // driver host shows broad ±0.2-0.4 s per-query drift that two passes
+    // don't fully absorb; a steady-state investigation can raise this
+    // without a code change. A query is failed if ANY pass failed — more
+    // passes can only tighten times, never hide a red query.
+    val nPasses = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val passes = Seq.fill(nPasses)(timedPass())
     val failed = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => p1(n).isEmpty || p2(n).isEmpty)
-    val results = p1.collect { case (name, Some(v)) if p2(name).isDefined =>
-      name -> math.min(v, p2(name).get) }.toMap
+      .filter(n => passes.exists(_(n).isEmpty))
+    val results = SparkEntry.queries.keys.toSeq
+      .filterNot(failed.contains)
+      .map(n => n -> passes.map(_(n).get).min).toMap
     // 3-decimal rounding keeps the full per-query line well under the
     // driver's stdout tail window (r1-r3 all had "parsed": null because the
     // ~6 KB full-precision line got its head clipped by that window).

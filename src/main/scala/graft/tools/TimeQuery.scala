@@ -9,14 +9,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.tools.TimeQuery <sfDir> <reps> <query> [query ...]
   * With `-explain` as a query name prefix set, also prints the formatted
-  * plan once per query (e.g. `-explain graph_bfs`).
+  * plan once per query (e.g. `-explain graph_bfs`). With `-executed`,
+  * prints the post-run executedPlan instead — the AQE-final tree, the only
+  * place runtime decisions (ReusedExchange, skew splits, SMJ→BHJ demotions)
+  * are visible.
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val reps = args(1).toInt
     val explain = args.contains("-explain")
-    val names = args.drop(2).filterNot(_ == "-explain")
+    val executed = args.contains("-executed")
+    val names = args.drop(2).filterNot(a => a == "-explain" || a == "-executed")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,6 +34,14 @@ object TimeQuery {
     names.foreach { name =>
       val fn = registry.getOrElse(name, sys.error(s"unknown query: $name"))
       if (explain) fn(spark, sfDir).explain("formatted")
+      if (executed) {
+        val df = fn(spark, sfDir)
+        // collect(), not count(): count() wraps df in a NEW aggregate plan,
+        // leaving df's own executedPlan unexecuted (isFinalPlan=false) —
+        // registry outputs are bounded, so collect is safe here
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      }
       fn(spark, sfDir).count() // warm: codegen + parquet footers
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
