@@ -969,10 +969,134 @@ object PipelineQueries {
       ORDER BY c_mktsegment"""),
     notes = "k-anonymity class sizing + l-diversity, rolled up per segment; k=5, l=2")
 
+  /** URL/host-canonicalization dedup — the CommonCrawl-style curation stage
+    * before content dedup: raw crawl URLs differ in scheme/host case,
+    * `www.` prefixes, trailing slashes, `/index.html` suffixes, tracking
+    * params (`utm_*`), and query-param order while naming the SAME page.
+    * Canonicalize (builtin `parse_url` + regex + array HOFs, no UDF), exact-
+    * dedup on the canonical URL (keeper = min doc_id), roll up per host, and
+    * apply a per-domain quota — keep ≤10 pages per host, picked by the same
+    * reshuffle-proof Knuth-hash order the split/mixture machinery uses, so
+    * one giant domain cannot dominate the training mix.
+    *
+    * The fixture has no URL column, so raw URLs are derived deterministically
+    * from (doc_id, source) with every noise class above injected — both
+    * engines derive the identical synthetic crawl, so the oracle checks the
+    * full canonicalize→dedup→quota pipeline bit-exactly.
+    *
+    * Scale shape: one shuffle on canonical_url (unavoidable for exact URL
+    * dedup; key is ~60 B), then per-host work over the already-deduped page
+    * frame. The rn≤10 filter over the rank window compiles to
+    * WindowGroupLimit, which caps each host's candidates map-side BEFORE the
+    * host shuffle — a billion-page domain ships ~10 rows per input
+    * partition, not a single-partition window. Host stats are a second small
+    * aggregate broadcast back onto the quota survivors.
+    */
+  val pipelineUrlDedup = QueryDef(
+    "pipeline_url_dedup",
+    (spark, dir) => {
+      val hostCore = concat(col("source"), lit(".example.com"))
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, concat(lit("WWW."), hostCore))
+          .when(col("doc_id") % 3 === 1, upper(hostCore))
+          .otherwise(hostCore),
+        lit("/p"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/"))
+          .when(col("doc_id") % 5 === 1, lit("/index.html"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+            concat(lit("?utm_source=feed&ref=r"), (col("doc_id") % 3).cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("?ref=r"), (col("doc_id") % 3).cast("string"), lit("&utm_campaign=x")))
+          .when(col("doc_id") % 4 === 2, lit("?b=2&a=1"))
+          .otherwise(lit("")))
+      val withUrl = load(spark, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+      val host = regexp_replace(
+        lower(parse_url(col("url"), lit("HOST"))), "^www\\.", "")
+      val pathC = regexp_replace(regexp_replace(
+        parse_url(col("url"), lit("PATH")), "/index\\.html$", ""), "/$", "")
+      val paramsC = array_join(array_sort(filter(
+        split(coalesce(parse_url(col("url"), lit("QUERY")), lit("")), "&"),
+        x => x =!= "" && not(x.like("utm_%")))), "&")
+      val canonical = concat(host, pathC,
+        when(paramsC =!= "", concat(lit("?"), paramsC)).otherwise(lit("")))
+      // localCheckpoint: both consumers below (host stats + quota window)
+      // need the full deduped page frame, but column pruning specializes
+      // each branch's partial aggregate (the stats branch drops min(doc_id))
+      // so AQE exchange reuse can NEVER match them — without materialization
+      // the raw corpus would be scanned and shuffled twice. The checkpoint
+      // stores only the post-dedup pages (unique URLs × 4 small columns),
+      // a fraction of corpus bytes at any scale.
+      val pages = withUrl
+        .select(col("doc_id"), host.as("host"), canonical.as("canonical_url"))
+        .groupBy(col("host"), col("canonical_url"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_dups"))
+        .localCheckpoint()
+      val hostStats = pages.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_pages"), sum(col("n_dups")).as("n_raw"))
+      pages
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("host"))
+            .orderBy(knuth32(col("keeper_doc_id")), col("canonical_url"))))
+        .filter(col("rnk") <= 10)
+        .join(broadcast(hostStats), Seq("host"))
+        .select(col("host"), col("rnk"), col("canonical_url"),
+          col("keeper_doc_id"), col("n_dups"), col("n_pages"), col("n_raw"))
+        .orderBy(col("host"), col("rnk"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END || '://' ||
+               CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || source || '.example.com'
+                    WHEN doc_id % 3 = 1 THEN upper(source || '.example.com')
+                    ELSE source || '.example.com' END ||
+               '/p' || CAST(doc_id % 40 AS VARCHAR) ||
+               CASE WHEN doc_id % 5 = 0 THEN '/'
+                    WHEN doc_id % 5 = 1 THEN '/index.html' ELSE '' END ||
+               CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=r' || CAST(doc_id % 3 AS VARCHAR)
+                    WHEN doc_id % 4 = 1 THEN '?ref=r' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'
+                    WHEN doc_id % 4 = 2 THEN '?b=2&a=1' ELSE '' END AS url
+        FROM documents),
+      canon AS (
+        SELECT doc_id,
+               regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)), '^www\.', '') AS host,
+               regexp_replace(regexp_replace(
+                 regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                 '/index\.html$', ''), '/$', '') AS path_c,
+               array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                 x -> x <> '' AND x NOT LIKE 'utm_%')), '&') AS params_c
+        FROM d),
+      pages AS (
+        SELECT host,
+               host || path_c ||
+                 CASE WHEN params_c <> '' THEN '?' || params_c ELSE '' END AS canonical_url,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+               COUNT(*) AS n_dups
+        FROM canon GROUP BY 1, 2),
+      stats AS (
+        SELECT host, COUNT(*) AS n_pages, CAST(SUM(n_dups) AS BIGINT) AS n_raw
+        FROM pages GROUP BY host),
+      ranked AS (
+        SELECT host, canonical_url, keeper_doc_id, n_dups,
+               CAST(ROW_NUMBER() OVER (PARTITION BY host
+                 ORDER BY (keeper_doc_id * 2654435761) % 4294967296,
+                          canonical_url) AS INTEGER) AS rnk
+        FROM pages)
+      SELECT host, rnk, canonical_url, keeper_doc_id, n_dups, n_pages, n_raw
+      FROM ranked JOIN stats USING (host)
+      WHERE rnk <= 10
+      ORDER BY host, rnk"""),
+    notes = "canonical-URL dedup (case/www/slash/index.html/utm/param-order) + per-domain quota via Knuth-hash WindowGroupLimit top-10; synthetic URLs derived identically in both engines")
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
     pipelinePack, pipelineDecontaminate, textRepetition, pipelineRedact,
     sampleTemperature, sampleMixture, pipelineAttrition, pipelineShardBalance,
     quantilesWeighted, pipelineDatasetCard, sampleEpochs, sampleStratified,
-    pipelineKanonymity)
+    pipelineKanonymity, pipelineUrlDedup)
 }
