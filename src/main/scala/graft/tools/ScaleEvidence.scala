@@ -79,6 +79,48 @@ object ScaleEvidence {
         col("event_type"), col("value"), col("props"))
   }
 
+  /** FACTOR× TPC-H trade tables for the graph battery: replicas are DISJOINT
+    * customer/supplier/part/order populations (every key column offset by
+    * k·IdOffset), so the trade graph grows as FACTOR disjoint copies of the
+    * base graph — organic growth for a marketplace (more participants, same
+    * local degree structure), which is the corpus iterative graph queries
+    * face: cost should track edge count × iteration count, never blow up on
+    * replica count.
+    */
+  def scaleOrders(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val o = graft.Tables.load(spark, baseDir, "orders")
+    val reps = spark.range(factor).select(col("id").as("replica"))
+    o.crossJoin(broadcast(reps))
+      .select(
+        (col("o_orderkey") + col("replica") * IdOffset).as("o_orderkey"),
+        (col("o_custkey") + col("replica") * IdOffset).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+  }
+
+  def scaleLineitem(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val li = graft.Tables.load(spark, baseDir, "lineitem")
+    val reps = spark.range(factor).select(col("id").as("replica"))
+    li.crossJoin(broadcast(reps))
+      .select(
+        (col("l_orderkey") + col("replica") * IdOffset).as("l_orderkey"),
+        (col("l_partkey") + col("replica") * IdOffset).as("l_partkey"),
+        (col("l_suppkey") + col("replica") * IdOffset).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+  }
+
+  def scalePart(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val p = graft.Tables.load(spark, baseDir, "part")
+    val reps = spark.range(factor).select(col("id").as("replica"))
+    p.crossJoin(broadcast(reps))
+      .select(
+        (col("p_partkey") + col("replica") * IdOffset).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.drop(1).headOption.getOrElse("/tmp/graft_scale10x")
@@ -105,8 +147,13 @@ object ScaleEvidence {
     // The marker is written only after ALL tables land, and a mismatch (or
     // absence on a partially-built dir) regenerates everything.
     val markerPath = java.nio.file.Paths.get(s"$outDir/_FACTOR")
+    // "v2": the marker also versions the TABLE SET — a pre-graph-axis dir
+    // has the right factor but no orders/lineitem/part, and an
+    // existence-only factor check would hand graph queries a missing-file
+    // error instead of regenerating
+    val markerWant = s"$factor v2"
     val markerOk = java.nio.file.Files.exists(markerPath) &&
-      java.nio.file.Files.readString(markerPath).trim == factor.toString
+      java.nio.file.Files.readString(markerPath).trim == markerWant
     if (!markerOk) {
       java.nio.file.Files.deleteIfExists(markerPath)
       scaleDocuments(spark, baseDir, factor)
@@ -115,6 +162,12 @@ object ScaleEvidence {
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
       scaleEvents(spark, baseDir, factor)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      scaleOrders(spark, baseDir, factor)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      scaleLineitem(spark, baseDir, factor)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      scalePart(spark, baseDir, factor)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/part.parquet")
       // stale single-file stream layout must regenerate with the tables
       val streamFiles = java.nio.file.Paths.get(s"$outDir/stream1")
       if (java.nio.file.Files.exists(streamFiles)) {
@@ -123,7 +176,7 @@ object ScaleEvidence {
         try walk.forEach(p => java.nio.file.Files.deleteIfExists(p))
         finally walk.close()
       }
-      java.nio.file.Files.writeString(markerPath, factor.toString)
+      java.nio.file.Files.writeString(markerPath, markerWant)
     }
     // Streaming axis: the file-stream source wants dir/events.parquet to be
     // ONE file (like the driver fixtures), so the scaled events are re-laid
