@@ -130,4 +130,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf("vector_outliers")
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("pipeline_url_dedup: per-domain quota caps map-side via WindowGroupLimit") {
+    val plan = planOf("pipeline_url_dedup")
+    // the rnk<=10 filter must compile to a PARTIAL WindowGroupLimit below
+    // the host exchange — that is what keeps a billion-page domain from
+    // funnelling into one window partition
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"per-host quota lost its map-side WindowGroupLimit:\n$plan")
+    // host stats ride a broadcast join over the quota survivors, and the
+    // deduped page frame is checkpointed — neither side re-shuffles a
+    // corpus pass through SortMergeJoin
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"host-stats join shape regressed:\n$plan")
+  }
 }
