@@ -1012,7 +1012,12 @@ object PipelineQueries {
             concat(lit("?ref=r"), (col("doc_id") % 3).cast("string"), lit("&utm_campaign=x")))
           .when(col("doc_id") % 4 === 2, lit("?b=2&a=1"))
           .otherwise(lit("")))
-      val withUrl = load(spark, dir, "documents")
+      // spreadIfNarrow: parse_url×3 + regex + array HOFs per row is
+      // row-local-heavy work that would otherwise run in the fixture's
+      // single scan task (2.7 s single-threaded at sf0.1 in the shuffle
+      // audit); no-op on a real multi-split cluster scan
+      val withUrl = graft.Tables.spreadIfNarrow(
+        load(spark, dir, "documents").select(col("doc_id"), col("source")))
         .select(col("doc_id"), url.as("url"))
       val host = regexp_replace(
         lower(parse_url(col("url"), lit("HOST"))), "^www\\.", "")
