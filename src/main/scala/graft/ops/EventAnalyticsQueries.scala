@@ -18,6 +18,25 @@ import graft.Tables.{cents, load}
   */
 object EventAnalyticsQueries {
 
+  /** One cached recursion child session per parent (see
+    * [[eventsDecayRcte]]): the raised `spark.sql.cteRecursionRowLimit`
+    * lives ONLY here, so Spark's runaway-recursion guard (default 10^6
+    * cumulative rows) stays live on the shared session — the recursion
+    * itself is depth-bounded by construction (rn ≤ 16, each level's join
+    * strictly advances rn), so the guard cannot serve its purpose for it,
+    * while at 100× events the 16 levels × users legitimately exceed the
+    * default (found by the 100× scale harness, not speculation).
+    */
+  private val recursionSessions = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+  private def recursionSession(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    recursionSessions.computeIfAbsent(spark, s => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+      c
+    })
+
   /** Ordered 3-stage funnel (signup → click → purchase, strictly increasing
     * timestamps): stage k's timestamp is the earliest qualifying event AFTER
     * the user's stage-(k−1) timestamp. Each stage is one conditional
@@ -1719,15 +1738,18 @@ object EventAnalyticsQueries {
   val eventsDecayRcte = QueryDef(
     "events_decay_rcte",
     (spark, dir) => {
-      // The recursion-row-limit raise below is scoped to a CHILD session
+      // The recursion-row-limit raise is scoped to a CHILD session
       // (newSession(): shared SparkContext + cached data, isolated
       // conf/catalog). Raising it on the caller's session would disable
       // Spark's runaway-recursion guard for every LATER query in a shared
       // Bench/Verify session, and set-and-restore can't work because
       // execution is lazy — the restore would land before the plan runs.
       // Builder-time confs (shuffle partitions, timezone) live in the
-      // shared SparkConf, so the child inherits them.
-      val sess = spark.newSession()
+      // shared SparkConf, so the child inherits them. The child is CACHED
+      // per parent: building a SessionState costs ~0.5 s (measured A/B at
+      // sf0.1: 2.45 → 3.0 s min with a fresh session per call), so repeat
+      // invocations reuse one dedicated recursion session.
+      val sess = recursionSession(spark)
       // Materialize the rn-indexed chain table ONCE before the recursion:
       // the recursive plan re-evaluates its join side EVERY level, so an
       // inline windowed CTE would re-sort the whole fact once per level
@@ -1751,14 +1773,6 @@ object EventAnalyticsQueries {
         .repartition(col("user_id"))
         .localCheckpoint()
         .createOrReplaceTempView("rcte_chain")
-      // Spark guards runaway recursion with a cumulative ROW limit
-      // (default 10^6) — at 100× events the 16 levels × users legitimately
-      // exceed it (found by the 100× scale harness, not speculation). This
-      // recursion is depth-bounded by construction (rn ≤ 16 and each
-      // level's join strictly advances rn), so the guard can't serve its
-      // purpose here; raise it well past any fixture scale — on the child
-      // session only, so the guard stays live for every other query.
-      sess.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
       sess.sql("""
         WITH RECURSIVE
         decay AS (
