@@ -340,6 +340,52 @@ object AdvancedQueries {
       ORDER BY purchase_id"""),
     notes = "merge_asof direction=nearest; equi+band join, tie to earlier view")
 
+  /** The native as-of join in its LEFT OUTER shape — pandas merge_asof's
+    * default join semantics: EVERY purchase emits exactly one row, with the
+    * view columns null when no prior view exists. Exercises
+    * [[graft.plans.AsOfJoinExec]]'s outer path (null-extended right side
+    * built inside the same single merge pass — zero extra shuffle or join
+    * vs inner). The oracle states the semantics independently as LEFT
+    * JOIN + rank, where the unmatched left row survives as the rn=1
+    * null-view row.
+    */
+  val joinAsofOuter = QueryDef(
+    "join_asof_outer",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_millis(col("ts")).as("p_ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          unix_millis(col("ts")).as("v_ms"))
+      graft.plans.AsOfJoinOps.asofJoin(spark, p, v,
+          p("user_id"), v("v_user"), p("p_ms"), v("v_ms"), v("view_id"),
+          leftOuter = true)
+        .select(col("purchase_id"), col("user_id"),
+          col("view_id").as("prior_view_id"),
+          (col("p_ms") - col("v_ms")).as("gap_ms"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS p_ms
+        FROM events WHERE event_type = 'purchase'),
+      v AS (
+        SELECT event_id AS view_id, user_id, epoch_ms(ts) AS v_ms
+        FROM events WHERE event_type = 'view'),
+      ranked AS (
+        SELECT p.purchase_id, p.user_id, v.view_id, p.p_ms - v.v_ms AS gap_ms,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                 ORDER BY v.v_ms DESC, v.view_id DESC) AS rn
+        FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.v_ms < p.p_ms)
+      SELECT purchase_id, user_id, view_id AS prior_view_id,
+             CAST(gap_ms AS BIGINT) AS gap_ms
+      FROM ranked
+      WHERE rn = 1
+      ORDER BY purchase_id"""),
+    notes = "native as-of join, LEFT OUTER (merge_asof default shape): one output row per purchase, null view when no prior exists; same single merge pass as inner")
+
   /** Explicit join-strategy control: SHUFFLE_HASH hint forces a shuffled
     * hash join where the planner would otherwise broadcast or sort-merge —
     * the knob for dimension tables too big to broadcast but cheap to hash.
@@ -538,5 +584,5 @@ object AdvancedQueries {
   val all: Seq[QueryDef] = Seq(subqueryScalar, subqueryExists, windowRange,
     windowRanks, eventsPivot, arrayFuncs, stringFuncs, arraySetops,
     conditionalFuncs, joinAsofNative, joinAsofTolerance, joinAsofNearest,
-    joinShuffleHash, joinBloom, skylinePareto)
+    joinAsofOuter, joinShuffleHash, joinBloom, skylinePareto)
 }

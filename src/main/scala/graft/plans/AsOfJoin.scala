@@ -16,9 +16,12 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, Lo
   * whole-operator Catalyst route: LogicalPlan + Strategy + physical exec,
   * registered at runtime via `spark.experimental.extraStrategies`).
   *
-  * Semantics (inner): for each left row, the single right row with the same
-  * key and the greatest time STRICTLY less than the left time; ties on right
-  * time resolved by the greatest tiebreak value. Left rows with no match drop.
+  * Semantics: for each left row, the single right row with the same key and
+  * the greatest time STRICTLY less than the left time; ties on right time
+  * resolved by the greatest tiebreak value. Inner (default): left rows with
+  * no match drop. Left outer (`isLeftOuter`, pandas merge_asof's default
+  * shape): unmatched left rows — including null-keyed/null-timed ones and
+  * tolerance-stale ones — emit with a null-extended right side.
   *
   * Scale shape: both sides hash-partitioned on the key and sorted within
   * partitions — EnsureRequirements inserts the exchanges/sorts — then ONE
@@ -37,8 +40,11 @@ case class AsOfJoin(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Expression,
-    tolerance: Option[Long] = None) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    tolerance: Option[Long] = None,
+    isLeftOuter: Boolean = false) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isLeftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -49,7 +55,8 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Expression,
-    tolerance: Option[Long] = None) extends BinaryExecNode {
+    tolerance: Option[Long] = None,
+    isLeftOuter: Boolean = false) extends BinaryExecNode {
 
   require(DataType.equalsStructurally(leftKey.dataType, rightKey.dataType),
     s"as-of join key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
@@ -62,7 +69,9 @@ case class AsOfJoinExec(
   require(tolerance.isEmpty || AsOfJoinExec.delta(leftTime.dataType) != null,
     s"as-of tolerance needs an integral-backed time type, got ${leftTime.dataType}")
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isLeftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
@@ -84,11 +93,23 @@ case class AsOfJoinExec(
     // interpreted-ordering loop below — same merge, boxed comparisons.
     val fast = AsOfJoinExec.longBacked(keyType) && AsOfJoinExec.longBacked(timeType)
     val tol = tolerance
+    val outer = isLeftOuter
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lProj = UnsafeProjection.create(Seq(lKey, lTime), lOut)
       val rProj = UnsafeProjection.create(Seq(rKey, rTime), rOut)
-      val outProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // outer: the right-side INPUT attrs must read as nullable too — the
+      // bound references take their null-check from the input schema, so
+      // binding against the children's non-nullable attrs would compile
+      // away isNullAt and read 0 from the all-null row
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ (if (outer) rOut.map(_.withNullability(true)) else rOut))
       val joined = new JoinedRow
+      // left-outer: unmatched left rows pair with an all-null right side
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.length)
+      def emitUnmatched(lRow: InternalRow): Iterator[InternalRow] =
+        if (outer) Iterator.single(outProj(joined(lRow, nullRight)))
+        else Iterator.empty
       if (fast) {
         // last right row seen with time < current left time, plus its key/time
         var lastMatch: UnsafeRow = null
@@ -114,7 +135,7 @@ case class AsOfJoinExec(
         advanceRight()
         lIter.flatMap { lRow =>
           val k = lProj(lRow)
-          if (k.isNullAt(0) || k.isNullAt(1)) Iterator.empty
+          if (k.isNullAt(0) || k.isNullAt(1)) emitUnmatched(lRow)
           else {
             val lKeyV = k.getLong(0); val lTimeV = k.getLong(1)
             // consume right rows strictly before (key, time); remember the last
@@ -131,7 +152,7 @@ case class AsOfJoinExec(
             if (lastMatch != null && lastMatchKey == lKeyV &&
                 tol.forall(t => lTimeV - lastMatchTime <= t))
               Iterator.single(outProj(joined(lRow, lastMatch)))
-            else Iterator.empty
+            else emitUnmatched(lRow)
           }
         }
       } else {
@@ -161,7 +182,7 @@ case class AsOfJoinExec(
         advanceRight()
         lIter.flatMap { lRow =>
           val k = lProj(lRow)
-          if (k.isNullAt(0) || k.isNullAt(1)) Iterator.empty
+          if (k.isNullAt(0) || k.isNullAt(1)) emitUnmatched(lRow)
           else {
             // consumed within this iteration, before the next lProj call —
             // no copy needed
@@ -180,7 +201,7 @@ case class AsOfJoinExec(
             if (lastMatch != null && keyOrd.compare(lastMatchKey, lKeyV) == 0 &&
                 tol.forall(t => delta(lTimeV, lastMatchTime) <= t))
               Iterator.single(outProj(joined(lRow, lastMatch)))
-            else Iterator.empty
+            else emitUnmatched(lRow)
           }
         }
       }
@@ -219,8 +240,9 @@ object AsOfJoinExec {
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, rtb, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rtb, tol) :: Nil
+    case j: AsOfJoin =>
+      AsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKey, j.rightKey,
+        j.leftTime, j.rightTime, j.rightTiebreak, j.tolerance, j.isLeftOuter) :: Nil
     case _ => Nil
   }
 }
@@ -231,17 +253,20 @@ object AsOfJoinOps {
     * (idempotent). `tolerance` (same unit as the time columns) drops matches
     * older than `leftTime − tolerance` — pandas merge_asof's staleness
     * bound, evaluated inside the merge pass at zero extra cost.
+    * `leftOuter = true` keeps unmatched left rows with a null-extended right
+    * side (merge_asof's default join shape; inner is this API's default).
     */
   def asofJoin(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column, rightTiebreak: Column,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      leftOuter: Boolean = false): DataFrame = {
     SessionRules.registerStrategy(spark, AsOfJoinStrategy)
     SessionRules.registerOptimization(spark, PushLeftFilterThroughAsOfJoin)
     GraftSqlBridge.ofRows(spark, AsOfJoin(
       GraftSqlBridge.analyzedPlan(leftDf), GraftSqlBridge.analyzedPlan(rightDf),
       GraftSqlBridge.expression(leftKey), GraftSqlBridge.expression(rightKey),
       GraftSqlBridge.expression(leftTime), GraftSqlBridge.expression(rightTime),
-      GraftSqlBridge.expression(rightTiebreak), tolerance))
+      GraftSqlBridge.expression(rightTiebreak), tolerance, leftOuter))
   }
 }

@@ -193,6 +193,64 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"unexpected error: ${ex.getMessage}")
   }
 
+  test("left outer: unmatched, null-keyed, and tolerance-stale lefts survive with null right") {
+    val l = Seq((1L, Some(7L), 100L), (2L, Some(9L), 100L), (3L, None, 100L),
+        (4L, Some(7L), 500L))
+      .toDF("lid", "lkey", "ltime")
+    val r = Seq((10L, 7L, 50L), (11L, 8L, 50L)).toDF("rid", "rkey", "rtime")
+    val got = AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"),
+        tolerance = Some(100L), leftOuter = true)
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toSet
+    // lid=1 matches rid=10 (gap 50 ≤ tol); lid=2 has no key-9 rows;
+    // lid=3 has a NULL key (never matches, but left-outer keeps it);
+    // lid=4's latest prior is stale (gap 450 > 100) → kept with null right
+    assert(got === Set((1L, Some(10L)), (2L, None), (3L, None), (4L, None)))
+  }
+
+  test("left outer on the generic (string-key) path keeps unmatched lefts") {
+    val l = Seq((1L, "alpha", 100L), (2L, "omega", 100L))
+      .toDF("lid", "lkey", "ltime").repartition(2)
+    val r = Seq((10L, "alpha", 90L)).toDF("rid", "rkey", "rtime")
+    val got = AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"),
+        leftOuter = true)
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toSet
+    assert(got === Set((1L, Some(10L)), (2L, None)))
+  }
+
+  test("left outer marks right-side columns nullable in the output schema") {
+    val l = Seq((1L, 7L, 100L)).toDF("lid", "lkey", "ltime")
+    val r = Seq((10L, 7L, 50L)).toDF("rid", "rkey", "rtime")
+    val inner = AsOfJoinOps.asofJoin(spark, l, r,
+      l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"))
+    val outer = AsOfJoinOps.asofJoin(spark, l, r,
+      l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"), leftOuter = true)
+    assert(!inner.schema("rid").nullable)
+    assert(outer.schema("rid").nullable)
+    assert(!outer.schema("lid").nullable)
+  }
+
+  test("property: left-outer row count equals the left side's row count") {
+    // backward as-of with ≤1 match per left row ⇒ left outer is a function
+    // of the left table: exactly one output row per left row
+    val rng = new scala.util.Random(31)
+    val left = (0 until 400).map(i => (i.toLong, rng.nextInt(20).toLong, rng.nextInt(1000).toLong))
+    val right = (0 until 600).map(i => (1000L + i, rng.nextInt(25).toLong, rng.nextInt(1000).toLong))
+    val l = left.toDF("lid", "lkey", "ltime").repartition(3)
+    val r = right.toDF("rid", "rkey", "rtime").repartition(2)
+    val out = AsOfJoinOps.asofJoin(spark, l, r,
+      l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"), leftOuter = true)
+    assert(out.count() === 400L)
+    // and the matched subset agrees with the inner join
+    val inner = AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("ltime"), r("rtime"), r("rid"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val matched = out.filter($"rid".isNotNull)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(matched === inner)
+  }
+
   test("property: string-keyed as-of agrees with a reference computation") {
     val rng = new scala.util.Random(23)
     val left = (0 until 500).map(i =>
