@@ -40,9 +40,12 @@ object Bench {
     // driver host shows broad ±0.2-0.4 s per-query drift that two passes
     // don't fully absorb; a steady-state investigation can raise this
     // without a code change. A query is failed if ANY pass failed — more
-    // passes can only tighten times, never hide a red query.
-    val nPasses = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    // passes can only tighten times, never hide a red query. Unparseable
+    // values fall back to 2: a typo'd export must not crash the bench
+    // AFTER the multi-minute warm pass and lose the whole artifact.
+    val nPasses = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").trim.toInt)
+      .getOrElse(2))
     val passes = Seq.fill(nPasses)(timedPass())
     val failed = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => passes.exists(_(n).isEmpty))

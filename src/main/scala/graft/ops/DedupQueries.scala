@@ -649,10 +649,19 @@ object DedupQueries {
       // scan+count+filter pipeline — r10 explain showed documents scanned
       // 8× and no exchange reuse (the BHJ sides broadcast, so shuffle reuse
       // can't fire). Materializing the bounded sample once is the
-      // graph-battery checkpoint pattern.
-      val sub = graft.Tables.spreadIfNarrow(
-        docs.crossJoin(broadcast(md))
-          .filter(col("doc_id") % col("md") === 0).drop("md"))
+      // graph-battery checkpoint pattern. UNCONDITIONAL numbered
+      // repartition, not spreadIfNarrow: the probe's `.rdd` finalizes a
+      // plan that contains the broadcast count-aggregate, which under AQE
+      // materializes that stage as a hidden extra scan job before the
+      // checkpoint re-runs it (spreadIfNarrow's scan-only precondition).
+      // The partition count must be EXPLICIT: a bare repartition(col) is a
+      // coalescable shuffle origin, and AQE folds the tiny sample to ONE
+      // partition — single-threading every downstream self-join (measured
+      // +0.9 s at sf0.1); REPARTITION_BY_NUM is exempt from coalescing.
+      val sub = docs.crossJoin(broadcast(md))
+        .filter(col("doc_id") % col("md") === 0).drop("md")
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
         .localCheckpoint()
       // exact ground truth: token-set Jaccard >= 0.70 via inverted-index join
       val toks = sub.select(col("doc_id"),

@@ -27,8 +27,14 @@ object EventAnalyticsQueries {
     * while at 100× events the 16 levels × users legitimately exceed the
     * default (found by the 100× scale harness, not speculation).
     */
-  private val recursionSessions = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+  // WEAK keys: a static strong map would pin every parent session (and its
+  // child's SessionState) for the JVM lifetime — a harness that creates and
+  // stops many sessions would leak one pair per session. The child value
+  // does not reference the parent session (only the shared SparkContext),
+  // so entries die with their parent.
+  private val recursionSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]())
   private def recursionSession(
       spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     recursionSessions.computeIfAbsent(spark, s => {

@@ -196,9 +196,21 @@ object LayoutQueries {
       .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString
         .getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"$prefix-$key-p${ProcessHandle.current().pid()}")
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    // dead-pid sweep: the shutdown hook below never runs on SIGKILL /
+    // OOM-kill, so orphaned copies from crashed JVMs are reclaimed here,
+    // on the next use of ANY fixture — without it each killed bench/verify
+    // JVM would leak one fixture-sized dir permanently
+    val orphan = s"^${java.util.regex.Pattern.quote(prefix)}-[0-9a-f]+-p([0-9]+)$$".r
+    val listing = java.nio.file.Files.list(tmpRoot)
+    try listing.forEach { sib =>
+      sib.getFileName.toString match {
+        case orphan(pid) if !ProcessHandle.of(pid.toLong)
+            .map[Boolean](_.isAlive).orElse(false) => deleteTree(sib)
+        case _ => ()
+      }
+    } finally listing.close()
+    val p = tmpRoot.resolve(s"$prefix-$key-p${ProcessHandle.current().pid()}")
     java.nio.file.Files.createDirectories(p)
     if (cleanupRegistered.add(p.toString))
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
@@ -276,9 +288,12 @@ object LayoutQueries {
       // table names keyed to the sf dir (not a per-run UUID): re-runs
       // OVERWRITE one catalog entry per fixture dir instead of leaking a
       // new table + data copy per invocation
-      // '-' → '_': the pid-suffixed dir name must stay a valid unquoted
-      // SQL identifier when embedded in the catalog table names below
-      val tag = new java.io.File(base).getName.replace('-', '_').takeRight(12)
+      // tag = FULL fixture hash + pid ('-' → '_' to stay a valid unquoted
+      // SQL identifier): a takeRight over the pid-bearing dir name would
+      // keep only a few hash chars and let two fixture dirs in one JVM
+      // collide on the catalog table name
+      val tag = new java.io.File(base).getName
+        .stripPrefix("graft-bucketed-").replace('-', '_')
       val oTab = s"graft_orders_b_$tag"
       val lTab = s"graft_lineitem_b_$tag"
       // repartition on the bucket key (same Murmur3 hash as bucketBy) so
