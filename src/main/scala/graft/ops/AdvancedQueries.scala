@@ -386,6 +386,55 @@ object AdvancedQueries {
       ORDER BY purchase_id"""),
     notes = "native as-of join, LEFT OUTER (merge_asof default shape): one output row per purchase, null view when no prior exists; same single merge pass as inner")
 
+  /** As-of join, FORWARD direction (merge_asof direction='forward'): each
+    * purchase matches the EARLIEST view strictly after it — "what did the
+    * user look at next". No new operator: the backward merge exec runs on
+    * NEGATED time columns (greatest −t_view < −t_purchase ⟺ smallest
+    * t_view > t_purchase), and the negated tiebreak keeps ties resolving to
+    * the smallest view id — direction is a composition property of the
+    * backward exec, exactly how a library user should get it. Completes the
+    * pandas direction set: backward (`join_asof`/`_native`), backward +
+    * tolerance, nearest, left-outer, and now forward.
+    */
+  val joinAsofForward = QueryDef(
+    "join_asof_forward",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_millis(col("ts")).as("p_ms"))
+        .withColumn("neg_p_ms", -col("p_ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          unix_millis(col("ts")).as("v_ms"))
+        .withColumn("neg_v_ms", -col("v_ms"))
+        .withColumn("neg_view_id", -col("view_id"))
+      graft.plans.AsOfJoinOps.asofJoin(spark, p, v,
+          p("user_id"), v("v_user"), p("neg_p_ms"), v("neg_v_ms"),
+          v("neg_view_id"))
+        .select(col("purchase_id"), col("user_id"),
+          col("view_id").as("next_view_id"),
+          (col("v_ms") - col("p_ms")).as("gap_ms"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS p_ms
+        FROM events WHERE event_type = 'purchase'),
+      v AS (
+        SELECT event_id AS view_id, user_id, epoch_ms(ts) AS v_ms
+        FROM events WHERE event_type = 'view'),
+      ranked AS (
+        SELECT p.purchase_id, p.user_id, v.view_id, v.v_ms - p.p_ms AS gap_ms,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                 ORDER BY v.v_ms ASC, v.view_id ASC) AS rn
+        FROM p JOIN v ON v.user_id = p.user_id AND v.v_ms > p.p_ms)
+      SELECT purchase_id, user_id, view_id AS next_view_id, gap_ms
+      FROM ranked
+      WHERE rn = 1
+      ORDER BY purchase_id"""),
+    notes = "merge_asof direction=forward via the backward merge exec on negated times — direction as a composition property, no new operator code")
+
   /** Explicit join-strategy control: SHUFFLE_HASH hint forces a shuffled
     * hash join where the planner would otherwise broadcast or sort-merge —
     * the knob for dimension tables too big to broadcast but cheap to hash.
@@ -584,5 +633,5 @@ object AdvancedQueries {
   val all: Seq[QueryDef] = Seq(subqueryScalar, subqueryExists, windowRange,
     windowRanks, eventsPivot, arrayFuncs, stringFuncs, arraySetops,
     conditionalFuncs, joinAsofNative, joinAsofTolerance, joinAsofNearest,
-    joinAsofOuter, joinShuffleHash, joinBloom, skylinePareto)
+    joinAsofOuter, joinAsofForward, joinShuffleHash, joinBloom, skylinePareto)
 }
