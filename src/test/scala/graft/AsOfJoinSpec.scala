@@ -270,6 +270,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("property: forward direction composes from the backward exec via negation") {
+    // join_asof_forward's construction: negate both time columns (greatest
+    // -rt < -lt ⟺ smallest rt > lt) and negate the tiebreak so ties resolve
+    // to the SMALLEST right id. Checked against a direct reference
+    // computation of "earliest strictly-after, ties to smallest rid".
+    val rng = new scala.util.Random(42)
+    val left = (0 until 400).map(i => (i.toLong, rng.nextInt(15).toLong, rng.nextInt(500).toLong))
+    val right = (0 until 600).map(i => (1000L + i, rng.nextInt(15).toLong, rng.nextInt(500).toLong))
+    val expected = left.flatMap { case (lid, k, lt) =>
+      val cands = right.filter(r => r._2 == k && r._3 > lt)
+      if (cands.isEmpty) None
+      else Some((lid, cands.minBy(r => (r._3, r._1))._1))
+    }.toSet
+    val l = left.toDF("lid", "lkey", "ltime").repartition(3)
+      .withColumn("neg_lt", -$"ltime")
+    val r = right.toDF("rid", "rkey", "rtime").repartition(2)
+      .withColumn("neg_rt", -$"rtime").withColumn("neg_rid", -$"rid")
+    val got = AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("neg_lt"), r("neg_rt"), r("neg_rid"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("many keys across many partitions agree with a reference computation") {
     val rng = new scala.util.Random(11)
     val left = (0 until 500).map(i => (i.toLong, rng.nextInt(20).toLong, rng.nextInt(1000).toLong))
