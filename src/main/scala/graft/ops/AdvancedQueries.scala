@@ -15,6 +15,24 @@ object AdvancedQueries {
       name: String): Unit =
     load(spark, dir, name).createOrReplaceTempView(name)
 
+  /** Shared left/right frames for the as-of join family: purchases as
+    * (purchase_id, user_id, p_ms) and views as (view_id, v_user, v_ms),
+    * times as epoch-ms longs. Five registry queries join these two frames
+    * under different as-of semantics; the projection must stay identical
+    * across them so the family's oracles describe the same inputs.
+    */
+  private def purchaseViewFrames(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val ev = load(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_millis(col("ts")).as("p_ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        unix_millis(col("ts")).as("v_ms"))
+    (p, v)
+  }
+
   /** TPC-H Q17-shaped correlated scalar subqueries, expressed in SQL so the
     * plan exercises Catalyst's subquery decorrelation (the DataFrame API
     * cannot write a correlated scalar subquery). The small-quantity
@@ -233,13 +251,7 @@ object AdvancedQueries {
   val joinAsofNative = QueryDef(
     "join_asof_native",
     (spark, dir) => {
-      val ev = load(spark, dir, "events")
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          unix_millis(col("ts")).as("p_ms"))
-      val v = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-          unix_millis(col("ts")).as("v_ms"))
+      val (p, v) = purchaseViewFrames(spark, dir)
       graft.plans.AsOfJoinOps.asofJoin(spark, p, v,
           p("user_id"), v("v_user"), p("p_ms"), v("v_ms"), v("view_id"))
         .select(col("purchase_id"), col("user_id"),
@@ -257,13 +269,7 @@ object AdvancedQueries {
   val joinAsofTolerance = QueryDef(
     "join_asof_tolerance",
     (spark, dir) => {
-      val ev = load(spark, dir, "events")
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          unix_millis(col("ts")).as("p_ms"))
-      val v = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-          unix_millis(col("ts")).as("v_ms"))
+      val (p, v) = purchaseViewFrames(spark, dir)
       graft.plans.AsOfJoinOps.asofJoin(spark, p, v,
           p("user_id"), v("v_user"), p("p_ms"), v("v_ms"), v("view_id"),
           tolerance = Some(30L * 60 * 1000))
@@ -301,13 +307,7 @@ object AdvancedQueries {
   val joinAsofNearest = QueryDef(
     "join_asof_nearest",
     (spark, dir) => {
-      val ev = load(spark, dir, "events")
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          unix_millis(col("ts")).as("p_ms"))
-      val v = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-          unix_millis(col("ts")).as("v_ms"))
+      val (p, v) = purchaseViewFrames(spark, dir)
       val w = Window.partitionBy(col("purchase_id"))
         .orderBy(col("abs_gap_ms"), col("v_ms"), col("view_id"))
       p.join(v, col("v_user") === col("user_id") &&
@@ -352,13 +352,7 @@ object AdvancedQueries {
   val joinAsofOuter = QueryDef(
     "join_asof_outer",
     (spark, dir) => {
-      val ev = load(spark, dir, "events")
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          unix_millis(col("ts")).as("p_ms"))
-      val v = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-          unix_millis(col("ts")).as("v_ms"))
+      val (p, v) = purchaseViewFrames(spark, dir)
       graft.plans.AsOfJoinOps.asofJoin(spark, p, v,
           p("user_id"), v("v_user"), p("p_ms"), v("v_ms"), v("view_id"),
           leftOuter = true)
@@ -386,8 +380,10 @@ object AdvancedQueries {
       ORDER BY purchase_id"""),
     notes = "native as-of join, LEFT OUTER (merge_asof default shape): one output row per purchase, null view when no prior exists; same single merge pass as inner")
 
-  /** As-of join, FORWARD direction (merge_asof direction='forward'): each
-    * purchase matches the EARLIEST view strictly after it — "what did the
+  /** As-of join, FORWARD direction (merge_asof direction='forward' with
+    * allow_exact_matches=False — this whole family is strict, pandas'
+    * default also matches equal timestamps): each purchase matches the
+    * EARLIEST view strictly after it — "what did the
     * user look at next". No new operator: the backward merge exec runs on
     * NEGATED time columns (greatest −t_view < −t_purchase ⟺ smallest
     * t_view > t_purchase), and the negated tiebreak keeps ties resolving to
@@ -399,15 +395,9 @@ object AdvancedQueries {
   val joinAsofForward = QueryDef(
     "join_asof_forward",
     (spark, dir) => {
-      val ev = load(spark, dir, "events")
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          unix_millis(col("ts")).as("p_ms"))
-        .withColumn("neg_p_ms", -col("p_ms"))
-      val v = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-          unix_millis(col("ts")).as("v_ms"))
-        .withColumn("neg_v_ms", -col("v_ms"))
+      val (p0, v0) = purchaseViewFrames(spark, dir)
+      val p = p0.withColumn("neg_p_ms", -col("p_ms"))
+      val v = v0.withColumn("neg_v_ms", -col("v_ms"))
         .withColumn("neg_view_id", -col("view_id"))
       graft.plans.AsOfJoinOps.asofJoin(spark, p, v,
           p("user_id"), v("v_user"), p("neg_p_ms"), v("neg_v_ms"),
@@ -433,7 +423,7 @@ object AdvancedQueries {
       FROM ranked
       WHERE rn = 1
       ORDER BY purchase_id"""),
-    notes = "merge_asof direction=forward via the backward merge exec on negated times — direction as a composition property, no new operator code")
+    notes = "merge_asof direction=forward (allow_exact_matches=False; family-wide strict semantics) via the backward merge exec on negated times — direction as a composition property, no new operator code")
 
   /** Explicit join-strategy control: SHUFFLE_HASH hint forces a shuffled
     * hash join where the planner would otherwise broadcast or sort-merge —
