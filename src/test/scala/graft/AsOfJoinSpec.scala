@@ -293,6 +293,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("allow_exact_matches composes from the strict exec via a +1 time shift") {
+    // The exec is strictly-before by design (rt < lt). pandas' default
+    // allow_exact_matches=True (rt <= lt) composes for integral times as
+    // rt < lt + 1 — shift the LEFT time up by one tick. Equal-time rows
+    // must now match; strictly-later rows must still not.
+    val l = Seq((1L, 7L, 100L), (2L, 7L, 50L)).toDF("lid", "lkey", "ltime")
+      .withColumn("lt1", $"ltime" + 1L)
+    val r = Seq((10L, 7L, 100L), (11L, 7L, 99L), (12L, 7L, 51L))
+      .toDF("rid", "rkey", "rtime")
+    val got = AsOfJoinOps.asofJoin(spark, l, r,
+        l("lkey"), r("rkey"), l("lt1"), r("rtime"), r("rid"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    // lid=1 at t=100: rid=10 (equal time) now matches, beating rid=11 at 99.
+    // lid=2 at t=50: rid=12 at 51 is strictly later — still excluded, no match.
+    assert(got === Set((1L, 10L)))
+  }
+
   test("many keys across many partitions agree with a reference computation") {
     val rng = new scala.util.Random(11)
     val left = (0 until 500).map(i => (i.toLong, rng.nextInt(20).toLong, rng.nextInt(1000).toLong))
