@@ -425,6 +425,98 @@ object AdvancedQueries {
       ORDER BY purchase_id"""),
     notes = "merge_asof direction=forward (allow_exact_matches=False; family-wide strict semantics) via the backward merge exec on negated times — direction as a composition property, no new operator code")
 
+  /** As-of join, NEAREST direction, composed from the NATIVE merge exec —
+    * the last as-of direction still running on the window-over-band plan
+    * (`join_asof_nearest`) gets its merge-join shape: a backward pass
+    * (latest strict prior view) and a forward pass (earliest strict next
+    * view, via the negated-column composition), both LEFT OUTER so every
+    * purchase carries its per-direction best candidate, then a 1:1 equi
+    * join on purchase_id keeps the smaller |gap| (tie → the earlier, i.e.
+    * backward, view) and the 30-min tolerance filters inner-style. Nearest
+    * is exactly best-of(backward, forward) because the closest view overall
+    * is the closest view in its own direction. Differs from the window
+    * variant only in same-TIMESTAMP tie resolution — each direction
+    * inherits its exec tiebreak (backward keeps the largest view id among
+    * equal times, forward the smallest); the oracle states the composition
+    * semantics exactly.
+    *
+    * Scale: two shuffle-on-user merge passes + one equi join on the
+    * purchase primary key — no band join, no per-purchase candidate set, so
+    * cost tracks rows even when the tolerance window holds thousands of
+    * views (where the band plan's candidate blow-up is quadratic-in-rate).
+    */
+  val joinAsofNearestNative = QueryDef(
+    "join_asof_nearest_native",
+    (spark, dir) => {
+      val (pb, vb) = purchaseViewFrames(spark, dir)
+      val b = graft.plans.AsOfJoinOps.asofJoin(spark, pb, vb,
+          pb("user_id"), vb("v_user"), pb("p_ms"), vb("v_ms"), vb("view_id"),
+          leftOuter = true)
+        .select(col("purchase_id"), col("user_id"),
+          col("view_id").as("b_view_id"),
+          (col("p_ms") - col("v_ms")).as("b_gap"))
+      val (pf0, vf0) = purchaseViewFrames(spark, dir)
+      val pf = pf0.withColumn("neg_p_ms", -col("p_ms"))
+      val vf = vf0.withColumn("neg_v_ms", -col("v_ms"))
+        .withColumn("neg_view_id", -col("view_id"))
+      val f = graft.plans.AsOfJoinOps.asofJoin(spark, pf, vf,
+          pf("user_id"), vf("v_user"), pf("neg_p_ms"), vf("neg_v_ms"),
+          vf("neg_view_id"), leftOuter = true)
+        .select(col("purchase_id").as("f_purchase_id"),
+          col("view_id").as("f_view_id"),
+          (col("v_ms") - col("p_ms")).as("f_gap"))
+      val useB = col("b_view_id").isNotNull &&
+        (col("f_view_id").isNull || col("b_gap") <= col("f_gap"))
+      b.join(f, col("purchase_id") === col("f_purchase_id"))
+        .withColumn("nearest_view_id",
+          when(useB, col("b_view_id")).otherwise(col("f_view_id")))
+        .withColumn("gap_ms", when(useB, col("b_gap")).otherwise(-col("f_gap")))
+        .withColumn("abs_gap_ms", when(useB, col("b_gap")).otherwise(col("f_gap")))
+        .filter(col("nearest_view_id").isNotNull &&
+          col("abs_gap_ms") <= lit(1800000L))
+        .select(col("purchase_id"), col("user_id"), col("nearest_view_id"),
+          col("gap_ms"), col("abs_gap_ms"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS p_ms
+        FROM events WHERE event_type = 'purchase'),
+      v AS (
+        SELECT event_id AS view_id, user_id, epoch_ms(ts) AS v_ms
+        FROM events WHERE event_type = 'view'),
+      b AS (
+        SELECT purchase_id, user_id, view_id AS b_view_id, p_ms - v_ms AS b_gap
+        FROM (SELECT p.purchase_id, p.user_id, v.view_id, p.p_ms, v.v_ms,
+                     ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                       ORDER BY v.v_ms DESC, v.view_id DESC) AS rn
+              FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.v_ms < p.p_ms)
+        WHERE rn = 1),
+      f AS (
+        SELECT purchase_id, view_id AS f_view_id, v_ms - p_ms AS f_gap
+        FROM (SELECT p.purchase_id, v.view_id, p.p_ms, v.v_ms,
+                     ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                       ORDER BY v.v_ms ASC, v.view_id ASC) AS rn
+              FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.v_ms > p.p_ms)
+        WHERE rn = 1),
+      c AS (
+        SELECT b.purchase_id, b.user_id,
+               CASE WHEN b_view_id IS NOT NULL
+                         AND (f_view_id IS NULL OR b_gap <= f_gap)
+                    THEN b_view_id ELSE f_view_id END AS nearest_view_id,
+               CASE WHEN b_view_id IS NOT NULL
+                         AND (f_view_id IS NULL OR b_gap <= f_gap)
+                    THEN b_gap ELSE -f_gap END AS gap_ms,
+               CASE WHEN b_view_id IS NOT NULL
+                         AND (f_view_id IS NULL OR b_gap <= f_gap)
+                    THEN b_gap ELSE f_gap END AS abs_gap_ms
+        FROM b JOIN f USING (purchase_id))
+      SELECT purchase_id, user_id, nearest_view_id, gap_ms, abs_gap_ms
+      FROM c
+      WHERE nearest_view_id IS NOT NULL AND abs_gap_ms <= 1800000
+      ORDER BY purchase_id"""),
+    notes = "merge_asof direction=nearest on the native merge exec: best-of(backward, forward) composition + tolerance post-filter; same-timestamp ties follow each direction's exec tiebreak (differs from window-based join_asof_nearest only there)")
+
   /** Explicit join-strategy control: SHUFFLE_HASH hint forces a shuffled
     * hash join where the planner would otherwise broadcast or sort-merge —
     * the knob for dimension tables too big to broadcast but cheap to hash.
@@ -623,5 +715,6 @@ object AdvancedQueries {
   val all: Seq[QueryDef] = Seq(subqueryScalar, subqueryExists, windowRange,
     windowRanks, eventsPivot, arrayFuncs, stringFuncs, arraySetops,
     conditionalFuncs, joinAsofNative, joinAsofTolerance, joinAsofNearest,
-    joinAsofOuter, joinAsofForward, joinShuffleHash, joinBloom, skylinePareto)
+    joinAsofOuter, joinAsofForward, joinAsofNearestNative, joinShuffleHash,
+    joinBloom, skylinePareto)
 }

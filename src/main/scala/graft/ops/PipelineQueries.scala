@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, MapType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, MapType, StringType}
 import graft.QueryDef
 import graft.Tables.load
 
@@ -1098,10 +1098,101 @@ object PipelineQueries {
       ORDER BY host, rnk"""),
     notes = "canonical-URL dedup (case/www/slash/index.html/utm/param-order) + per-domain quota via Knuth-hash WindowGroupLimit top-10; synthetic URLs derived identically in both engines")
 
+  /** Weighted sampling without replacement + unbiased total estimation in
+    * one pass: PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM 2007). Each
+    * doc draws priority q = w/u (w = n_chars, u = uniform in (0,1] from the
+    * repo's Knuth hash — rand()-free, reshuffle-proof); the k highest
+    * priorities per language are the sample, and with τ = the (k+1)-th
+    * priority, ŵ = max(w, τ) is an unbiased per-item weight estimate, so
+    * Σŵ over the k sample docs estimates the class's total weight — the
+    * sketch that lets a 100 TB corpus report per-class token totals from a
+    * fixed per-class sample budget. Unlike the uniform `sample_per_class`,
+    * long documents are proportionally more likely to be drawn (inclusion
+    * probability min(1, w/τ)), which is what a token-budgeted curation
+    * sample wants.
+    *
+    * Cross-engine bit-exactness: q = (w·2³²)/(h+1) — the numerator is an
+    * exact double (< 2⁵³), the division is IEEE correctly-rounded in both
+    * engines, and every emitted column floors to BIGINT before comparing;
+    * the only double that crosses an aggregate is ŵ, floored per row first
+    * so the sum is order-independent integer arithmetic.
+    *
+    * Scale: the rn ≤ k+1 filter over the per-class priority window compiles
+    * to WindowGroupLimit — each executor forwards at most k+1 rows per
+    * class before the shuffle — τ comes from a second window pass over the
+    * SAME surviving ≤ k+1 rows/class (not a second corpus scan), and only
+    * the true-total aggregate rereads the corpus (it exists to grade the
+    * estimator; a production sample would drop it and scan once). No
+    * full-corpus sort, no driver action.
+    */
+  val sampleWeightedPriority = QueryDef(
+    "sample_weighted_priority",
+    (spark, dir) => {
+      val k = 10
+      val docs = load(spark, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars").cast(LongType).as("w"))
+      val totals = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("true_total_chars"))
+      docs
+        .withColumn("priority",
+          col("w").cast(DoubleType) * lit(4294967296.0) /
+            (knuth32(col("doc_id")).cast(DoubleType) + lit(1.0)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("priority").desc, col("doc_id"))))
+        .filter(col("rn") <= k + 1)
+        // tau from the SAME top-(k+1) frame (≤ k+1 rows/class by now), not a
+        // second scan branch: one more window pass over the surviving rows.
+        .withColumn("tau_raw",
+          coalesce(max(when(col("rn") === k + 1, col("priority")))
+            .over(Window.partitionBy(col("lang"))), lit(0.0)))
+        .filter(col("rn") <= k)
+        .withColumn("w_hat",
+          floor(greatest(col("w").cast(DoubleType), col("tau_raw"))).cast(LongType))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          max(floor(col("tau_raw")).cast(LongType)).as("tau_floor"),
+          sum(col("w_hat")).as("est_total_chars"))
+        .join(broadcast(totals), "lang")
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+               (doc_id * 2654435761) % 4294967296 AS h
+        FROM documents),
+      ranked AS (
+        SELECT lang, doc_id, w,
+               CAST(w AS DOUBLE) * 4294967296.0 / (h + 1.0) AS priority,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY CAST(w AS DOUBLE) * 4294967296.0 / (h + 1.0) DESC,
+                          doc_id) AS rn
+        FROM d),
+      tau AS (
+        SELECT lang,
+               COALESCE(MAX(CASE WHEN rn = 11 THEN priority END), 0.0) AS tau_raw
+        FROM ranked WHERE rn <= 11 GROUP BY lang),
+      tot AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS true_total_chars
+        FROM d GROUP BY lang),
+      est AS (
+        SELECT r.lang, COUNT(*) AS n_sampled,
+               CAST(MAX(floor(t.tau_raw)) AS BIGINT) AS tau_floor,
+               CAST(SUM(CAST(floor(GREATEST(CAST(r.w AS DOUBLE), t.tau_raw))
+                 AS BIGINT)) AS BIGINT) AS est_total_chars
+        FROM ranked r JOIN tau t USING (lang)
+        WHERE r.rn <= 10 GROUP BY r.lang)
+      SELECT lang, n_sampled, tau_floor, est_total_chars, n_docs,
+             true_total_chars
+      FROM est JOIN tot USING (lang)
+      ORDER BY lang"""),
+    notes = "priority sampling (Duffield-Lund-Thorup): weighted sample w/o replacement, k=10/class, tau-threshold HT estimator of per-class total chars; WindowGroupLimit top-(k+1), floor-to-BIGINT before every aggregate for bit-exact compare")
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
     pipelinePack, pipelineDecontaminate, textRepetition, pipelineRedact,
     sampleTemperature, sampleMixture, pipelineAttrition, pipelineShardBalance,
     quantilesWeighted, pipelineDatasetCard, sampleEpochs, sampleStratified,
-    pipelineKanonymity, pipelineUrlDedup)
+    pipelineKanonymity, pipelineUrlDedup, sampleWeightedPriority)
 }

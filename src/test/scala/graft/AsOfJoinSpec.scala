@@ -310,6 +310,55 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L)))
   }
 
+  test("property: nearest direction composes as best-of(backward, forward)") {
+    // join_asof_nearest_native's construction: backward and forward outer
+    // passes, then keep the smaller |gap| (tie → backward/earlier) under a
+    // tolerance, inner-style. The closest right row overall is the closest
+    // row in its own direction, so the composition is exact; each
+    // direction's same-time ties follow its exec tiebreak (backward →
+    // largest rid, forward → smallest rid). Checked against a direct
+    // reference computation of exactly those semantics.
+    import org.apache.spark.sql.functions.{col, when}
+    val rng = new scala.util.Random(7)
+    val left = (0 until 400).map(i => (i.toLong, rng.nextInt(12).toLong, rng.nextInt(300).toLong))
+    val right = (0 until 600).map(i => (1000L + i, rng.nextInt(12).toLong, rng.nextInt(300).toLong))
+    val tol = 40L
+    val expected = left.flatMap { case (lid, k, lt) =>
+      val back = right.filter(r => r._2 == k && r._3 < lt)
+        .sortBy(r => (-r._3, -r._1)).headOption
+      val fwd = right.filter(r => r._2 == k && r._3 > lt)
+        .sortBy(r => (r._3, r._1)).headOption
+      val pick = (back, fwd) match {
+        case (Some(b), Some(f)) => if (lt - b._3 <= f._3 - lt) Some(b) else Some(f)
+        case (b, f) => b.orElse(f)
+      }
+      pick.filter(r => math.abs(r._3 - lt) <= tol).map(r => (lid, r._1))
+    }.toSet
+    val lb = left.toDF("lid", "lkey", "ltime").repartition(3)
+    val rb = right.toDF("rid", "rkey", "rtime").repartition(2)
+    val b = AsOfJoinOps.asofJoin(spark, lb, rb,
+        lb("lkey"), rb("rkey"), lb("ltime"), rb("rtime"), rb("rid"),
+        leftOuter = true)
+      .select($"lid", $"rid".as("b_rid"), ($"ltime" - $"rtime").as("b_gap"))
+    val lf = left.toDF("lid", "lkey", "ltime").repartition(3)
+      .withColumn("neg_lt", -$"ltime")
+    val rf = right.toDF("rid", "rkey", "rtime").repartition(2)
+      .withColumn("neg_rt", -$"rtime").withColumn("neg_rid", -$"rid")
+    val f = AsOfJoinOps.asofJoin(spark, lf, rf,
+        lf("lkey"), rf("rkey"), lf("neg_lt"), rf("neg_rt"), rf("neg_rid"),
+        leftOuter = true)
+      .select($"lid".as("f_lid"), $"rid".as("f_rid"),
+        ($"rtime" - $"ltime").as("f_gap"))
+    val useB = col("b_rid").isNotNull &&
+      (col("f_rid").isNull || col("b_gap") <= col("f_gap"))
+    val got = b.join(f, col("lid") === col("f_lid"))
+      .withColumn("pick", when(useB, col("b_rid")).otherwise(col("f_rid")))
+      .withColumn("abs_gap", when(useB, col("b_gap")).otherwise(col("f_gap")))
+      .filter(col("pick").isNotNull && col("abs_gap") <= tol)
+      .select($"lid", $"pick").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("many keys across many partitions agree with a reference computation") {
     val rng = new scala.util.Random(11)
     val left = (0 until 500).map(i => (i.toLong, rng.nextInt(20).toLong, rng.nextInt(1000).toLong))
