@@ -17,9 +17,10 @@ object AdvancedQueries {
 
   /** Shared left/right frames for the as-of join family: purchases as
     * (purchase_id, user_id, p_ms) and views as (view_id, v_user, v_ms),
-    * times as epoch-ms longs. Five registry queries join these two frames
-    * under different as-of semantics; the projection must stay identical
-    * across them so the family's oracles describe the same inputs.
+    * times as epoch-ms longs. The family's registry queries all join these
+    * two frames under different as-of semantics; the projection must stay
+    * identical across them so the family's oracles describe the same
+    * inputs.
     */
   private def purchaseViewFrames(spark: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -31,6 +32,24 @@ object AdvancedQueries {
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         unix_millis(col("ts")).as("v_ms"))
     (p, v)
+  }
+
+  /** The FORWARD direction as a composition of the backward merge exec,
+    * defined once for both its users (`join_asof_forward` and the forward
+    * leg of `join_asof_nearest_native`): negate both time columns
+    * (greatest −t_view < −t_purchase ⟺ smallest t_view > t_purchase) and
+    * the tiebreak (so same-time ties resolve to the SMALLEST view id).
+    * Output carries the original un-negated columns of both frames.
+    */
+  private def forwardAsofViews(spark: org.apache.spark.sql.SparkSession,
+      p0: org.apache.spark.sql.DataFrame, v0: org.apache.spark.sql.DataFrame,
+      leftOuter: Boolean): org.apache.spark.sql.DataFrame = {
+    val p = p0.withColumn("neg_p_ms", -col("p_ms"))
+    val v = v0.withColumn("neg_v_ms", -col("v_ms"))
+      .withColumn("neg_view_id", -col("view_id"))
+    graft.plans.AsOfJoinOps.asofJoin(spark, p, v,
+      p("user_id"), v("v_user"), p("neg_p_ms"), v("neg_v_ms"),
+      v("neg_view_id"), leftOuter = leftOuter)
   }
 
   /** TPC-H Q17-shaped correlated scalar subqueries, expressed in SQL so the
@@ -396,12 +415,7 @@ object AdvancedQueries {
     "join_asof_forward",
     (spark, dir) => {
       val (p0, v0) = purchaseViewFrames(spark, dir)
-      val p = p0.withColumn("neg_p_ms", -col("p_ms"))
-      val v = v0.withColumn("neg_v_ms", -col("v_ms"))
-        .withColumn("neg_view_id", -col("view_id"))
-      graft.plans.AsOfJoinOps.asofJoin(spark, p, v,
-          p("user_id"), v("v_user"), p("neg_p_ms"), v("neg_v_ms"),
-          v("neg_view_id"))
+      forwardAsofViews(spark, p0, v0, leftOuter = false)
         .select(col("purchase_id"), col("user_id"),
           col("view_id").as("next_view_id"),
           (col("v_ms") - col("p_ms")).as("gap_ms"))
@@ -434,11 +448,15 @@ object AdvancedQueries {
     * join on purchase_id keeps the smaller |gap| (tie → the earlier, i.e.
     * backward, view) and the 30-min tolerance filters inner-style. Nearest
     * is exactly best-of(backward, forward) because the closest view overall
-    * is the closest view in its own direction. Differs from the window
-    * variant only in same-TIMESTAMP tie resolution — each direction
-    * inherits its exec tiebreak (backward keeps the largest view id among
-    * equal times, forward the smallest); the oracle states the composition
-    * semantics exactly.
+    * is the closest view in its own direction. Two semantic deltas vs the
+    * window variant, both on equal timestamps: (1) this composition is
+    * STRICT in both directions (a view at exactly the purchase time never
+    * matches, consistent with the rest of the strict family), while the
+    * window variant's |gap| ≤ tolerance band matches it at gap 0; (2)
+    * same-time ties among CANDIDATES follow each direction's exec tiebreak
+    * (backward keeps the largest view id among equal times, forward the
+    * smallest) rather than the window variant's smallest-id rule. The
+    * oracle states the composition semantics exactly.
     *
     * Scale: two shuffle-on-user merge passes + one equi join on the
     * purchase primary key — no band join, no per-purchase candidate set, so
@@ -456,12 +474,7 @@ object AdvancedQueries {
           col("view_id").as("b_view_id"),
           (col("p_ms") - col("v_ms")).as("b_gap"))
       val (pf0, vf0) = purchaseViewFrames(spark, dir)
-      val pf = pf0.withColumn("neg_p_ms", -col("p_ms"))
-      val vf = vf0.withColumn("neg_v_ms", -col("v_ms"))
-        .withColumn("neg_view_id", -col("view_id"))
-      val f = graft.plans.AsOfJoinOps.asofJoin(spark, pf, vf,
-          pf("user_id"), vf("v_user"), pf("neg_p_ms"), vf("neg_v_ms"),
-          vf("neg_view_id"), leftOuter = true)
+      val f = forwardAsofViews(spark, pf0, vf0, leftOuter = true)
         .select(col("purchase_id").as("f_purchase_id"),
           col("view_id").as("f_view_id"),
           (col("v_ms") - col("p_ms")).as("f_gap"))
@@ -515,7 +528,7 @@ object AdvancedQueries {
       FROM c
       WHERE nearest_view_id IS NOT NULL AND abs_gap_ms <= 1800000
       ORDER BY purchase_id"""),
-    notes = "merge_asof direction=nearest on the native merge exec: best-of(backward, forward) composition + tolerance post-filter; same-timestamp ties follow each direction's exec tiebreak (differs from window-based join_asof_nearest only there)")
+    notes = "merge_asof direction=nearest on the native merge exec: best-of(backward, forward) composition + tolerance post-filter; strict in both directions (equal-time views never match, unlike the window variant's inclusive band) and same-timestamp candidate ties follow each direction's exec tiebreak")
 
   /** Explicit join-strategy control: SHUFFLE_HASH hint forces a shuffled
     * hash join where the planner would otherwise broadcast or sort-merge —
