@@ -220,6 +220,10 @@ object VectorQueries {
     "dedup_semantic",
     (spark, dir) => {
       val raw = vecs(spark, dir)
+      // Driver-side count is deliberate here (contrast dedup_eval's relational
+      // modulus fix): k must be a LITERAL so the `vec_id < k` centroid filter
+      // pushes into the parquet scan — a broadcast-scalar k would force a full
+      // centroid-branch scan at 100 TB to save one cheap count job.
       val k = math.max(16L, (raw.count() + 124) / 125)
       val e = Tables.spreadIfNarrow(raw)
       val cent = e.filter(col("vec_id") < k)
