@@ -153,45 +153,49 @@ object MultimodalQueries {
     * at any corpus size. Hamming-banded NEAR-matching over these signatures
     * would reuse the established SimHash band machinery unchanged.
     */
-  val multimodalPhash = QueryDef(
-    "multimodal_phash",
-    (spark, dir) => {
-      // Perf shape (r8, measured): split the 512-byte prefix into a
-      // char-code array ONCE per row, then block sums are slice-aggregates
-      // over it — the previous per-position ascii(substring(text, i, 1))
-      // rescanned the string per character (O(prefix²) per row). The
-      // spread widens the row-local work across cores: the driver
-      // fixture is one parquet file, i.e. one scan task (no-op on a
-      // pre-split cluster scan).
-      graft.Tables.spreadIfNarrow(graft.Tables.load(spark, dir, "documents"))
-        .select(col("doc_id"), col("text"),
-          least(length(col("text")), lit(512)).cast("long").as("n"))
-        .withColumn("cs", expr(
-          """transform(split(substring(text, 1, 512), ''),
-               c -> CAST(ascii(c) AS BIGINT))"""))
-        .withColumn("blocks", expr(
-          """transform(sequence(0L, 31L), b -> named_struct(
-               'b', b,
-               'len', ((b + 1) * n) div 32 - ((b * n) div 32),
-               's', CASE WHEN ((b + 1) * n) div 32 >= (b * n) div 32 + 1 THEN
-                      aggregate(
-                        slice(cs, CAST((b * n) div 32 + 1 AS INT),
-                          CAST(((b + 1) * n) div 32 - (b * n) div 32 AS INT)),
-                        0L, (a, x) -> a + x)
-                    ELSE 0L END))"""))
-        .withColumn("total", expr("aggregate(blocks, 0L, (a, x) -> a + x.s)"))
-        .withColumn("phash", expr(
-          """aggregate(blocks, 0L, (a, x) ->
-               a + CASE WHEN x.len > 0 AND x.s * n >= total * x.len
-                   THEN shiftleft(CAST(1 AS BIGINT), CAST(x.b AS INT))
-                   ELSE 0L END)"""))
-        .groupBy(col("phash"))
-        .agg(count(lit(1)).as("n_media"), min(col("doc_id")).as("min_id"))
-        .orderBy(col("n_media").desc, col("phash"))
-        .limit(20)
-    },
-    Some("""
-      WITH d AS (
+  /** Shared 32-bit average-hash frame (doc_id, phash), the perceptual-hash
+    * signature both phash queries consume — defined once so the exact-dedup
+    * rollup and the banded near-dup join cannot drift apart.
+    *
+    * Perf shape (r8, measured): split the 512-byte prefix into a
+    * char-code array ONCE per row, then block sums are slice-aggregates
+    * over it — the previous per-position ascii(substring(text, i, 1))
+    * rescanned the string per character (O(prefix²) per row). The
+    * spread widens the row-local work across cores: the driver
+    * fixture is one parquet file, i.e. one scan task (no-op on a
+    * pre-split cluster scan).
+    */
+  private def phashFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Tables.spreadIfNarrow(graft.Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"),
+        least(length(col("text")), lit(512)).cast("long").as("n"))
+      .withColumn("cs", expr(
+        """transform(split(substring(text, 1, 512), ''),
+             c -> CAST(ascii(c) AS BIGINT))"""))
+      .withColumn("blocks", expr(
+        """transform(sequence(0L, 31L), b -> named_struct(
+             'b', b,
+             'len', ((b + 1) * n) div 32 - ((b * n) div 32),
+             's', CASE WHEN ((b + 1) * n) div 32 >= (b * n) div 32 + 1 THEN
+                    aggregate(
+                      slice(cs, CAST((b * n) div 32 + 1 AS INT),
+                        CAST(((b + 1) * n) div 32 - (b * n) div 32 AS INT)),
+                      0L, (a, x) -> a + x)
+                  ELSE 0L END))"""))
+      .withColumn("total", expr("aggregate(blocks, 0L, (a, x) -> a + x.s)"))
+      .withColumn("phash", expr(
+        """aggregate(blocks, 0L, (a, x) ->
+             a + CASE WHEN x.len > 0 AND x.s * n >= total * x.len
+                 THEN shiftleft(CAST(1 AS BIGINT), CAST(x.b AS INT))
+                 ELSE 0L END)"""))
+      .select(col("doc_id"), col("phash"))
+
+  /** DuckDB twin of [[phashFrame]]: CTE chain `d → blocks → tot → bits`
+    * (no leading WITH), ending in bits(doc_id, phash). Shared by both
+    * phash oracles so the fingerprint definition cannot drift.
+    */
+  private val PhashCtesSql = """d AS (
         SELECT doc_id, text, LEAST(length(text), 512) AS n FROM documents),
       blocks AS (
         SELECT doc_id, n, CAST(bb.b AS BIGINT) AS b,
@@ -209,11 +213,102 @@ object MultimodalQueries {
                    THEN CAST(1 AS BIGINT) << CAST(b.b AS INT) ELSE 0 END)
                  AS BIGINT) AS phash
         FROM blocks b JOIN tot t ON b.doc_id = t.doc_id
-        GROUP BY b.doc_id)
+        GROUP BY b.doc_id)"""
+
+  val multimodalPhash = QueryDef(
+    "multimodal_phash",
+    (spark, dir) => {
+      phashFrame(spark, dir)
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_media"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("n_media").desc, col("phash"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $PhashCtesSql
       SELECT phash, COUNT(*) AS n_media, CAST(MIN(doc_id) AS BIGINT) AS min_id
       FROM bits GROUP BY phash ORDER BY n_media DESC, phash LIMIT 20"""),
     notes = "32-block average-hash on the 512-byte prefix; cross-multiplied integer mean rule, exact-dedup shuffle shape")
 
+  /** Banded Hamming NEAR-dup over the perceptual hash — the capability the
+    * exact-phash rollup's notes promised ("Hamming banding would reuse the
+    * SimHash machinery"), now real: the 32-bit phash splits into 4×8-bit
+    * bands, docs sharing any (band, value) bucket become candidate pairs,
+    * and Hamming distance ≤ 4 (bit_count of xor) confirms — near-identical
+    * images whose hashes differ in a few blocks (crop, brightness shift on
+    * the stub pixel bytes) that exact-phash grouping misses. Per doc the
+    * output keeps neighbor count + the nearest neighbor, argmin encoded as
+    * min(ham·2⁴⁰ + nbr) so both engines take the same integer min (no
+    * struct-min in the oracle dialect).
+    *
+    * Scale: identical candidate-generation shape to `dedup_simhash` —
+    * banding keys the shuffle, candidate volume is bucket-bounded, and the
+    * confirm xor is row-local; no all-pairs join. Recall note: 4 bands
+    * guarantee a shared bucket only for Hamming ≤ 3 (pigeonhole) — a
+    * distance-4 pair with one flipped bit in every band is missed; that r/b
+    * trade is the same one the dedup family's gate-eval query regression-
+    * gates for MinHash banding.
+    */
+  val multimodalPhashNeardup = QueryDef(
+    "multimodal_phash_neardup",
+    (spark, dir) => {
+      // localCheckpoint: four consumers (two band sides + two pair probes)
+      // would each re-run the O(prefix)-per-row fingerprint subplan — column
+      // pruning specializes the branches so AQE exchange reuse cannot merge
+      // them (measured: minutes at sf0.1 without this, ~1 s with it). The
+      // checkpoint materializes the compact (doc_id, phash) table once.
+      val fps = phashFrame(spark, dir).localCheckpoint()
+      val bands = fps.select(col("doc_id"), col("phash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bv", expr("shiftright(phash, band * 8) & 255"))
+      val cand = bands.select(col("band"), col("bv"), col("doc_id").as("a_id"))
+        .join(bands.select(col("band"), col("bv"), col("doc_id").as("b_id")),
+          Seq("band", "bv"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val pairs = cand
+        .join(fps.select(col("doc_id").as("a_id"), col("phash").as("pa")), "a_id")
+        .join(fps.select(col("doc_id").as("b_id"), col("phash").as("pb")), "b_id")
+        .withColumn("ham", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+        .filter(col("ham") <= 4)
+      val sym = pairs.select(col("a_id").as("doc_id"), col("b_id").as("nbr"), col("ham"))
+        .unionAll(pairs.select(col("b_id").as("doc_id"), col("a_id").as("nbr"), col("ham")))
+      sym.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_nbrs"),
+          min(expr("shiftleft(ham, 40) + nbr")).as("key"))
+        .select(col("doc_id"), col("n_nbrs"),
+          expr("shiftright(key, 40)").as("min_ham"),
+          expr("key & ((CAST(1 AS BIGINT) << 40) - 1)").as("nearest_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $PhashCtesSql,
+      bands AS (
+        SELECT doc_id, phash, CAST(bb.b AS BIGINT) AS band,
+               (phash >> (CAST(bb.b AS INT) * 8)) & 255 AS bv
+        FROM bits, UNNEST(range(0, 4)) AS bb(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT c.a_id, c.b_id,
+               CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS ham
+        FROM cand c
+          JOIN bits pa ON c.a_id = pa.doc_id
+          JOIN bits pb ON c.b_id = pb.doc_id
+        WHERE bit_count(xor(pa.phash, pb.phash)) <= 4),
+      sym AS (
+        SELECT a_id AS doc_id, b_id AS nbr, ham FROM pairs
+        UNION ALL
+        SELECT b_id AS doc_id, a_id AS nbr, ham FROM pairs)
+      SELECT doc_id, COUNT(*) AS n_nbrs,
+             CAST(MIN(ham * 1099511627776 + nbr) // 1099511627776 AS BIGINT) AS min_ham,
+             CAST(MIN(ham * 1099511627776 + nbr) % 1099511627776 AS BIGINT) AS nearest_id
+      FROM sym GROUP BY doc_id
+      ORDER BY doc_id"""),
+    notes = "banded Hamming near-dup on the 32-bit phash: 4x8-bit bands for candidates, bit_count(xor) <= 4 confirms; per-doc nearest via integer-encoded argmin; guaranteed recall to Hamming 3 (pigeonhole), same r/b class as the MinHash gate")
+
   val all: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode,
-    multimodalFrames, multimodalPhash)
+    multimodalFrames, multimodalPhash, multimodalPhashNeardup)
 }
