@@ -134,28 +134,20 @@ object MultimodalQueries {
       ORDER BY media_id"""),
     notes = "typed flatMap frame sampling; oracle replays slice arithmetic (ASCII corpus)")
 
-  /** Perceptual-hash (average-hash) near-dup signatures over media payloads
-    * — the image-dedup step of a multimodal training pipeline, on the stub
-    * byte "pixels" (the corpus is verified ASCII, so the oracle replays the
-    * identical code-point arithmetic; a real image codec would feed decoded
-    * luma blocks through the SAME 32-block rule).
+  /** Shared 32-bit average-hash frame (doc_id, phash): perceptual-hash
+    * signatures over media payloads — the image-dedup signature of a
+    * multimodal training pipeline, on the stub byte "pixels" (the corpus is
+    * verified ASCII, so the oracle replays the identical code-point
+    * arithmetic; a real image codec would feed decoded luma blocks through
+    * the SAME 32-block rule). Defined once so the exact-dedup rollup and
+    * the banded near-dup join cannot drift apart.
     *
     * aHash rule: the first ≤512 payload bytes split into 32 contiguous
     * blocks; bit b is set iff block b's byte-sum mean is ≥ the global mean,
     * compared cross-multiplied in exact BIGINTs (s_b·n ≥ total·len_b — no
     * division). A small local edit perturbs one block, flipping ≤1 bit —
     * the locality that makes the signature perceptual rather than
-    * cryptographic. Output: the 20 largest identical-phash clusters.
-    *
-    * Scale posture: per-payload work is capped by the 512-byte prefix
-    * (constant per row), the signature is one narrow map, and clustering is
-    * a count on the 32-bit phash key — the same exact-dedup shuffle shape,
-    * at any corpus size. Hamming-banded NEAR-matching over these signatures
-    * would reuse the established SimHash band machinery unchanged.
-    */
-  /** Shared 32-bit average-hash frame (doc_id, phash), the perceptual-hash
-    * signature both phash queries consume — defined once so the exact-dedup
-    * rollup and the banded near-dup join cannot drift apart.
+    * cryptographic.
     *
     * Perf shape (r8, measured): split the 512-byte prefix into a
     * char-code array ONCE per row, then block sums are slice-aggregates
@@ -215,6 +207,12 @@ object MultimodalQueries {
         FROM blocks b JOIN tot t ON b.doc_id = t.doc_id
         GROUP BY b.doc_id)"""
 
+  /** Exact-phash clustering: the 20 largest identical-signature clusters.
+    * Scale posture: per-payload work is capped by the 512-byte prefix
+    * (constant per row), the signature is one narrow map, and clustering is
+    * a count on the 32-bit phash key — the same exact-dedup shuffle shape
+    * at any corpus size. Near-matching is `multimodal_phash_neardup`.
+    */
   val multimodalPhash = QueryDef(
     "multimodal_phash",
     (spark, dir) => {
@@ -234,51 +232,57 @@ object MultimodalQueries {
     * exact-phash rollup's notes promised ("Hamming banding would reuse the
     * SimHash machinery"), now real: the 32-bit phash splits into 4×8-bit
     * bands, docs sharing any (band, value) bucket become candidate pairs,
-    * and Hamming distance ≤ 4 (bit_count of xor) confirms — near-identical
+    * and Hamming distance ≤ 3 (bit_count of xor) confirms — near-identical
     * images whose hashes differ in a few blocks (crop, brightness shift on
-    * the stub pixel bytes) that exact-phash grouping misses. Per doc the
-    * output keeps neighbor count + the nearest neighbor, argmin encoded as
-    * min(ham·2⁴⁰ + nbr) so both engines take the same integer min (no
-    * struct-min in the oracle dialect).
+    * the stub pixel bytes) that exact-phash grouping misses. The confirm
+    * threshold EQUALS the 4-band pigeonhole guarantee (≤3 flipped bits
+    * cannot touch all 4 bands), so the output contract is a clean distance
+    * predicate: EVERY pair within Hamming 3, not a banding-dependent subset
+    * of some wider radius. Per doc the output keeps neighbor count + the
+    * nearest neighbor, argmin encoded as min(ham·BandMod + nbr) — the
+    * dedup family's 2⁴⁰ constant, requiring doc_id < 2⁴⁰ (ids beyond that
+    * would corrupt the packed fields; fixture and ScaleEvidence ids are
+    * ≤ 10⁹) — so both engines take the same integer min (no struct-min in
+    * the oracle dialect).
     *
-    * Scale: identical candidate-generation shape to `dedup_simhash` —
-    * banding keys the shuffle, candidate volume is bucket-bounded, and the
-    * confirm xor is row-local; no all-pairs join. Recall note: 4 bands
-    * guarantee a shared bucket only for Hamming ≤ 3 (pigeonhole) — a
-    * distance-4 pair with one flipped bit in every band is missed; that r/b
-    * trade is the same one the dedup family's gate-eval query regression-
-    * gates for MinHash banding.
+    * Scale: banding keys the shuffle, candidate volume is bucket-bounded,
+    * and the confirm xor rides THROUGH the band join (both sides carry
+    * their phash, so no probe-back joins and the distance filter runs
+    * BEFORE the distinct, shrinking its shuffle); pair symmetrization is a
+    * row-local explode of two structs, not a union re-executing the join.
+    * No all-pairs join at any corpus size.
     */
   val multimodalPhashNeardup = QueryDef(
     "multimodal_phash_neardup",
     (spark, dir) => {
-      // localCheckpoint: four consumers (two band sides + two pair probes)
-      // would each re-run the O(prefix)-per-row fingerprint subplan — column
-      // pruning specializes the branches so AQE exchange reuse cannot merge
-      // them (measured: minutes at sf0.1 without this, ~1 s with it). The
-      // checkpoint materializes the compact (doc_id, phash) table once.
+      // localCheckpoint: both band sides would otherwise re-run the
+      // O(prefix)-per-row fingerprint subplan — column pruning specializes
+      // the branches so AQE exchange reuse cannot merge them (measured:
+      // minutes at sf0.1 without this, ~1 s with it). The checkpoint
+      // materializes the compact (doc_id, phash) table once.
       val fps = phashFrame(spark, dir).localCheckpoint()
       val bands = fps.select(col("doc_id"), col("phash"),
           explode(expr("sequence(0, 3)")).as("band"))
         .withColumn("bv", expr("shiftright(phash, band * 8) & 255"))
-      val cand = bands.select(col("band"), col("bv"), col("doc_id").as("a_id"))
-        .join(bands.select(col("band"), col("bv"), col("doc_id").as("b_id")),
-          Seq("band", "bv"))
+      val pairs = bands
+        .select(col("band"), col("bv"), col("doc_id").as("a_id"), col("phash").as("pa"))
+        .join(bands.select(col("band"), col("bv"), col("doc_id").as("b_id"),
+          col("phash").as("pb")), Seq("band", "bv"))
         .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
-      val pairs = cand
-        .join(fps.select(col("doc_id").as("a_id"), col("phash").as("pa")), "a_id")
-        .join(fps.select(col("doc_id").as("b_id"), col("phash").as("pb")), "b_id")
         .withColumn("ham", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
-        .filter(col("ham") <= 4)
-      val sym = pairs.select(col("a_id").as("doc_id"), col("b_id").as("nbr"), col("ham"))
-        .unionAll(pairs.select(col("b_id").as("doc_id"), col("a_id").as("nbr"), col("ham")))
-      sym.groupBy(col("doc_id"))
+        .filter(col("ham") <= 3)
+        .select(col("a_id"), col("b_id"), col("ham")).distinct()
+      pairs.select(explode(array(
+          struct(col("a_id").as("doc_id"), col("b_id").as("nbr"), col("ham")),
+          struct(col("b_id").as("doc_id"), col("a_id").as("nbr"), col("ham")))).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"),
+          col("e.ham").as("ham"))
+        .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_nbrs"),
-          min(expr("shiftleft(ham, 40) + nbr")).as("key"))
+          min(col("ham") * lit(DedupQueries.BandMod) + col("nbr")).as("key"))
         .select(col("doc_id"), col("n_nbrs"),
-          expr("shiftright(key, 40)").as("min_ham"),
-          expr("key & ((CAST(1 AS BIGINT) << 40) - 1)").as("nearest_id"))
+          expr(s"key div ${DedupQueries.BandMod}").as("min_ham"),
+          (col("key") % lit(DedupQueries.BandMod)).as("nearest_id"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -287,27 +291,22 @@ object MultimodalQueries {
         SELECT doc_id, phash, CAST(bb.b AS BIGINT) AS band,
                (phash >> (CAST(bb.b AS INT) * 8)) & 255 AS bv
         FROM bits, UNNEST(range(0, 4)) AS bb(b)),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
       pairs AS (
-        SELECT c.a_id, c.b_id,
-               CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS ham
-        FROM cand c
-          JOIN bits pa ON c.a_id = pa.doc_id
-          JOIN bits pb ON c.b_id = pb.doc_id
-        WHERE bit_count(xor(pa.phash, pb.phash)) <= 4),
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3),
       sym AS (
         SELECT a_id AS doc_id, b_id AS nbr, ham FROM pairs
         UNION ALL
         SELECT b_id AS doc_id, a_id AS nbr, ham FROM pairs)
       SELECT doc_id, COUNT(*) AS n_nbrs,
-             CAST(MIN(ham * 1099511627776 + nbr) // 1099511627776 AS BIGINT) AS min_ham,
-             CAST(MIN(ham * 1099511627776 + nbr) % 1099511627776 AS BIGINT) AS nearest_id
+             CAST(MIN(ham * ${DedupQueries.BandMod} + nbr) // ${DedupQueries.BandMod} AS BIGINT) AS min_ham,
+             CAST(MIN(ham * ${DedupQueries.BandMod} + nbr) % ${DedupQueries.BandMod} AS BIGINT) AS nearest_id
       FROM sym GROUP BY doc_id
       ORDER BY doc_id"""),
-    notes = "banded Hamming near-dup on the 32-bit phash: 4x8-bit bands for candidates, bit_count(xor) <= 4 confirms; per-doc nearest via integer-encoded argmin; guaranteed recall to Hamming 3 (pigeonhole), same r/b class as the MinHash gate")
+    notes = "banded Hamming near-dup on the 32-bit phash: 4x8-bit bands for candidates, bit_count(xor) <= 3 confirms = the pigeonhole recall guarantee, so the contract is exactly 'all pairs within Hamming 3'; phashes ride through the band join (no probe-backs), symmetrize via row-local explode, per-doc nearest via BandMod-encoded argmin")
 
   val all: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode,
     multimodalFrames, multimodalPhash, multimodalPhashNeardup)
