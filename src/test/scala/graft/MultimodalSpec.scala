@@ -56,4 +56,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1).brightness_bp === 10000L)
     assert(out(2).brightness_bp === 0L)
   }
+
+  test("property: 4x8-bit phash banding has complete recall to Hamming 3") {
+    // multimodal_phash_neardup's contract rests on the pigeonhole argument:
+    // <= 3 flipped bits cannot touch all 4 disjoint 8-bit bands, so every
+    // pair within Hamming 3 shares at least one (band, value) bucket. Pin
+    // it with the query's OWN band expression evaluated by Spark, over
+    // random 32-bit hashes plus adversarial exactly-3-bit-flip pairs.
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val base = (0 until 200).map(_ => rng.nextInt().toLong & 0xFFFFFFFFL)
+    val perturbed = base.map { h =>
+      rng.shuffle((0 until 32).toList).take(3)
+        .foldLeft(h)((a, b) => a ^ (1L << b))
+    }
+    val hs = (base ++ perturbed).distinct
+    val bands = hs.toDF("phash")
+      .selectExpr("phash", "explode(sequence(0, 3)) AS band")
+      .selectExpr("phash", "band", "shiftright(phash, band * 8) & 255 AS bv")
+      .as[(Long, Int, Long)].collect()
+    val buckets = bands.groupBy(r => (r._2, r._3)).values.map(_.map(_._1).toSet)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (a <- hs; b <- hs if a < b && ham(a, b) <= 3)
+      assert(buckets.exists(s => s.contains(a) && s.contains(b)),
+        s"pair ($a, $b) at Hamming ${ham(a, b)} shares no band bucket")
+  }
 }
