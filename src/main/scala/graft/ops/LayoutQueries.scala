@@ -336,6 +336,80 @@ object LayoutQueries {
           .as("price_cents"))
       .orderBy(col("o_orderpriority"))
 
+  /** Source-format roundtrip fidelity: the same projection written and read
+    * back through every bundled file format (ORC, JSON-lines, CSV) must
+    * carry identical content — the format layer is plumbing, never
+    * semantics. One row per format (plus the parquet original as the
+    * baseline row) with exact-integer content statistics; the oracle
+    * derives ALL four rows from the parquet table, so any format that
+    * loses/garbles a value (timestamp precision, quoting, type coercion)
+    * breaks that format's row hash. Text formats are fed only
+    * exactly-serializable types (BIGINT/STRING/DATE — the price is
+    * integerized to cents and the timestamp truncated to DATE before the
+    * write; raw microsecond timestamps through CSV's default pattern are
+    * the known lossy path this projection deliberately avoids and
+    * documents).
+    *
+    * Scale: three writes + four scans of one projection, all distributed;
+    * per-format stats are single partial-aggregable rollups. This is the
+    * ingest-audit a pipeline runs when onboarding a new upstream format.
+    */
+  val sourceFormatRoundtrip = QueryDef(
+    "source_format_roundtrip",
+    (spark, dir) => {
+      import graft.Tables.cents
+      val tmp = stableTmp("graft-formats", dir)
+      val base = load(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_cents"),
+        to_date(col("o_orderdate")).as("o_date"), col("o_orderpriority"))
+      val schema = base.schema
+      def stats(df: org.apache.spark.sql.DataFrame, fmt: String) =
+        df.agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("sum_key"),
+            sum(col("o_custkey")).as("sum_cust"),
+            sum(col("price_cents")).as("sum_price_cents"),
+            sum(datediff(col("o_date"), lit("1970-01-01")).cast("long"))
+              .as("sum_date_days"),
+            sum((length(col("o_orderstatus")) + length(col("o_orderpriority")))
+              .cast("long")).as("sum_str_len"))
+          .select(lit(fmt).as("format"), col("n_rows"), col("sum_key"),
+            col("sum_cust"), col("sum_price_cents"), col("sum_date_days"),
+            col("sum_str_len"))
+      val roundtrips = Seq("orc", "json", "csv").map { fmt =>
+        val path = s"$tmp/$fmt"
+        val w = base.repartition(4).write.mode("overwrite")
+        fmt match {
+          case "orc"  => w.orc(path)
+          case "json" => w.json(path)
+          case "csv"  => w.option("header", "true").csv(path)
+        }
+        val r = fmt match {
+          case "orc"  => spark.read.schema(schema).orc(path)
+          case "json" => spark.read.schema(schema).json(path)
+          case "csv"  => spark.read.schema(schema).option("header", "true").csv(path)
+        }
+        stats(r, fmt)
+      }
+      (stats(base, "parquet") +: roundtrips).reduce(_.unionAll(_))
+        .orderBy(col("format"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               CAST(SUM(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS sum_date_days,
+               CAST(SUM(length(o_orderstatus) + length(o_orderpriority)) AS BIGINT) AS sum_str_len
+        FROM orders)
+      SELECT f.format, s.n_rows, s.sum_key, s.sum_cust, s.sum_price_cents,
+             s.sum_date_days, s.sum_str_len
+      FROM s CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format)
+      ORDER BY f.format"""),
+    notes = "ORC/JSON-lines/CSV write+readback fidelity vs the parquet original: four identical exact-integer stat rows or the differing format's hash breaks; text formats fed only exactly-serializable types (cents BIGINT, DATE)")
+
   val all: Seq[QueryDef] = Seq(layoutZorder, layoutSkipping, layoutCompaction,
-    layoutDpp, layoutBucketed)
+    layoutDpp, layoutBucketed, sourceFormatRoundtrip)
 }
