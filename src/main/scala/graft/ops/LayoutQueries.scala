@@ -410,6 +410,54 @@ object LayoutQueries {
       ORDER BY f.format"""),
     notes = "ORC/JSON-lines/CSV write+readback fidelity vs the parquet original: four identical exact-integer stat rows or the differing format's hash breaks; text formats fed only exactly-serializable types (cents BIGINT, DATE)")
 
+  /** Malformed-record quarantine — the ingest-robustness stage every
+    * 100 TB CSV onboarding needs: parse in PERMISSIVE mode with a
+    * `columnNameOfCorruptRecord` column, so rows that fail the typed schema
+    * survive as quarantined raw lines instead of killing the job (FAILFAST)
+    * or silently vanishing (DROPMALFORMED). The fixture corrupts its own
+    * CSV deterministically (every o_orderkey ≡ 0 mod 97 writes a non-numeric
+    * price field), so the oracle can restate the expected good/bad split
+    * and good-row aggregates entirely from the parquet table — if
+    * PERMISSIVE parsing misclassified a single row, a count or sum breaks.
+    *
+    * Scale: the corrupt-or-not decision is per-row inside the CSV scan
+    * (no extra pass); quarantine rides the same aggregate. One text write +
+    * one CSV scan, both distributed.
+    */
+  val sourceCsvQuarantine = QueryDef(
+    "source_csv_quarantine",
+    (spark, dir) => {
+      import graft.Tables.cents
+      val tmp = stableTmp("graft-quarantine", dir)
+      load(spark, dir, "orders")
+        .select(concat_ws(",",
+          col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 97 === 0, lit("NOT_A_NUMBER"))
+            .otherwise(cents(col("o_totalprice")).cast("string"))).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").text(tmp)
+      spark.read
+        .schema("o_orderkey LONG, o_custkey LONG, price_cents LONG, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(tmp)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_bad"),
+          count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+          sum(when(col("_corrupt_record").isNull, col("o_orderkey"))).as("sum_good_key"),
+          sum(when(col("_corrupt_record").isNull, col("price_cents"))).as("sum_good_cents"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(COUNT(CASE WHEN o_orderkey % 97 = 0 THEN 1 END) AS BIGINT) AS n_bad,
+             CAST(COUNT(CASE WHEN o_orderkey % 97 <> 0 THEN 1 END) AS BIGINT) AS n_good,
+             CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey END) AS BIGINT) AS sum_good_key,
+             CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+               THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS sum_good_cents
+      FROM orders"""),
+    notes = "PERMISSIVE CSV parse + corrupt-record quarantine over a deterministically self-corrupted fixture (key % 97 -> non-numeric price); oracle restates the split from parquet, so one misclassified row breaks a sum")
+
   val all: Seq[QueryDef] = Seq(layoutZorder, layoutSkipping, layoutCompaction,
-    layoutDpp, layoutBucketed, sourceFormatRoundtrip)
+    layoutDpp, layoutBucketed, sourceFormatRoundtrip, sourceCsvQuarantine)
 }
