@@ -458,6 +458,55 @@ object LayoutQueries {
       FROM orders"""),
     notes = "PERMISSIVE CSV parse + corrupt-record quarantine over a deterministically self-corrupted fixture (key % 97 -> non-numeric price); oracle restates the split from parquet, so one misclassified row breaks a sum")
 
+  /** Schema-evolution read — the lakehouse reality that a long-lived table
+    * is written by MANY job versions: older files lack columns newer ones
+    * carry. Two schema generations of the same fact land in sibling
+    * directories (gen v1: key+cust only — the even keys; gen v2: adds
+    * price_cents — the odd keys); `mergeSchema=true` reconciles the footers
+    * into the union schema and v1 rows surface the missing column as NULL
+    * (never a default, never an error). The aggregate proves both the
+    * union-schema read and the null semantics: price sums over v2 rows
+    * only, key sums over all. Oracle restates the generation rule from the
+    * parquet original.
+    *
+    * Scale note: mergeSchema footer reconciliation is a one-time
+    * driver-side listing cost per query — production tables pin the merged
+    * schema in a catalog instead; the READ semantics verified here are
+    * identical either way.
+    */
+  val sourceSchemaEvolution = QueryDef(
+    "source_schema_evolution",
+    (spark, dir) => {
+      import graft.Tables.cents
+      val tmp = stableTmp("graft-evolve", dir)
+      val base = load(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .repartition(2).write.mode("overwrite").parquet(s"$tmp/gen=v1")
+      base.filter(col("o_orderkey") % 2 === 1)
+        .repartition(2).write.mode("overwrite").parquet(s"$tmp/gen=v2")
+      spark.read.option("mergeSchema", "true")
+        .option("basePath", tmp).parquet(s"$tmp/gen=v1", s"$tmp/gen=v2")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("price_cents")).as("n_with_price"),
+          count(when(col("price_cents").isNull, 1)).as("n_legacy"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("price_cents")).as("sum_price_cents"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_with_price,
+             CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT) AS n_legacy,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+               THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS sum_price_cents
+      FROM orders"""),
+    notes = "mergeSchema read over two schema generations (v1 lacks price_cents): union schema, NULL backfill for legacy files; oracle restates the generation rule from parquet")
+
   val all: Seq[QueryDef] = Seq(layoutZorder, layoutSkipping, layoutCompaction,
-    layoutDpp, layoutBucketed, sourceFormatRoundtrip, sourceCsvQuarantine)
+    layoutDpp, layoutBucketed, sourceFormatRoundtrip, sourceCsvQuarantine,
+    sourceSchemaEvolution)
 }
