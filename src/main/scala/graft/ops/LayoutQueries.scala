@@ -359,10 +359,13 @@ object LayoutQueries {
     (spark, dir) => {
       import graft.Tables.cents
       val tmp = stableTmp("graft-formats", dir)
+      // four consumers (3 format writes + the baseline stats row) would
+      // each re-scan and re-project orders; materialize the projection once
       val base = load(spark, dir, "orders").select(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         cents(col("o_totalprice")).as("price_cents"),
         to_date(col("o_orderdate")).as("o_date"), col("o_orderpriority"))
+        .localCheckpoint()
       val schema = base.schema
       def stats(df: org.apache.spark.sql.DataFrame, fmt: String) =
         df.agg(
@@ -377,20 +380,19 @@ object LayoutQueries {
           .select(lit(fmt).as("format"), col("n_rows"), col("sum_key"),
             col("sum_cust"), col("sum_price_cents"), col("sum_date_days"),
             col("sum_str_len"))
-      val roundtrips = Seq("orc", "json", "csv").map { fmt =>
+      // one dispatch point per format: the same options map drives both the
+      // write and the readback, so an option set on one side cannot drift
+      // from the other (a header mismatch on CSV would shift every row)
+      val fmtOptions = Map(
+        "orc"  -> Map.empty[String, String],
+        "json" -> Map.empty[String, String],
+        "csv"  -> Map("header" -> "true"))
+      val roundtrips = fmtOptions.toSeq.sortBy(_._1).map { case (fmt, opts) =>
         val path = s"$tmp/$fmt"
-        val w = base.repartition(4).write.mode("overwrite")
-        fmt match {
-          case "orc"  => w.orc(path)
-          case "json" => w.json(path)
-          case "csv"  => w.option("header", "true").csv(path)
-        }
-        val r = fmt match {
-          case "orc"  => spark.read.schema(schema).orc(path)
-          case "json" => spark.read.schema(schema).json(path)
-          case "csv"  => spark.read.schema(schema).option("header", "true").csv(path)
-        }
-        stats(r, fmt)
+        base.repartition(4).write.mode("overwrite")
+          .options(opts).format(fmt).save(path)
+        stats(spark.read.schema(schema).options(opts).format(fmt).load(path),
+          fmt)
       }
       (stats(base, "parquet") +: roundtrips).reduce(_.unionAll(_))
         .orderBy(col("format"))
