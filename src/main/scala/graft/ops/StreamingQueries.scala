@@ -98,7 +98,8 @@ object StreamingQueries {
     * production sink would be a parquet/Delta path (see
     * [[graft.streaming.EventStreams.runUpsertSink]]).
     */
-  private def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+  private def runToTable(df: DataFrame, name: String, mode: OutputMode,
+      extraConfs: Map[String, String] = Map.empty): DataFrame = {
     val spark = df.sparkSession
     // Stateful operators create one state store PER SHUFFLE PARTITION per
     // micro-batch (a stream-stream join creates four); at the batch-engine
@@ -113,6 +114,11 @@ object StreamingQueries {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    // per-query confs (e.g. the RocksDB state store provider that
+    // transformWithState requires) held with the same discipline as the
+    // partition count: set before start, restored only after termination
+    val prevExtra = extraConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
         .option("checkpointLocation",
@@ -123,7 +129,13 @@ object StreamingQueries {
         .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
         .sum
       lastExecSec += name -> execMs / 1e3
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevExtra.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
     spark.table(name)
   }
 
@@ -607,6 +619,56 @@ object StreamingQueries {
       ORDER BY event_type, next_type"""),
     notes = "streaming transition extraction == batch events_markov matrix")
 
+  /** Spend-milestone detection on the Spark 4 `transformWithState` API
+    * ([[EventStreams.SpendMilestoneProcessor]]): per-user multi-variable
+    * keyed state (ValueState running sum + MapState per-type counts) emits
+    * one row per event that crosses a $1000 cumulative boundary. The only
+    * battery entry on the new arbitrary-stateful API — everything else
+    * stateful rides flatMapGroupsWithState — and the only one on the
+    * RocksDB state store provider (required by the operator; held for this
+    * query only, like the stream partition count). Oracle: the batch twin
+    * is a plain cumulative window — running SUM/COUNT/COUNT-DISTINCT per
+    * user ordered by (ts, event_id), filtered to boundary crossings — so
+    * one hash pins sum, map contents, map cardinality AND ordering.
+    */
+  val streamSpendMilestones = QueryDef(
+    "stream_spend_milestones",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = streamEvents(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      runToTable(EventStreams.spendMilestones(ev).toDF(),
+        "stream_spend_milestones_sink", OutputMode.Append,
+        Map("spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")))
+        .orderBy(col("user_id"), col("milestone_k"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      c AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(SUM(cents) OVER w AS BIGINT) AS cum,
+               CAST(SUM(cents) OVER w - cents AS BIGINT) AS prev_cum,
+               COUNT(*) OVER w AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER w AS BIGINT) AS n_purchases,
+               CAST(COUNT(DISTINCT event_type) OVER w AS BIGINT) AS n_types
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING))
+      SELECT user_id, cum // 100000 AS milestone_k, cum AS cum_cents, us,
+             n_events, n_purchases, n_types
+      FROM c
+      WHERE cum // 100000 > prev_cum // 100000
+      ORDER BY user_id, milestone_k"""),
+    notes = "transformWithState (Spark 4 arbitrary stateful API): ValueState + MapState per key on RocksDB == batch cumulative-window boundary crossings")
+
   /** Change-data-feed read between two retained versions of the upsert sink
     * (Delta's `table_changes` / CDF, natively): the events table arrives as
     * three micro-batches through [[EventStreams.runUpsertSink]], then the
@@ -839,6 +901,6 @@ object StreamingQueries {
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
     streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMvAgg,
-    streamMarkov, snapshotChanges, streamSynthSource, streamSliding,
-    streamNeardupGate)
+    streamMarkov, streamSpendMilestones, snapshotChanges, streamSynthSource,
+    streamSliding, streamNeardupGate)
 }

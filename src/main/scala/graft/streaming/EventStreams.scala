@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Structured-Streaming surface (SURVEY §2.4 "streaming — ABSENT from the
   * reference"): event-time tumbling aggregation with watermarked late-data
@@ -460,5 +462,104 @@ object EventStreams {
           open.foreach(state.update)
           closed.result().iterator
       }
+  }
+
+  /** One spend-milestone crossing: the user's running profile at the event
+    * that pushed cumulative cents across a `stepCents` multiple.
+    */
+  case class Milestone(user_id: Long, milestone_k: Long, cum_cents: Long,
+      us: Long, n_events: Long, n_purchases: Long, n_types: Long)
+
+  /** Carry-over for [[SpendMilestoneProcessor]]: cumulative cents, event
+    * count, and the (µs, event_id) late-event guard. Public for the
+    * state-store encoder codegen, like [[OpenSession]].
+    */
+  case class SpendAcc(cents: Long, n: Long, lastUs: Long, lastId: Long)
+
+  /** Event-time epoch MICROSECONDS. `Timestamp.getTime` is ms-truncated —
+    * the sub-ms remainder lives in the nanos field — and the events fixture
+    * carries µs precision, so any per-user ordering must compare µs or it
+    * can disagree with the oracle's `ORDER BY ts`.
+    */
+  private def eventUs(e: Event): Long =
+    e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+
+  /** Arbitrary stateful processing on the Spark 4 `transformWithState`
+    * API — the successor of `flatMapGroupsWithState` used by the rest of
+    * this battery. The capability FMGWS lacks and this pins: MULTIPLE
+    * independently-typed state variables per key, managed by name in the
+    * state store (FMGWS forces everything into one state value):
+    *
+    *   - `ValueState[SpendAcc]` — running cents + count + late-event guard;
+    *   - `MapState[String, Long]` — per-event-type counts, a keyed
+    *     sub-structure the store can read/write per entry instead of
+    *     rewriting one blob per key per batch.
+    *
+    * Emits one [[Milestone]] per event that pushes a user's cumulative
+    * cents across a `stepCents` multiple, with the running profile
+    * (n_events, n_purchases from the map, n_types = map cardinality) AT the
+    * crossing. State is O(users × event types); requires the RocksDB state
+    * store provider (the only provider transformWithState supports).
+    *
+    * Ordering contract (same as [[transitions]]): exact vs the batch
+    * cumulative window when micro-batch boundaries respect per-user
+    * event-time order — true for the single-batch AvailableNow runs that
+    * gate this. A cross-batch LATE event (≤ the guard's last (µs, id)) is
+    * DROPPED: the scalar state cannot splice it into an already-emitted
+    * running sum. Within a batch, rows are sorted, so intra-batch disorder
+    * is always repaired.
+    */
+  class SpendMilestoneProcessor(stepCents: Long)
+      extends StatefulProcessor[Long, Event, Milestone] {
+    @transient private var acc: ValueState[SpendAcc] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      acc = getHandle.getValueState[SpendAcc]("acc",
+        Encoders.product[SpendAcc], TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long]("typeCounts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[Milestone] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (eventUs(e), e.event_id))
+      var a = if (acc.exists()) acc.get()
+              else SpendAcc(0L, 0L, Long.MinValue, Long.MinValue)
+      // local working copy of the per-type counts: one store read per
+      // existing entry at entry, one write per touched type at exit —
+      // not one round-trip per event
+      val seen = scala.collection.mutable.Map.empty[String, Long]
+      typeCounts.iterator().foreach { case (t, n) => seen(t) = n }
+      val out = Seq.newBuilder[Milestone]
+      for (e <- sorted) {
+        val us = eventUs(e)
+        val late = a.lastUs > us || (a.lastUs == us && a.lastId >= e.event_id)
+        if (!late) {
+          val next = a.cents + math.floor(e.value * 100 + 0.5).toLong
+          seen(e.event_type) = seen.getOrElse(e.event_type, 0L) + 1L
+          if (next / stepCents > a.cents / stepCents)
+            out += Milestone(userId, next / stepCents, next, us, a.n + 1,
+              seen.getOrElse("purchase", 0L), seen.size.toLong)
+          a = SpendAcc(next, a.n + 1, us, e.event_id)
+        }
+      }
+      acc.update(a)
+      seen.foreach { case (t, n) => typeCounts.updateValue(t, n) }
+      out.result().iterator
+    }
+  }
+
+  /** Per-user spend-milestone stream ([[SpendMilestoneProcessor]]); batch
+    * twin: a cumulative-sum window filtered to rows whose running total
+    * crosses a `stepCents` boundary.
+    */
+  def spendMilestones(events: Dataset[Event],
+      stepCents: Long = 100000L): Dataset[Milestone] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SpendMilestoneProcessor(stepCents),
+        TimeMode.None(), OutputMode.Append())
   }
 }

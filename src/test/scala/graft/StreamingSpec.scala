@@ -59,6 +59,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState milestones: multi-variable state carries across batches, late events drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = EventStreams.spendMilestones(input.toDS(), stepCents = 500L)
+      .writeStream.format("memory").queryName("milestones_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: cum 200 then 450 in batch 1 — below the 500-cent step, so
+      // the crossing depends entirely on state carried across the boundary
+      input.addData(
+        Event(1, ts(0), 1, "click", 2.0),
+        Event(2, ts(10), 1, "purchase", 2.5))
+      q.processAllAvailable()
+      // batch 2: a LATE event (ts before the carried guard) that would
+      // cross if spliced in — must be dropped; then the real crossing, and
+      // user 2's single 1200-cent event jumping straight to k=2
+      input.addData(
+        Event(99, ts(5), 1, "click", 100.0),
+        Event(3, ts(20), 1, "view", 1.0),
+        Event(4, ts(20), 2, "purchase", 12.0))
+      q.processAllAvailable()
+      val rows = spark.table("milestones_out")
+        .as[EventStreams.Milestone].collect().toSet
+      val us20 = 20 * 60000L * 1000L
+      assert(rows === Set(
+        EventStreams.Milestone(1L, 1L, 550L, us20, 3L, 1L, 3L),
+        EventStreams.Milestone(2L, 2L, 1200L, us20, 1L, 1L, 1L)), s"got $rows")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static broadcast enrichment joins the dim without shuffling the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
