@@ -1189,10 +1189,62 @@ object PipelineQueries {
       ORDER BY lang"""),
     notes = "priority sampling (Duffield-Lund-Thorup): weighted sample w/o replacement, k=10/class, tau-threshold HT estimator of per-class total chars; WindowGroupLimit top-(k+1), floor-to-BIGINT before every aggregate for bit-exact compare")
 
+  /** The observed-curation plan: a quality gate + per-(lang, source) rollup
+    * with two `Dataset.observe` points — input volume BEFORE the gate, kept
+    * volume after — embedded as Catalyst CollectMetrics nodes. Returned with
+    * its Observations so [[graft.ObserveSpec]] can read the metric values
+    * after an action; the registry entry uses only the DataFrame. Fresh
+    * Observation instances per call (an Observation is single-action).
+    *
+    * The pre-gate observe point deliberately blocks the gate predicate from
+    * pushing into the scan — n_in/chars_in must see every input row; that
+    * full scan is the semantics, not a plan accident.
+    */
+  private[graft] def observedCurate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.Observation, org.apache.spark.sql.Observation) = {
+    val inObs = org.apache.spark.sql.Observation()
+    val keptObs = org.apache.spark.sql.Observation()
+    val gated = load(spark, dir, "documents")
+      .observe(inObs, count(lit(1)).as("n_in"),
+        sum(col("n_chars")).as("chars_in"))
+      .filter(col("n_chars").between(120, 450) && col("lang") =!= "zh")
+      .observe(keptObs, count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+    val rollup = gated.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"), col("source"))
+    (rollup, inObs, keptObs)
+  }
+
+  /** Inline observability (`Dataset.observe` → Catalyst `CollectMetrics`):
+    * ingest metrics computed DURING the production rollup job as
+    * plan-embedded aggregates — zero extra passes. [[pipelineAttrition]] is
+    * the dedicated audit-job shape (per-rule counters, its own scan); this
+    * is what a production writer publishes to its metrics sink on EVERY
+    * run, where a second scan of a 100 TB input is not on the table. The
+    * registry result is the curated rollup, oracle-gated — pinning that the
+    * CollectMetrics nodes are pass-through on the data path; the metric
+    * values themselves and the one-scan plan shape are pinned in
+    * ObserveSpec.
+    */
+  val pipelineObserve = QueryDef(
+    "pipeline_observe",
+    (spark, dir) => observedCurate(spark, dir)._1,
+    Some("""
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents
+      WHERE n_chars BETWEEN 120 AND 450 AND lang <> 'zh'
+      GROUP BY lang, source
+      ORDER BY lang, source"""),
+    notes = "Dataset.observe / CollectMetrics: pre-gate + post-gate metrics ride the production job (no audit scans); rollup oracle pins pass-through, ObserveSpec pins metric values + single-scan plan")
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
     pipelinePack, pipelineDecontaminate, textRepetition, pipelineRedact,
     sampleTemperature, sampleMixture, pipelineAttrition, pipelineShardBalance,
     quantilesWeighted, pipelineDatasetCard, sampleEpochs, sampleStratified,
-    pipelineKanonymity, pipelineUrlDedup, sampleWeightedPriority)
+    pipelineKanonymity, pipelineUrlDedup, sampleWeightedPriority,
+    pipelineObserve)
 }

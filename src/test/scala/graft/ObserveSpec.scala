@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.PipelineQueries
+
+/** Pins the halves of `pipeline_observe` the DuckDB oracle cannot see: the
+  * observed METRIC VALUES (CollectMetrics aggregates delivered through the
+  * Observation handle after the action) and the plan contract — both
+  * observe points ride ONE scan of the input, and the gate predicate does
+  * NOT push below the pre-gate observe (n_in must count every input row).
+  */
+class ObserveSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("observe metrics match recomputed values after one action") {
+    val (rollup, inObs, keptObs) = PipelineQueries.observedCurate(spark, dir)
+    val out = rollup.collect() // the one action; completes both observations
+    val in = inObs.get
+    val kept = keptObs.get
+
+    val docs = Tables.load(spark, dir, "documents")
+    val (expIn, expInChars) = {
+      val r = docs.agg(count(lit(1)), sum(col("n_chars"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (expKept, expKeptChars) = {
+      val r = docs
+        .filter(col("n_chars").between(120, 450) && col("lang") =!= "zh")
+        .agg(count(lit(1)), sum(col("n_chars"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(in("n_in") === expIn)
+    assert(in("chars_in") === expInChars)
+    assert(kept("n_kept") === expKept)
+    assert(kept("chars_kept") === expKeptChars)
+    assert(expKept < expIn, "gate must actually drop rows for this pin to bite")
+    assert(out.map(_.getLong(2)).sum === expKept,
+      "rollup rows must carry exactly the kept docs")
+  }
+
+  test("both observe points ride a single scan; the gate stays above the pre-gate observe") {
+    val (rollup, _, _) = PipelineQueries.observedCurate(spark, dir)
+    val plan = rollup.queryExecution.executedPlan.toString
+    assert("CollectMetrics".r.findAllIn(plan).size === 2, plan)
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    // PushedFilters on the documents scan must NOT contain the n_chars gate:
+    // the pre-gate metrics are defined over ALL input rows
+    val scanLine = plan.linesIterator.find(_.contains("Scan parquet")).get
+    assert(!scanLine.contains("GreaterThanOrEqual(n_chars"),
+      s"gate predicate pushed below the pre-gate observe: $scanLine")
+  }
+}
