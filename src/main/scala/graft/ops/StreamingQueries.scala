@@ -669,6 +669,52 @@ object StreamingQueries {
       ORDER BY user_id, milestone_k"""),
     notes = "transformWithState (Spark 4 arbitrary stateful API): ValueState + MapState per key on RocksDB == batch cumulative-window boundary crossings")
 
+  /** Inactivity-triggered state flush via EVENT-TIME TIMERS on
+    * transformWithState ([[EventStreams.IdleFlushProcessor]]): each user's
+    * running profile is emitted when the watermark passes their last
+    * activity + 1 h — explicit registerTimer/deleteTimer bookkeeping with
+    * the expiry callback, the API surface `stream_spend_milestones` (state
+    * variables) doesn't touch. Under AvailableNow the final no-data batch
+    * advances the watermark to max(ts) − 1 h and fires every timer at or
+    * before it, so the flushed set is exactly the users idle ≥ the gap
+    * before the horizon — which the oracle states in SQL: per-user
+    * profiles where last_ms + gap ≤ max_ms − delay (timer strictness `≤`,
+    * pinned in StreamingSpec; watermark ms values are µs-floor, which
+    * both `Timestamp.getTime` and `epoch_ms` spell identically). Users
+    * still inside the horizon stay in state, exactly like the append-mode
+    * aggregation queries.
+    */
+  val streamIdleFlush = QueryDef(
+    "stream_idle_flush",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = streamEvents(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      runToTable(
+        EventStreams.idleFlush(ev, gapMs = 3600000L, watermark = "1 hour")
+          .toDF(),
+        "stream_idle_flush_sink", OutputMode.Append,
+        Map("spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH pu AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               MAX(epoch_ms(ts)) AS last_ms,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events GROUP BY user_id),
+      wm AS (SELECT MAX(epoch_ms(ts)) - 3600000 AS w FROM events)
+      SELECT user_id, n_events, last_ms, cents
+      FROM pu, wm
+      WHERE last_ms + 3600000 <= w
+      ORDER BY user_id"""),
+    notes = "transformWithState EVENT-TIME TIMERS: registerTimer/deleteTimer + handleExpiredTimer flush idle users at the watermark horizon; oracle = per-user profiles with last_ms + gap <= max_ms - delay")
+
   /** Change-data-feed read between two retained versions of the upsert sink
     * (Delta's `table_changes` / CDF, natively): the events table arrives as
     * three micro-batches through [[EventStreams.runUpsertSink]], then the
@@ -901,6 +947,6 @@ object StreamingQueries {
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
     streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMvAgg,
-    streamMarkov, streamSpendMilestones, snapshotChanges, streamSynthSource,
-    streamSliding, streamNeardupGate)
+    streamMarkov, streamSpendMilestones, streamIdleFlush, snapshotChanges,
+    streamSynthSource, streamSliding, streamNeardupGate)
 }

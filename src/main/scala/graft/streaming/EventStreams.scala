@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming surface (SURVEY §2.4 "streaming — ABSENT from the
   * reference"): event-time tumbling aggregation with watermarked late-data
@@ -561,5 +561,88 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new SpendMilestoneProcessor(stepCents),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One idle-flushed user profile: emitted when the event-time watermark
+    * passes the user's last activity + the idle gap.
+    */
+  case class FlushOut(user_id: Long, n_events: Long, last_ms: Long,
+      cents: Long)
+
+  /** Carry-over for [[IdleFlushProcessor]]: the running per-user profile
+    * plus the last-activity ms that keys the armed timer.
+    */
+  case class IdleAcc(n: Long, lastMs: Long, cents: Long)
+
+  /** EVENT-TIME TIMERS on the transformWithState API — the second new
+    * capability next to [[SpendMilestoneProcessor]]'s multi-variable state:
+    * explicit `registerTimer`/`deleteTimer` bookkeeping replaces FMGWS's
+    * single implicit timeout slot (`setTimeoutTimestamp`), and expiry is
+    * delivered through the dedicated `handleExpiredTimer` callback instead
+    * of a `hasTimedOut` flag threaded through the data path.
+    *
+    * Semantics: each input batch advances the user's profile and re-arms
+    * ONE timer at lastMs + gapMs (the previous timer is deleted — activity
+    * postpones the flush). When the watermark passes the armed expiry, the
+    * profile is emitted and state cleared; a user who returns later starts
+    * a fresh profile. This is the inactivity-triggered state-flush shape
+    * (publish a quiet entity's profile, close an abandoned cart, expire a
+    * session) — O(users) state and exactly one armed timer per live key.
+    *
+    * Timer strictness (pinned in StreamingSpec): a timer fires when the
+    * watermark reaches its expiry — `expiryMs <= watermarkMs` — so a user
+    * whose lastMs + gapMs equals the final watermark IS flushed.
+    *
+    * Late-row filtering (also measured + pinned): unlike FMGWS, which hands
+    * the processor every row, transformWithState in EventTime mode DROPS
+    * input rows at-or-before the current watermark before the processor
+    * sees them. The initial watermark is epoch 0, so this only bites
+    * epoch-adjacent test data, never the fixtures — but a processor ported
+    * from FMGWS must not re-implement its own late-drop on top.
+    */
+  class IdleFlushProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, FlushOut] {
+    @transient private var acc: ValueState[IdleAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[IdleAcc]("idle",
+        Encoders.product[IdleAcc], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[FlushOut] = {
+      val events = rows.toIndexedSeq
+      val prev = if (acc.exists()) Some(acc.get()) else None
+      prev.foreach(p => getHandle.deleteTimer(p.lastMs + gapMs))
+      val a = IdleAcc(
+        prev.map(_.n).getOrElse(0L) + events.size,
+        math.max(prev.map(_.lastMs).getOrElse(Long.MinValue),
+          events.iterator.map(_.ts.getTime).max),
+        prev.map(_.cents).getOrElse(0L) +
+          events.iterator.map(e => math.floor(e.value * 100 + 0.5).toLong).sum)
+      acc.update(a)
+      getHandle.registerTimer(a.lastMs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[FlushOut] = {
+      val a = acc.get()
+      acc.clear()
+      Iterator.single(FlushOut(userId, a.n, a.lastMs, a.cents))
+    }
+  }
+
+  /** Inactivity-flush stream ([[IdleFlushProcessor]]): watermarked input,
+    * event-time TimeMode so timers track the watermark, append output of
+    * flushed profiles only.
+    */
+  def idleFlush(events: Dataset[Event], gapMs: Long,
+      watermark: String = "1 hour"): Dataset[FlushOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleFlushProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -102,6 +102,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState timers: activity postpones the flush; boundary expiry fires at watermark == expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    // gap 30', watermark delay 10'. Times start at 10' — TWS EventTime mode
+    // drops input rows at-or-before the CURRENT watermark before they reach
+    // the processor, and the initial watermark is epoch 0, so an event at
+    // ts(0) would silently vanish (measured; this pin keeps it documented).
+    val q = EventStreams.idleFlush(input.toDS(), gapMs = 30 * 60000L,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("idle_out")
+      .outputMode(OutputMode.Append).start()
+    def flushed() = spark.table("idle_out")
+      .as[EventStreams.FlushOut].collect().toSet
+    try {
+      // b1: u1 twice, u2 once -> timers u1@50', u2@80'
+      input.addData(
+        Event(1, ts(10), 1, "click", 1.0),
+        Event(2, ts(20), 1, "view", 2.0),
+        Event(3, ts(50), 2, "purchase", 3.0))
+      q.processAllAvailable()
+      // b2: u1 active again -> timer MOVES 50'->100' (postponement; had the
+      // old timer survived, u1 would flush EARLY with the 2-event profile).
+      // The sentinel@110' advances the watermark to exactly 100' = u1's new
+      // expiry — the strictness probe; u2's 80' timer is strictly behind it.
+      input.addData(
+        Event(4, ts(70), 1, "click", 4.0),
+        Event(5, ts(110), 3, "view", 5.0))
+      q.processAllAvailable()
+      val atBoundary = flushed()
+      assert(atBoundary.contains(EventStreams.FlushOut(2L, 1L, 50 * 60000L, 300L)),
+        s"u2 must flush once its 80' timer is behind the 100' watermark: $atBoundary")
+      assert(!atBoundary.exists(f => f.user_id == 1L && f.n_events < 3),
+        s"u1 must never flush with the pre-postponement profile: $atBoundary")
+      val boundaryFired = atBoundary.exists(_.user_id == 1L)
+      // b3 advances wm to 190' -> u1 (timer 100') must be flushed by now,
+      // with the POST-postponement profile
+      input.addData(Event(6, ts(200), 5, "view", 6.0))
+      q.processAllAvailable()
+      assert(flushed().contains(EventStreams.FlushOut(1L, 3L, 70 * 60000L, 700L)),
+        s"u1 flush must carry the postponed 3-event profile: ${flushed()}")
+      // pin the boundary semantics the oracle of stream_idle_flush states:
+      // expiry <= watermark fires (see IdleFlushProcessor doc)
+      assert(boundaryFired,
+        "timer with expiry == watermark did not fire; oracle strictness is wrong")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static broadcast enrichment joins the dim without shuffling the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
