@@ -715,6 +715,58 @@ object StreamingQueries {
       ORDER BY user_id"""),
     notes = "transformWithState EVENT-TIME TIMERS: registerTimer/deleteTimer + handleExpiredTimer flush idle users at the watermark horizon; oracle = per-user profiles with last_ms + gap <= max_ms - delay")
 
+  /** Batch-backfill → live-stream HANDOFF via transformWithState INITIAL
+    * STATE ([[EventStreams.WarmStartIdleFlushProcessor]]): the even-id half
+    * of the events table is aggregated in BATCH into per-user snapshots
+    * that seed the state store through `handleInitialState`; only the
+    * odd-id half actually streams. The oracle computes the flushed profiles
+    * over ALL events — so the hash pins the Kappa-architecture equivalence:
+    * warm-start + streamed-suffix == full replay, including the seeded
+    * timers (a user whose activity is entirely in the batch half flushes
+    * from the snapshot-armed timer alone). The watermark horizon comes from
+    * the STREAMED half only (the snapshot carries no event-time), which the
+    * oracle states explicitly.
+    */
+  val streamWarmStart = QueryDef(
+    "stream_warm_start",
+    (spark, dir) => {
+      import spark.implicits._
+      val snapshot = graft.Tables.load(spark, dir, "events")
+        .filter(col("event_id") % 2 === 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          max(unix_millis(col("ts"))).as("lastMs"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+        .as[EventStreams.UserSnapshot]
+      val ev = streamEvents(spark, dir)
+        .filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      runToTable(
+        EventStreams.warmStartIdleFlush(ev, snapshot, gapMs = 3600000L,
+          watermark = "1 hour").toDF(),
+        "stream_warm_start_sink", OutputMode.Append,
+        Map("spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH pu AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               MAX(epoch_ms(ts)) AS last_ms,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events GROUP BY user_id),
+      wm AS (SELECT MAX(epoch_ms(ts)) - 3600000 AS w FROM events
+             WHERE event_id % 2 = 1)
+      SELECT user_id, n_events, last_ms, cents
+      FROM pu, wm
+      WHERE last_ms + 3600000 <= w
+      ORDER BY user_id"""),
+    notes = "transformWithState INITIAL STATE: batch snapshot seeds state + timers via handleInitialState, only the suffix streams; oracle computes profiles over ALL events = the backfill/live equivalence as one hash")
+
   /** Change-data-feed read between two retained versions of the upsert sink
     * (Delta's `table_changes` / CDF, natively): the events table arrives as
     * three micro-batches through [[EventStreams.runUpsertSink]], then the
@@ -947,6 +999,6 @@ object StreamingQueries {
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
     streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMvAgg,
-    streamMarkov, streamSpendMilestones, streamIdleFlush, snapshotChanges,
-    streamSynthSource, streamSliding, streamNeardupGate)
+    streamMarkov, streamSpendMilestones, streamIdleFlush, streamWarmStart,
+    snapshotChanges, streamSynthSource, streamSliding, streamNeardupGate)
 }

@@ -3,8 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor,
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Structured-Streaming surface (SURVEY §2.4 "streaming — ABSENT from the
   * reference"): event-time tumbling aggregation with watermarked late-data
@@ -600,19 +601,22 @@ object EventStreams {
     * epoch-adjacent test data, never the fixtures — but a processor ported
     * from FMGWS must not re-implement its own late-drop on top.
     */
-  class IdleFlushProcessor(gapMs: Long)
-      extends StatefulProcessor[Long, Event, FlushOut] {
-    @transient private var acc: ValueState[IdleAcc] = _
+  /** The idle-flush state machine, shared by [[IdleFlushProcessor]] and its
+    * warm-started twin — one body so the handoff query cannot drift from
+    * the cold-start semantics it claims to reproduce.
+    */
+  private object IdleFlushSteps {
+    def openState(handle: org.apache.spark.sql.streaming.StatefulProcessorHandle)
+        : ValueState[IdleAcc] =
+      handle.getValueState[IdleAcc]("idle", Encoders.product[IdleAcc],
+        TTLConfig.NONE)
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      acc = getHandle.getValueState[IdleAcc]("idle",
-        Encoders.product[IdleAcc], TTLConfig.NONE)
-
-    override def handleInputRows(userId: Long, rows: Iterator[Event],
-        timers: TimerValues): Iterator[FlushOut] = {
+    def onRows(acc: ValueState[IdleAcc],
+        handle: org.apache.spark.sql.streaming.StatefulProcessorHandle,
+        gapMs: Long, rows: Iterator[Event]): Iterator[FlushOut] = {
       val events = rows.toIndexedSeq
       val prev = if (acc.exists()) Some(acc.get()) else None
-      prev.foreach(p => getHandle.deleteTimer(p.lastMs + gapMs))
+      prev.foreach(p => handle.deleteTimer(p.lastMs + gapMs))
       val a = IdleAcc(
         prev.map(_.n).getOrElse(0L) + events.size,
         math.max(prev.map(_.lastMs).getOrElse(Long.MinValue),
@@ -620,16 +624,63 @@ object EventStreams {
         prev.map(_.cents).getOrElse(0L) +
           events.iterator.map(e => math.floor(e.value * 100 + 0.5).toLong).sum)
       acc.update(a)
-      getHandle.registerTimer(a.lastMs + gapMs)
+      handle.registerTimer(a.lastMs + gapMs)
       Iterator.empty
     }
 
-    override def handleExpiredTimer(userId: Long, timers: TimerValues,
-        expired: ExpiredTimerInfo): Iterator[FlushOut] = {
+    def onExpired(acc: ValueState[IdleAcc], userId: Long): Iterator[FlushOut] = {
       val a = acc.get()
       acc.clear()
       Iterator.single(FlushOut(userId, a.n, a.lastMs, a.cents))
     }
+  }
+
+  class IdleFlushProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, FlushOut] {
+    @transient private var acc: ValueState[IdleAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = IdleFlushSteps.openState(getHandle)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[FlushOut] =
+      IdleFlushSteps.onRows(acc, getHandle, gapMs, rows)
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[FlushOut] =
+      IdleFlushSteps.onExpired(acc, userId)
+  }
+
+  /** [[IdleFlushProcessor]] with INITIAL STATE — the third
+    * transformWithState surface after state variables and timers: the
+    * batch-backfill → live-stream handoff. `handleInitialState` seeds each
+    * user's profile from a batch-computed snapshot (and arms the idle timer
+    * from the snapshot's last activity) BEFORE the first micro-batch;
+    * streamed rows then merge through the exact same state machine. The
+    * contract worth an oracle: warm-start + streamed-suffix produces the
+    * SAME flushed profiles as replaying the whole history through the
+    * stream — the Kappa-architecture equivalence, stated as one hash.
+    */
+  class WarmStartIdleFlushProcessor(gapMs: Long)
+      extends StatefulProcessorWithInitialState[Long, Event, FlushOut, IdleAcc] {
+    @transient private var acc: ValueState[IdleAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = IdleFlushSteps.openState(getHandle)
+
+    override def handleInitialState(userId: Long, initial: IdleAcc,
+        timers: TimerValues): Unit = {
+      acc.update(initial)
+      getHandle.registerTimer(initial.lastMs + gapMs)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[FlushOut] =
+      IdleFlushSteps.onRows(acc, getHandle, gapMs, rows)
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[FlushOut] =
+      IdleFlushSteps.onExpired(acc, userId)
   }
 
   /** Inactivity-flush stream ([[IdleFlushProcessor]]): watermarked input,
@@ -644,5 +695,26 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new IdleFlushProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** One per-user batch snapshot row for the warm-start handoff. */
+  case class UserSnapshot(user_id: Long, n: Long, lastMs: Long, cents: Long)
+
+  /** Inactivity-flush with warm-started state
+    * ([[WarmStartIdleFlushProcessor]]): `snapshot` seeds the per-user
+    * profiles (the batch-backfill side of the handoff), `events` streams
+    * the suffix.
+    */
+  def warmStartIdleFlush(events: Dataset[Event],
+      snapshot: Dataset[UserSnapshot], gapMs: Long,
+      watermark: String = "1 hour"): Dataset[FlushOut] = {
+    import events.sparkSession.implicits._
+    val initial = snapshot.groupByKey(_.user_id)
+      .mapValues(s => IdleAcc(s.n, s.lastMs, s.cents))
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new WarmStartIdleFlushProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append(), initial)
   }
 }

@@ -162,6 +162,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState initial state: snapshot seeds profiles AND timers; streamed rows merge through them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val snapshot = Seq(
+      EventStreams.UserSnapshot(1L, 2L, 10 * 60000L, 300L), // only in batch
+      EventStreams.UserSnapshot(2L, 1L, 20 * 60000L, 500L)  // continues live
+    ).toDS()
+    val input = MemoryStream[Event]
+    val q = EventStreams.warmStartIdleFlush(input.toDS(), snapshot,
+        gapMs = 30 * 60000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("warm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u2 returns live (its seeded 50' timer must MOVE to 90'); u3 is
+      // stream-only; the sentinel pushes the watermark to 90'
+      input.addData(
+        Event(1, ts(60), 2, "click", 4.0),
+        Event(2, ts(100), 3, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("warm_out")
+        .as[EventStreams.FlushOut].collect().toSet
+      assert(rows === Set(
+        // u1 flushes from the snapshot-armed timer alone (40' <= 90'),
+        // with the untouched snapshot profile
+        EventStreams.FlushOut(1L, 2L, 10 * 60000L, 300L),
+        // u2's profile merges snapshot + the live event; its timer moved,
+        // so it flushes at 90' (boundary) with the MERGED profile
+        EventStreams.FlushOut(2L, 2L, 60 * 60000L, 900L)), s"got $rows")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static broadcast enrichment joins the dim without shuffling the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
