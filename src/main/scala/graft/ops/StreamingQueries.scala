@@ -660,7 +660,7 @@ object StreamingQueries {
                  OVER w AS BIGINT) AS n_purchases,
                CAST(COUNT(DISTINCT event_type) OVER w AS BIGINT) AS n_types
         FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                      ROWS UNBOUNDED PRECEDING))
       SELECT user_id, cum // 100000 AS milestone_k, cum AS cum_cents, us,
              n_events, n_purchases, n_types
