@@ -521,4 +521,83 @@ class StreamingSpec extends AnyFunSuite {
         s"streamed ${streamed.size} windows, expected ${expected.size} finalized")
     } finally q.stop()
   }
+
+  test("transformWithState ListState: pattern buffer carries across batches and trims") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = input.toDS()
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentTypesProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .writeStream.format("memory").queryName("patterns_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1's prefix lands in batch 1; the purchase that reads it back
+      // arrives in batch 2 — the buffer must survive the boundary
+      input.addData(
+        Event(1, ts(10), 1, "click", 1.0),
+        Event(2, ts(20), 1, "view", 1.0))
+      q.processAllAvailable()
+      // u2's 5-event run is single-batch: the buffer must TRIM to the last
+      // 3 types before its purchase
+      input.addData(
+        Event(3, ts(30), 1, "error", 1.0),
+        Event(4, ts(40), 1, "purchase", 1.0),
+        Event(5, ts(10), 2, "click", 1.0),
+        Event(6, ts(20), 2, "click", 1.0),
+        Event(7, ts(30), 2, "view", 1.0),
+        Event(8, ts(40), 2, "signup", 1.0),
+        Event(9, ts(50), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("patterns_out").as[(Long, String)].collect().toSet
+      assert(rows === Set(
+        (1L, "click>view>error"),
+        (2L, "click>view>signup")), s"got $rows")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
+
+/** Spec fixture pinning the LISTSTATE primitive — the one state type the
+  * production processors don't use (ValueState: both flush processors and
+  * milestones; MapState: milestones): a per-user buffer of the last 3 event
+  * types, emitted as a `>`-joined pattern at each purchase. `put` rewrites
+  * the trimmed buffer; `get` replays it next batch.
+  */
+class RecentTypesProcessor extends org.apache.spark.sql.streaming
+    .StatefulProcessor[Long, EventStreams.Event, (Long, String)] {
+  @transient private var recent: org.apache.spark.sql.streaming.ListState[String] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    recent = getHandle.getListState[String]("recent",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long,
+      rows: Iterator[EventStreams.Event],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, String)] = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var buf = if (recent.exists()) recent.get().toVector else Vector.empty[String]
+    val out = Seq.newBuilder[(Long, String)]
+    for (e <- sorted) {
+      if (e.event_type == "purchase" && buf.nonEmpty)
+        out += ((userId, buf.mkString(">")))
+      buf = (buf :+ e.event_type).takeRight(3)
+    }
+    recent.put(buf.toArray)
+    out.result().iterator
+  }
 }
