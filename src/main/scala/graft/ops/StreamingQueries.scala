@@ -135,9 +135,30 @@ object StreamingQueries {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None)    => spark.conf.unset(k)
       }
+      unloadStateStores()
     }
     spark.table(name)
   }
+
+  /** Drop every loaded state-store provider after a one-shot streaming run.
+    * Each run uses a FRESH checkpoint, so the executor-side provider cache
+    * (`StateStore.loadedProviders`) can only accumulate dead entries — each
+    * HDFS-backed provider pins up to minVersionsToRetain on-heap state-map
+    * versions, and each RocksDB provider (the transformWithState queries)
+    * holds native block caches, write buffers, and periodic maintenance
+    * work — none of it reachable again, since the next run gets a new
+    * checkpoint and therefore new provider IDs. The residue is structural,
+    * not speculative; its TIMING effect on later batch queries in the
+    * shared bench/verify JVM could not be separated from this host's
+    * run-to-run drift (clean-JVM controls moved as much as the
+    * contaminated runs — graph_kcore 2.19–2.63 s across identical
+    * invocations), so the unload is justified as footprint hygiene with no
+    * downside: a real deployment runs streams in long-lived apps where the
+    * provider cache is load-bearing; a shared one-shot harness is exactly
+    * the case it is not.
+    */
+  private def unloadStateStores(): Unit =
+    org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
 
   /** Run a foreachBatch SINK query (upsert / MV merge) to completion with
     * the stream-partition conf held for its whole lifetime, record its
@@ -166,7 +187,10 @@ object StreamingQueries {
         .sum
       lastExecSec += name -> execMs / 1e3
       result
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      unloadStateStores()
+    }
   }
 
   /** Streaming tumbling counts, complete mode: the stream result must equal

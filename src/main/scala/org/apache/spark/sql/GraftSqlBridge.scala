@@ -20,4 +20,14 @@ object GraftSqlBridge {
   /** The resolved logical plan behind a DataFrame. */
   def analyzedPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Drop every loaded state-store provider (`StateStore.unloadAll` is
+    * private[sql]). A one-shot AvailableNow run with a fresh checkpoint
+    * leaves its providers cached in the executor JVM forever — on-heap
+    * version maps for HDFS-backed stores, native block caches plus
+    * maintenance work for RocksDB — which measurably taxes every later
+    * query sharing the JVM (see StreamingQueries.unloadStateStores).
+    */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
 }
