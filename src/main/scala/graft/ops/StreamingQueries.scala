@@ -91,6 +91,15 @@ object StreamingQueries {
     */
   @volatile var lastExecSec: Map[String, Double] = Map.empty
 
+  /** The per-query conf the three transformWithState entries pass through
+    * [[runToTable]]: the operator supports only the RocksDB state store
+    * provider (one definition so a tuning companion conf lands everywhere).
+    */
+  private val rocksDbProviderConf = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider"))
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink and return the sink table. Fresh checkpoint per run so re-runs in
     * the same JVM (Verify, Bench warm passes) reprocess from scratch. The
@@ -112,14 +121,18 @@ object StreamingQueries {
     // that capture (queries run sequentially, so holding the conf until
     // termination costs nothing).
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     // per-query confs (e.g. the RocksDB state store provider that
     // transformWithState requires) held with the same discipline as the
-    // partition count: set before start, restored only after termination
+    // partition count: set before start, restored only after termination.
+    // Previous values are captured BEFORE the try and the sets happen
+    // INSIDE it, so a throwing conf.set (invalid key/value) still restores
+    // whatever was already applied instead of leaking it into the shared
+    // Verify/Bench session.
     val prevExtra = extraConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+      extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
         .option("checkpointLocation",
           Files.createTempDirectory(s"graft-$name-ck").toString)
@@ -665,9 +678,7 @@ object StreamingQueries {
         .as[EventStreams.Event]
       runToTable(EventStreams.spendMilestones(ev).toDF(),
         "stream_spend_milestones_sink", OutputMode.Append,
-        Map("spark.sql.streaming.stateStore.providerClass" ->
-          ("org.apache.spark.sql.execution.streaming." +
-            "state.RocksDBStateStoreProvider")))
+        rocksDbProviderConf)
         .orderBy(col("user_id"), col("milestone_k"))
     },
     Some("""
@@ -720,9 +731,7 @@ object StreamingQueries {
         EventStreams.idleFlush(ev, gapMs = 3600000L, watermark = "1 hour")
           .toDF(),
         "stream_idle_flush_sink", OutputMode.Append,
-        Map("spark.sql.streaming.stateStore.providerClass" ->
-          ("org.apache.spark.sql.execution.streaming." +
-            "state.RocksDBStateStoreProvider")))
+        rocksDbProviderConf)
         .orderBy(col("user_id"))
     },
     Some("""
@@ -760,7 +769,7 @@ object StreamingQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
           max(unix_millis(col("ts"))).as("lastMs"),
-          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+          sum(cents(col("value"))).as("cents"))
         .as[EventStreams.UserSnapshot]
       val ev = streamEvents(spark, dir)
         .filter(col("event_id") % 2 === 1)
@@ -771,9 +780,7 @@ object StreamingQueries {
         EventStreams.warmStartIdleFlush(ev, snapshot, gapMs = 3600000L,
           watermark = "1 hour").toDF(),
         "stream_warm_start_sink", OutputMode.Append,
-        Map("spark.sql.streaming.stateStore.providerClass" ->
-          ("org.apache.spark.sql.execution.streaming." +
-            "state.RocksDBStateStoreProvider")))
+        rocksDbProviderConf)
         .orderBy(col("user_id"))
     },
     Some("""

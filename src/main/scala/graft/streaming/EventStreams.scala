@@ -528,10 +528,13 @@ object EventStreams {
       var a = if (acc.exists()) acc.get()
               else SpendAcc(0L, 0L, Long.MinValue, Long.MinValue)
       // local working copy of the per-type counts: one store read per
-      // existing entry at entry, one write per touched type at exit —
-      // not one round-trip per event
+      // existing entry at entry, one write per TOUCHED type at exit —
+      // not one round-trip per event, and untouched types are never
+      // rewritten (per-entry writes are the point of MapState over a
+      // single-blob state value)
       val seen = scala.collection.mutable.Map.empty[String, Long]
       typeCounts.iterator().foreach { case (t, n) => seen(t) = n }
+      val touched = scala.collection.mutable.Set.empty[String]
       val out = Seq.newBuilder[Milestone]
       for (e <- sorted) {
         val us = eventUs(e)
@@ -539,6 +542,7 @@ object EventStreams {
         if (!late) {
           val next = a.cents + math.floor(e.value * 100 + 0.5).toLong
           seen(e.event_type) = seen.getOrElse(e.event_type, 0L) + 1L
+          touched += e.event_type
           if (next / stepCents > a.cents / stepCents)
             out += Milestone(userId, next / stepCents, next, us, a.n + 1,
               seen.getOrElse("purchase", 0L), seen.size.toLong)
@@ -546,7 +550,7 @@ object EventStreams {
         }
       }
       acc.update(a)
-      seen.foreach { case (t, n) => typeCounts.updateValue(t, n) }
+      touched.foreach(t => typeCounts.updateValue(t, seen(t)))
       out.result().iterator
     }
   }

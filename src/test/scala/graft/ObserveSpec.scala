@@ -45,10 +45,17 @@ class ObserveSpec extends AnyFunSuite {
     val plan = rollup.queryExecution.executedPlan.toString
     assert("CollectMetrics".r.findAllIn(plan).size === 2, plan)
     assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
-    // PushedFilters on the documents scan must NOT contain the n_chars gate:
-    // the pre-gate metrics are defined over ALL input rows
+    // PushedFilters on the documents scan must NOT mention either gate
+    // column under ANY rendering (Catalyst `GreaterThanOrEqual(n_chars`,
+    // DSv2 `n_chars >= 120`, an isNotNull derived from the gate, ...):
+    // the pre-gate metrics are defined over ALL input rows. Parse the
+    // bracket content specifically — the scan line also carries the gate
+    // columns legitimately in ReadSchema.
     val scanLine = plan.linesIterator.find(_.contains("Scan parquet")).get
-    assert(!scanLine.contains("GreaterThanOrEqual(n_chars"),
-      s"gate predicate pushed below the pre-gate observe: $scanLine")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scanLine).map(_.group(1))
+      .getOrElse(fail(s"no PushedFilters section on the scan: $scanLine"))
+    assert(!pushed.contains("n_chars") && !pushed.contains("lang"),
+      s"gate predicate pushed below the pre-gate observe: PushedFilters [$pushed]")
   }
 }

@@ -13,6 +13,22 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
 
+  /** Run `body` with the RocksDB state store provider (the only provider
+    * transformWithState supports) set on the shared session, restoring the
+    * previous value afterwards so later suites keep the default provider.
+    */
+  private def withRocksDBProvider[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("watermarked tumbling counts finalize windows in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -62,146 +78,116 @@ class StreamingSpec extends AnyFunSuite {
   test("transformWithState milestones: multi-variable state carries across batches, late events drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prevProvider =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val input = MemoryStream[Event]
-    val q = EventStreams.spendMilestones(input.toDS(), stepCents = 500L)
-      .writeStream.format("memory").queryName("milestones_out")
-      .outputMode(OutputMode.Append).start()
-    try {
-      // user 1: cum 200 then 450 in batch 1 — below the 500-cent step, so
-      // the crossing depends entirely on state carried across the boundary
-      input.addData(
-        Event(1, ts(0), 1, "click", 2.0),
-        Event(2, ts(10), 1, "purchase", 2.5))
-      q.processAllAvailable()
-      // batch 2: a LATE event (ts before the carried guard) that would
-      // cross if spliced in — must be dropped; then the real crossing, and
-      // user 2's single 1200-cent event jumping straight to k=2
-      input.addData(
-        Event(99, ts(5), 1, "click", 100.0),
-        Event(3, ts(20), 1, "view", 1.0),
-        Event(4, ts(20), 2, "purchase", 12.0))
-      q.processAllAvailable()
-      val rows = spark.table("milestones_out")
-        .as[EventStreams.Milestone].collect().toSet
-      val us20 = 20 * 60000L * 1000L
-      assert(rows === Set(
-        EventStreams.Milestone(1L, 1L, 550L, us20, 3L, 1L, 3L),
-        EventStreams.Milestone(2L, 2L, 1200L, us20, 1L, 1L, 1L)), s"got $rows")
-    } finally {
-      q.stop()
-      prevProvider match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDBProvider {
+      val input = MemoryStream[Event]
+      val q = EventStreams.spendMilestones(input.toDS(), stepCents = 500L)
+        .writeStream.format("memory").queryName("milestones_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // user 1: cum 200 then 450 in batch 1 — below the 500-cent step, so
+        // the crossing depends entirely on state carried across the boundary
+        input.addData(
+          Event(1, ts(0), 1, "click", 2.0),
+          Event(2, ts(10), 1, "purchase", 2.5))
+        q.processAllAvailable()
+        // batch 2: a LATE event (ts before the carried guard) that would
+        // cross if spliced in — must be dropped; then the real crossing, and
+        // user 2's single 1200-cent event jumping straight to k=2
+        input.addData(
+          Event(99, ts(5), 1, "click", 100.0),
+          Event(3, ts(20), 1, "view", 1.0),
+          Event(4, ts(20), 2, "purchase", 12.0))
+        q.processAllAvailable()
+        val rows = spark.table("milestones_out")
+          .as[EventStreams.Milestone].collect().toSet
+        val us20 = 20 * 60000L * 1000L
+        assert(rows === Set(
+          EventStreams.Milestone(1L, 1L, 550L, us20, 3L, 1L, 3L),
+          EventStreams.Milestone(2L, 2L, 1200L, us20, 1L, 1L, 1L)), s"got $rows")
+      } finally q.stop()
     }
   }
 
   test("transformWithState timers: activity postpones the flush; boundary expiry fires at watermark == expiry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prevProvider =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val input = MemoryStream[Event]
-    // gap 30', watermark delay 10'. Times start at 10' — TWS EventTime mode
-    // drops input rows at-or-before the CURRENT watermark before they reach
-    // the processor, and the initial watermark is epoch 0, so an event at
-    // ts(0) would silently vanish (measured; this pin keeps it documented).
-    val q = EventStreams.idleFlush(input.toDS(), gapMs = 30 * 60000L,
-        watermark = "10 minutes")
-      .writeStream.format("memory").queryName("idle_out")
-      .outputMode(OutputMode.Append).start()
-    def flushed() = spark.table("idle_out")
-      .as[EventStreams.FlushOut].collect().toSet
-    try {
-      // b1: u1 twice, u2 once -> timers u1@50', u2@80'
-      input.addData(
-        Event(1, ts(10), 1, "click", 1.0),
-        Event(2, ts(20), 1, "view", 2.0),
-        Event(3, ts(50), 2, "purchase", 3.0))
-      q.processAllAvailable()
-      // b2: u1 active again -> timer MOVES 50'->100' (postponement; had the
-      // old timer survived, u1 would flush EARLY with the 2-event profile).
-      // The sentinel@110' advances the watermark to exactly 100' = u1's new
-      // expiry — the strictness probe; u2's 80' timer is strictly behind it.
-      input.addData(
-        Event(4, ts(70), 1, "click", 4.0),
-        Event(5, ts(110), 3, "view", 5.0))
-      q.processAllAvailable()
-      val atBoundary = flushed()
-      assert(atBoundary.contains(EventStreams.FlushOut(2L, 1L, 50 * 60000L, 300L)),
-        s"u2 must flush once its 80' timer is behind the 100' watermark: $atBoundary")
-      assert(!atBoundary.exists(f => f.user_id == 1L && f.n_events < 3),
-        s"u1 must never flush with the pre-postponement profile: $atBoundary")
-      val boundaryFired = atBoundary.exists(_.user_id == 1L)
-      // b3 advances wm to 190' -> u1 (timer 100') must be flushed by now,
-      // with the POST-postponement profile
-      input.addData(Event(6, ts(200), 5, "view", 6.0))
-      q.processAllAvailable()
-      assert(flushed().contains(EventStreams.FlushOut(1L, 3L, 70 * 60000L, 700L)),
-        s"u1 flush must carry the postponed 3-event profile: ${flushed()}")
-      // pin the boundary semantics the oracle of stream_idle_flush states:
-      // expiry <= watermark fires (see IdleFlushProcessor doc)
-      assert(boundaryFired,
-        "timer with expiry == watermark did not fire; oracle strictness is wrong")
-    } finally {
-      q.stop()
-      prevProvider match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDBProvider {
+      val input = MemoryStream[Event]
+      // gap 30', watermark delay 10'. Times start at 10' — TWS EventTime mode
+      // drops input rows at-or-before the CURRENT watermark before they reach
+      // the processor, and the initial watermark is epoch 0, so an event at
+      // ts(0) would silently vanish (measured; this pin keeps it documented).
+      val q = EventStreams.idleFlush(input.toDS(), gapMs = 30 * 60000L,
+          watermark = "10 minutes")
+        .writeStream.format("memory").queryName("idle_out")
+        .outputMode(OutputMode.Append).start()
+      def flushed() = spark.table("idle_out")
+        .as[EventStreams.FlushOut].collect().toSet
+      try {
+        // b1: u1 twice, u2 once -> timers u1@50', u2@80'
+        input.addData(
+          Event(1, ts(10), 1, "click", 1.0),
+          Event(2, ts(20), 1, "view", 2.0),
+          Event(3, ts(50), 2, "purchase", 3.0))
+        q.processAllAvailable()
+        // b2: u1 active again -> timer MOVES 50'->100' (postponement; had the
+        // old timer survived, u1 would flush EARLY with the 2-event profile).
+        // The sentinel@110' advances the watermark to exactly 100' = u1's new
+        // expiry — the strictness probe; u2's 80' timer is strictly behind it.
+        input.addData(
+          Event(4, ts(70), 1, "click", 4.0),
+          Event(5, ts(110), 3, "view", 5.0))
+        q.processAllAvailable()
+        val atBoundary = flushed()
+        assert(atBoundary.contains(EventStreams.FlushOut(2L, 1L, 50 * 60000L, 300L)),
+          s"u2 must flush once its 80' timer is behind the 100' watermark: $atBoundary")
+        assert(!atBoundary.exists(f => f.user_id == 1L && f.n_events < 3),
+          s"u1 must never flush with the pre-postponement profile: $atBoundary")
+        val boundaryFired = atBoundary.exists(_.user_id == 1L)
+        // b3 advances wm to 190' -> u1 (timer 100') must be flushed by now,
+        // with the POST-postponement profile
+        input.addData(Event(6, ts(200), 5, "view", 6.0))
+        q.processAllAvailable()
+        assert(flushed().contains(EventStreams.FlushOut(1L, 3L, 70 * 60000L, 700L)),
+          s"u1 flush must carry the postponed 3-event profile: ${flushed()}")
+        // pin the boundary semantics the oracle of stream_idle_flush states:
+        // expiry <= watermark fires (see IdleFlushProcessor doc)
+        assert(boundaryFired,
+          "timer with expiry == watermark did not fire; oracle strictness is wrong")
+      } finally q.stop()
     }
   }
 
   test("transformWithState initial state: snapshot seeds profiles AND timers; streamed rows merge through them") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prevProvider =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val snapshot = Seq(
-      EventStreams.UserSnapshot(1L, 2L, 10 * 60000L, 300L), // only in batch
-      EventStreams.UserSnapshot(2L, 1L, 20 * 60000L, 500L)  // continues live
-    ).toDS()
-    val input = MemoryStream[Event]
-    val q = EventStreams.warmStartIdleFlush(input.toDS(), snapshot,
-        gapMs = 30 * 60000L, watermark = "10 minutes")
-      .writeStream.format("memory").queryName("warm_out")
-      .outputMode(OutputMode.Append).start()
-    try {
-      // u2 returns live (its seeded 50' timer must MOVE to 90'); u3 is
-      // stream-only; the sentinel pushes the watermark to 90'
-      input.addData(
-        Event(1, ts(60), 2, "click", 4.0),
-        Event(2, ts(100), 3, "view", 5.0))
-      q.processAllAvailable()
-      val rows = spark.table("warm_out")
-        .as[EventStreams.FlushOut].collect().toSet
-      assert(rows === Set(
-        // u1 flushes from the snapshot-armed timer alone (40' <= 90'),
-        // with the untouched snapshot profile
-        EventStreams.FlushOut(1L, 2L, 10 * 60000L, 300L),
-        // u2's profile merges snapshot + the live event; its timer moved,
-        // so it flushes at 90' (boundary) with the MERGED profile
-        EventStreams.FlushOut(2L, 2L, 60 * 60000L, 900L)), s"got $rows")
-    } finally {
-      q.stop()
-      prevProvider match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDBProvider {
+      val snapshot = Seq(
+        EventStreams.UserSnapshot(1L, 2L, 10 * 60000L, 300L), // only in batch
+        EventStreams.UserSnapshot(2L, 1L, 20 * 60000L, 500L)  // continues live
+      ).toDS()
+      val input = MemoryStream[Event]
+      val q = EventStreams.warmStartIdleFlush(input.toDS(), snapshot,
+          gapMs = 30 * 60000L, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("warm_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // u2 returns live (its seeded 50' timer must MOVE to 90'); u3 is
+        // stream-only; the sentinel pushes the watermark to 90'
+        input.addData(
+          Event(1, ts(60), 2, "click", 4.0),
+          Event(2, ts(100), 3, "view", 5.0))
+        q.processAllAvailable()
+        val rows = spark.table("warm_out")
+          .as[EventStreams.FlushOut].collect().toSet
+        assert(rows === Set(
+          // u1 flushes from the snapshot-armed timer alone (40' <= 90'),
+          // with the untouched snapshot profile
+          EventStreams.FlushOut(1L, 2L, 10 * 60000L, 300L),
+          // u2's profile merges snapshot + the live event; its timer moved,
+          // so it flushes at 90' (boundary) with the MERGED profile
+          EventStreams.FlushOut(2L, 2L, 60 * 60000L, 900L)), s"got $rows")
+      } finally q.stop()
     }
   }
 
@@ -525,47 +511,37 @@ class StreamingSpec extends AnyFunSuite {
   test("transformWithState ListState: pattern buffer carries across batches and trims") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prevProvider =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val input = MemoryStream[Event]
-    val q = input.toDS()
-      .groupByKey(_.user_id)
-      .transformWithState(new RecentTypesProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
-      .writeStream.format("memory").queryName("patterns_out")
-      .outputMode(OutputMode.Append).start()
-    try {
-      // u1's prefix lands in batch 1; the purchase that reads it back
-      // arrives in batch 2 — the buffer must survive the boundary
-      input.addData(
-        Event(1, ts(10), 1, "click", 1.0),
-        Event(2, ts(20), 1, "view", 1.0))
-      q.processAllAvailable()
-      // u2's 5-event run is single-batch: the buffer must TRIM to the last
-      // 3 types before its purchase
-      input.addData(
-        Event(3, ts(30), 1, "error", 1.0),
-        Event(4, ts(40), 1, "purchase", 1.0),
-        Event(5, ts(10), 2, "click", 1.0),
-        Event(6, ts(20), 2, "click", 1.0),
-        Event(7, ts(30), 2, "view", 1.0),
-        Event(8, ts(40), 2, "signup", 1.0),
-        Event(9, ts(50), 2, "purchase", 1.0))
-      q.processAllAvailable()
-      val rows = spark.table("patterns_out").as[(Long, String)].collect().toSet
-      assert(rows === Set(
-        (1L, "click>view>error"),
-        (2L, "click>view>signup")), s"got $rows")
-    } finally {
-      q.stop()
-      prevProvider match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDBProvider {
+      val input = MemoryStream[Event]
+      val q = input.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(new RecentTypesProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        .writeStream.format("memory").queryName("patterns_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // u1's prefix lands in batch 1; the purchase that reads it back
+        // arrives in batch 2 — the buffer must survive the boundary
+        input.addData(
+          Event(1, ts(10), 1, "click", 1.0),
+          Event(2, ts(20), 1, "view", 1.0))
+        q.processAllAvailable()
+        // u2's 5-event run is single-batch: the buffer must TRIM to the last
+        // 3 types before its purchase
+        input.addData(
+          Event(3, ts(30), 1, "error", 1.0),
+          Event(4, ts(40), 1, "purchase", 1.0),
+          Event(5, ts(10), 2, "click", 1.0),
+          Event(6, ts(20), 2, "click", 1.0),
+          Event(7, ts(30), 2, "view", 1.0),
+          Event(8, ts(40), 2, "signup", 1.0),
+          Event(9, ts(50), 2, "purchase", 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("patterns_out").as[(Long, String)].collect().toSet
+        assert(rows === Set(
+          (1L, "click>view>error"),
+          (2L, "click>view>signup")), s"got $rows")
+      } finally q.stop()
     }
   }
 }
