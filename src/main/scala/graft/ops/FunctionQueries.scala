@@ -623,8 +623,53 @@ object FunctionQueries {
       ORDER BY l.l_returnflag"""),
     notes = "Spark 4 SQL UDFs: analyzer-inlined scalar + table functions, oracle = the inlined expressions")
 
+  /** Parameterized SQL — `spark.sql(text, args)` with NAMED (`:name`) and
+    * POSITIONAL (`?`) parameter markers, the injection-safe way to template
+    * a query over user input (string concatenation is the alternative, and
+    * it is how SQL injection happens). Binding occurs at parse time, so the
+    * bound values behave exactly like literals downstream: they constant-
+    * fold, they reach the scan as PushedFilters, and the plan is
+    * indistinguishable from the hand-written query — which the shared
+    * oracle (both bands restated as a literal VALUES join) pins. One band
+    * per marker style so both APIs sit in the hash gate.
+    */
+  val sqlParameterized = QueryDef(
+    "sql_parameterized",
+    (spark, dir) => {
+      load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+      val named = spark.sql(
+        """SELECT :label AS band, l_returnflag, COUNT(*) AS n,
+                  SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS cents
+           FROM lineitem
+           WHERE l_quantity BETWEEN :lo AND :hi
+           GROUP BY l_returnflag""",
+        Map("label" -> "low", "lo" -> 1, "hi" -> 10))
+      val positional = spark.sql(
+        """SELECT ? AS band, l_returnflag, COUNT(*) AS n,
+                  SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS cents
+           FROM lineitem
+           WHERE l_quantity BETWEEN ? AND ?
+           GROUP BY l_returnflag""",
+        Array("high", 40, 50))
+      named.unionAll(positional)
+        .orderBy(col("band"), col("l_returnflag"))
+    },
+    Some("""
+      WITH bands AS (
+        SELECT 'low' AS band, 1 AS lo, 10 AS hi
+        UNION ALL SELECT 'high', 40, 50)
+      SELECT b.band, l.l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem l JOIN bands b ON l.l_quantity BETWEEN b.lo AND b.hi
+      GROUP BY b.band, l.l_returnflag
+      ORDER BY band, l_returnflag"""),
+    notes = "parameterized SQL: named (:name) + positional (?) markers bound at parse time — injection-safe templating whose bound values still fold and push down like literals")
+
   val all: Seq[QueryDef] = Seq(regexFuncs, datetimeFuncs, nullFuncs,
     bitHashFuncs, statsMoments, aggCollect, structArgminmax, aggApproxQuantile,
     aggMode, tryFuncs, joinNullSafe, aggBitmapDistinct, aggHllSetops,
-    aggLinreg, sqlUdfFuncs)
+    aggLinreg, sqlUdfFuncs, sqlParameterized)
 }

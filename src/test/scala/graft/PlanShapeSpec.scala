@@ -85,7 +85,12 @@ class PlanShapeSpec extends AnyFunSuite {
     * above the scan (e.g. a non-deterministic wrapper or a cast blocking
     * pushdown) and the scan starts reading everything.
     */
-  private val pushdownRequired = Seq("q6_revenue", "q14_promo", "q12_late")
+  // sql_parameterized pins the claim its notes make: values bound through
+  // parameter markers behave like literals and reach the scan as
+  // PushedFilters (a binding style that blocked pushdown would silently
+  // full-scan every templated query)
+  private val pushdownRequired =
+    Seq("q6_revenue", "q14_promo", "q12_late", "sql_parameterized")
   for (name <- pushdownRequired) {
     test(s"$name: filters reach the parquet scan") {
       val plan = SparkEntry.queries(name)(spark, sfDir)
