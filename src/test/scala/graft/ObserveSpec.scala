@@ -40,6 +40,38 @@ class ObserveSpec extends AnyFunSuite {
       "rollup rows must carry exactly the kept docs")
   }
 
+  test("observe works on streams too: named per-micro-batch metrics in query progress") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventStreams.Event]
+    // same CollectMetrics node as the batch path, but delivered per
+    // micro-batch through StreamingQueryProgress.observedMetrics — the
+    // streaming metrics-sink pattern (an Observation handle only works for
+    // batch; streams read the progress events)
+    val observed = input.toDF().observe("ingest",
+      count(lit(1)).as("rows"),
+      sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+    val q = observed.writeStream.format("memory").queryName("observe_stream_out")
+      .outputMode("append").start()
+    try {
+      def lastMetrics(): Option[(Long, Long)] =
+        q.recentProgress.flatMap(p => Option(p.observedMetrics.get("ingest")))
+          .lastOption.map(r => (r.getLong(0), r.getLong(1)))
+      input.addData(
+        graft.streaming.EventStreams.Event(1, new java.sql.Timestamp(60000L), 1, "click", 2.0),
+        graft.streaming.EventStreams.Event(2, new java.sql.Timestamp(120000L), 1, "view", 3.5))
+      q.processAllAvailable()
+      assert(lastMetrics() === Some((2L, 550L)), s"batch-1 metrics: ${lastMetrics()}")
+      input.addData(
+        graft.streaming.EventStreams.Event(3, new java.sql.Timestamp(180000L), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      // per-batch, not cumulative: the second batch reports only its own row
+      assert(lastMetrics() === Some((1L, 100L)), s"batch-2 metrics: ${lastMetrics()}")
+    } finally q.stop()
+  }
+
   test("both observe points ride a single scan; the gate stays above the pre-gate observe") {
     val (rollup, _, _) = PipelineQueries.observedCurate(spark, dir)
     val plan = rollup.queryExecution.executedPlan.toString
