@@ -337,7 +337,7 @@ object LayoutQueries {
       .orderBy(col("o_orderpriority"))
 
   /** Source-format roundtrip fidelity: the same projection written and read
-    * back through every bundled file format (ORC, JSON-lines, CSV) must
+    * back through every bundled file format (ORC, JSON-lines, CSV, and Spark 4 native XML) must
     * carry identical content — the format layer is plumbing, never
     * semantics. One row per format (plus the parquet original as the
     * baseline row) with exact-integer content statistics; the oracle
@@ -350,7 +350,7 @@ object LayoutQueries {
     * the known lossy path this projection deliberately avoids and
     * documents).
     *
-    * Scale: three writes + four scans of one projection, all distributed;
+    * Scale: four writes + five scans of one projection, all distributed;
     * per-format stats are single partial-aggregable rollups. This is the
     * ingest-audit a pipeline runs when onboarding a new upstream format.
     */
@@ -359,7 +359,7 @@ object LayoutQueries {
     (spark, dir) => {
       import graft.Tables.cents
       val tmp = stableTmp("graft-formats", dir)
-      // four consumers (3 format writes + the baseline stats row) would
+      // five consumers (4 format writes + the baseline stats row) would
       // each re-scan and re-project orders; materialize the projection once
       val base = load(spark, dir, "orders").select(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -386,7 +386,10 @@ object LayoutQueries {
       val fmtOptions = Map(
         "orc"  -> Map.empty[String, String],
         "json" -> Map.empty[String, String],
-        "csv"  -> Map("header" -> "true"))
+        "csv"  -> Map("header" -> "true"),
+        // Spark 4 native XML (no external package): rowTag names the
+        // per-row element on both the writer and the reader
+        "xml"  -> Map("rowTag" -> "row"))
       val roundtrips = fmtOptions.toSeq.sortBy(_._1).map { case (fmt, opts) =>
         val path = s"$tmp/$fmt"
         base.repartition(4).write.mode("overwrite")
@@ -408,9 +411,10 @@ object LayoutQueries {
         FROM orders)
       SELECT f.format, s.n_rows, s.sum_key, s.sum_cust, s.sum_price_cents,
              s.sum_date_days, s.sum_str_len
-      FROM s CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format)
+      FROM s CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet'),
+                         ('xml')) f(format)
       ORDER BY f.format"""),
-    notes = "ORC/JSON-lines/CSV write+readback fidelity vs the parquet original: four identical exact-integer stat rows or the differing format's hash breaks; text formats fed only exactly-serializable types (cents BIGINT, DATE)")
+    notes = "ORC/JSON-lines/CSV/XML (Spark 4 native) write+readback fidelity vs the parquet original: five identical exact-integer stat rows or the differing format's hash breaks; text formats fed only exactly-serializable types (cents BIGINT, DATE)")
 
   /** Malformed-record quarantine — the ingest-robustness stage every
     * 100 TB CSV onboarding needs: parse in PERMISSIVE mode with a
