@@ -668,8 +668,53 @@ object FunctionQueries {
       ORDER BY band, l_returnflag"""),
     notes = "parameterized SQL: named (:name) + positional (?) markers bound at parse time — injection-safe templating whose bound values still fold and push down like literals")
 
+  /** XML scalar functions (Spark 4: `to_xml`/`from_xml` plus the classic
+    * xpath family) — the per-column twin of the file-level XML roundtrip in
+    * `source_format_roundtrip`. DuckDB has no XML functions, so the oracle
+    * strategy is the roundtrip-identity one used for the sketch queries:
+    * serialize each event's (event_type, cents) struct with `to_xml`,
+    * parse it back with `from_xml` AND extract fields with `xpath_string`/
+    * `xpath_long`, then aggregate ONLY roundtripped values plus mismatch
+    * counters the oracle states as the constant 0 — any serializer/parser
+    * disagreement (escaping, whitespace, numeric formatting) surfaces as a
+    * nonzero counter or a drifted group, both hash-breaking.
+    */
+  val xmlFuncs = QueryDef(
+    "xml_funcs",
+    (spark, dir) => {
+      import graft.Tables.cents
+      val base = load(spark, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("cents_in"))
+        .withColumn("x", to_xml(struct(col("event_type"), col("cents_in"))))
+        .withColumn("rt", from_xml(col("x"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_type STRING, cents_in BIGINT")))
+        .withColumn("xp_type", expr("xpath_string(x, '/ROW/event_type')"))
+        .withColumn("xp_cents", expr("xpath_long(x, '/ROW/cents_in')"))
+      base.groupBy(col("rt.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rt.cents_in")).as("cents"),
+          sum(when(col("rt.event_type") =!= col("event_type") ||
+                   col("rt.cents_in") =!= col("cents_in"), 1L)
+            .otherwise(0L)).as("n_rt_mismatch"),
+          sum(when(col("xp_type") =!= col("event_type") ||
+                   col("xp_cents") =!= col("cents_in"), 1L)
+            .otherwise(0L)).as("n_xpath_mismatch"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents,
+             0 AS n_rt_mismatch,
+             0 AS n_xpath_mismatch
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+    notes = "to_xml/from_xml/xpath_string/xpath_long roundtrip identity: groups and sums come from the ROUNDTRIPPED struct, mismatch counters oracle-stated as 0")
+
   val all: Seq[QueryDef] = Seq(regexFuncs, datetimeFuncs, nullFuncs,
     bitHashFuncs, statsMoments, aggCollect, structArgminmax, aggApproxQuantile,
     aggMode, tryFuncs, joinNullSafe, aggBitmapDistinct, aggHllSetops,
-    aggLinreg, sqlUdfFuncs, sqlParameterized)
+    aggLinreg, sqlUdfFuncs, sqlParameterized, xmlFuncs)
 }
