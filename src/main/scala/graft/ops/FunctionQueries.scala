@@ -682,7 +682,6 @@ object FunctionQueries {
   val xmlFuncs = QueryDef(
     "xml_funcs",
     (spark, dir) => {
-      import graft.Tables.cents
       val base = load(spark, dir, "events")
         .select(col("event_type"), cents(col("value")).as("cents_in"))
         .withColumn("x", to_xml(struct(col("event_type"), col("cents_in"))))
@@ -694,11 +693,15 @@ object FunctionQueries {
       base.groupBy(col("rt.event_type").as("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("rt.cents_in")).as("cents"),
-          sum(when(col("rt.event_type") =!= col("event_type") ||
-                   col("rt.cents_in") =!= col("cents_in"), 1L)
+          // null-safe (<=>) comparisons: a from_xml parse FAILURE yields a
+          // NULL field, and a plain =!= would evaluate to NULL there —
+          // counting the broken row as zero mismatches, the exact blind
+          // spot these counters exist to close
+          sum(when(!(col("rt.event_type") <=> col("event_type")) ||
+                   !(col("rt.cents_in") <=> col("cents_in")), 1L)
             .otherwise(0L)).as("n_rt_mismatch"),
-          sum(when(col("xp_type") =!= col("event_type") ||
-                   col("xp_cents") =!= col("cents_in"), 1L)
+          sum(when(!(col("xp_type") <=> col("event_type")) ||
+                   !(col("xp_cents") <=> col("cents_in")), 1L)
             .otherwise(0L)).as("n_xpath_mismatch"))
         .orderBy(col("event_type"))
     },

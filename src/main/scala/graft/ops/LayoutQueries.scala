@@ -341,7 +341,7 @@ object LayoutQueries {
     * carry identical content — the format layer is plumbing, never
     * semantics. One row per format (plus the parquet original as the
     * baseline row) with exact-integer content statistics; the oracle
-    * derives ALL four rows from the parquet table, so any format that
+    * derives ALL five rows from the parquet table, so any format that
     * loses/garbles a value (timestamp precision, quoting, type coercion)
     * breaks that format's row hash. Text formats are fed only
     * exactly-serializable types (BIGINT/STRING/DATE — the price is

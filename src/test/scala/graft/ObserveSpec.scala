@@ -42,7 +42,6 @@ class ObserveSpec extends AnyFunSuite {
 
   test("observe works on streams too: named per-micro-batch metrics in query progress") {
     import spark.implicits._
-    import scala.jdk.CollectionConverters._
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[graft.streaming.EventStreams.Event]
