@@ -107,4 +107,36 @@ class PropertySpec extends AnyFunSuite {
       assert(LastValueAggregator.finish(direct) === LastValueAggregator.finish(shuffled))
     }
   }
+
+  test("to_xml -> from_xml escaping law: markup-hazard strings round-trip exactly") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // The xml_funcs registry query rides fixture strings that never need
+    // escaping; a 100 TB text corpus WILL contain markup. Generate the
+    // hazards explicitly: entity chars, CDATA openers, pre-escaped
+    // entities (must NOT double-unescape), surrounding whitespace, plus
+    // arbitrary printable ASCII and BMP unicode. Out of scope by XML 1.0
+    // itself: control chars (invalid in documents) and \r\n (the spec
+    // mandates line-ending normalization), so generators stay above 0x20.
+    val hazard = Gen.oneOf("<", ">", "&", "\"", "'", "]]>", "<![CDATA[",
+      "&amp;", "&#60;", "<tag attr=\"v\">", "a & b < c", " padded ")
+    val strGen = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf(hazard, Gen.asciiPrintableStr)).map(_.mkString),
+      Gen.listOf(Gen.choose(0x20, 0x2FFF)).map(_.map(_.toChar).mkString))
+    val inputs = ("" +: samples(strGen, 250)).distinct
+    assert(inputs.exists(s => s.contains("<") || s.contains("&")),
+      "generator must actually produce markup hazards")
+    val rows = inputs.toDF("s")
+      .withColumn("x", to_xml(struct(col("s"))))
+      .withColumn("rt", from_xml(col("x"),
+        org.apache.spark.sql.types.StructType.fromDDL("s STRING"),
+        // default true would trim " padded " and break identity
+        Map("ignoreSurroundingSpaces" -> "false").asJava))
+      .select(col("s"), col("rt.s").as("back"))
+      .collect()
+    val bad = rows.filter(r => r.isNullAt(1) || r.getString(0) != r.getString(1))
+    assert(bad.isEmpty, s"${bad.length} escaping violations, e.g. " +
+      bad.take(5).map(r => s"'${r.getString(0)}' -> '${r.get(1)}'").mkString("; "))
+  }
 }
