@@ -386,7 +386,15 @@ object LayoutQueries {
       val fmtOptions = Map(
         "orc"  -> Map.empty[String, String],
         "json" -> Map.empty[String, String],
-        "csv"  -> Map("header" -> "true"),
+        // full-fidelity CSV contract (pinned by PropertySpec's quoting
+        // law): RFC-4180 doubled-quote escape on both sides, no
+        // writer-side whitespace trimming, multiLine read for embedded
+        // newlines — this projection never needs them, but the audit
+        // models onboarding arbitrary upstream text
+        "csv"  -> Map("header" -> "true", "escape" -> "\"",
+          "multiLine" -> "true",
+          "ignoreLeadingWhiteSpace" -> "false",
+          "ignoreTrailingWhiteSpace" -> "false"),
         // Spark 4 native XML (no external package): rowTag names the
         // per-row element on both the writer and the reader
         "xml"  -> Map("rowTag" -> "row"))

@@ -139,4 +139,58 @@ class PropertySpec extends AnyFunSuite {
     assert(bad.isEmpty, s"${bad.length} escaping violations, e.g. " +
       bad.take(5).map(r => s"'${r.getString(0)}' -> '${r.get(1)}'").mkString("; "))
   }
+
+  test("CSV write->read quoting law: separators, quotes and embedded newlines round-trip") {
+    import spark.implicits._
+    // source_format_roundtrip feeds CSV only order-code strings; corpus
+    // text carries the quoting hazards. Two options are REQUIRED for
+    // fidelity and are part of what this pins: multiLine=true on the read
+    // side (default line-splitting shreds embedded newlines mid-record),
+    // and escape="\"" on BOTH sides (RFC 4180 doubled quotes) — the
+    // default backslash escape is ASYMMETRIC for text that itself
+    // contains backslashes (the writer leaves a lone backslash bare, the
+    // reader then eats it as an escape; measured 16/250 violations before
+    // the option).
+    val hazard = Gen.oneOf(",", "\"", "\"\"", "a,b", "\"quoted\"", "a\nb",
+      "line1\nline2,x", " padded ", "a'b", "back\\slash", "\\\"")
+    val strGen = Gen.oneOf(
+      Gen.asciiPrintableStr.filter(_.nonEmpty),
+      Gen.listOf(Gen.oneOf(hazard, Gen.asciiPrintableStr)).map(_.mkString)
+        .filter(_.nonEmpty),
+      Gen.listOf(Gen.choose(0x20, 0x2FFF)).map(_.map(_.toChar).mkString)
+        .filter(_.nonEmpty))
+    val inputs = samples(strGen, 250).distinct
+    assert(inputs.exists(s => s.contains("\n")) &&
+      inputs.exists(s => s.contains("\"")),
+      "generator must produce newline and quote hazards")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csvlaw").toString
+    try {
+      val df = inputs.zipWithIndex.map(_.swap).toDF("id", "s")
+      df.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        // the WRITER trims unquoted fields by default (these two default
+        // true on write, false on read — an asymmetry that silently eats
+        // padding)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(tmp)
+      val back = spark.read
+        .schema("id INT, s STRING")
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .csv(tmp)
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val bad = inputs.zipWithIndex.filter { case (s, i) =>
+        !back.get(i).contains(s)
+      }
+      assert(bad.isEmpty, s"${bad.length} quoting violations, e.g. " +
+        bad.take(5).map { case (s, i) => s"'$s' -> '${back.get(i)}'" }
+          .mkString("; "))
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      try walk.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+  }
 }
