@@ -140,6 +140,23 @@ class PropertySpec extends AnyFunSuite {
       bad.take(5).map(r => s"'${r.getString(0)}' -> '${r.get(1)}'").mkString("; "))
   }
 
+  /** Text-format hazard corpus: delimiter/quote/escape/newline/padding
+    * traps plus arbitrary printable ASCII and BMP unicode. Control chars
+    * and \r stay out of scope (CSV/XML specs both normalize or forbid
+    * them).
+    */
+  private def textHazards(): Seq[String] = {
+    val hazard = Gen.oneOf(",", "\"", "\"\"", "a,b", "\"quoted\"", "a\nb",
+      "line1\nline2,x", " padded ", "a'b", "back\\slash", "\\\"")
+    val strGen = Gen.oneOf(
+      Gen.asciiPrintableStr.filter(_.nonEmpty),
+      Gen.listOf(Gen.oneOf(hazard, Gen.asciiPrintableStr)).map(_.mkString)
+        .filter(_.nonEmpty),
+      Gen.listOf(Gen.choose(0x20, 0x2FFF)).map(_.map(_.toChar).mkString)
+        .filter(_.nonEmpty))
+    samples(strGen, 250).distinct
+  }
+
   test("CSV write->read quoting law: separators, quotes and embedded newlines round-trip") {
     import spark.implicits._
     // source_format_roundtrip feeds CSV only order-code strings; corpus
@@ -151,20 +168,11 @@ class PropertySpec extends AnyFunSuite {
     // contains backslashes (the writer leaves a lone backslash bare, the
     // reader then eats it as an escape; measured 16/250 violations before
     // the option).
-    val hazard = Gen.oneOf(",", "\"", "\"\"", "a,b", "\"quoted\"", "a\nb",
-      "line1\nline2,x", " padded ", "a'b", "back\\slash", "\\\"")
-    val strGen = Gen.oneOf(
-      Gen.asciiPrintableStr.filter(_.nonEmpty),
-      Gen.listOf(Gen.oneOf(hazard, Gen.asciiPrintableStr)).map(_.mkString)
-        .filter(_.nonEmpty),
-      Gen.listOf(Gen.choose(0x20, 0x2FFF)).map(_.map(_.toChar).mkString)
-        .filter(_.nonEmpty))
-    val inputs = samples(strGen, 250).distinct
+    val inputs = textHazards()
     assert(inputs.exists(s => s.contains("\n")) &&
       inputs.exists(s => s.contains("\"")),
       "generator must produce newline and quote hazards")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-csvlaw").toString
-    try {
+    withTempDir("graft-csvlaw") { tmp =>
       val df = inputs.zipWithIndex.map(_.swap).toDF("id", "s")
       df.write.mode("overwrite")
         .option("header", "true").option("escape", "\"")
@@ -186,7 +194,33 @@ class PropertySpec extends AnyFunSuite {
       assert(bad.isEmpty, s"${bad.length} quoting violations, e.g. " +
         bad.take(5).map { case (s, i) => s"'$s' -> '${back.get(i)}'" }
           .mkString("; "))
-    } finally {
+    }
+  }
+
+  test("JSON lines is default-fidelity-safe: the same hazard corpus round-trips with zero options") {
+    import spark.implicits._
+    // the point of this pin, next to the CSV law above: of the three text
+    // formats, only JSON lines preserves arbitrary text with NO options —
+    // its writer escapes newlines/quotes/backslashes in-band
+    val inputs = textHazards()
+    withTempDir("graft-jsonlaw") { tmp =>
+      inputs.zipWithIndex.map(_.swap).toDF("id", "s")
+        .write.mode("overwrite").json(tmp)
+      val back = spark.read.schema("id INT, s STRING").json(tmp)
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val bad = inputs.zipWithIndex.filter { case (s, i) =>
+        !back.get(i).contains(s)
+      }
+      assert(bad.isEmpty, s"${bad.length} JSON violations, e.g. " +
+        bad.take(5).map { case (s, i) => s"'$s' -> '${back.get(i)}'" }
+          .mkString("; "))
+    }
+  }
+
+  private def withTempDir(prefix: String)(body: String => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(tmp)
+    finally {
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       try walk.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
