@@ -390,7 +390,10 @@ object LayoutQueries {
         // law): RFC-4180 doubled-quote escape on both sides, no
         // writer-side whitespace trimming, multiLine read for embedded
         // newlines — this projection never needs them, but the audit
-        // models onboarding arbitrary upstream text
+        // models onboarding arbitrary upstream text. Scale note:
+        // multiLine makes each CSV file ONE split (no mid-file record
+        // boundary detection), so a 100 TB text-CSV ingest must arrive
+        // as many moderate files, never a few huge ones
         "csv"  -> Map("header" -> "true", "escape" -> "\"",
           "multiLine" -> "true",
           "ignoreLeadingWhiteSpace" -> "false",
