@@ -68,6 +68,27 @@ object Tables {
     */
   def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast(LongType)
 
+  /** CSV fidelity contract for arbitrary text, ONE definition referenced by
+    * both the roundtrip audit and the PropertySpec quoting law (so the test
+    * actually guards the query's options against drift): RFC-4180
+    * doubled-quote escape on both sides — the default backslash escape is
+    * write/read-ASYMMETRIC for text containing backslashes — and no
+    * writer-side whitespace trimming (the trim flags default true on write,
+    * false on read). `multiLine` is deliberately NOT here: it is required
+    * only when fields can contain newlines, and it costs splittability
+    * (each file becomes one task) — a per-call-site decision.
+    */
+  val csvFidelityOptions: Map[String, String] = Map(
+    "escape" -> "\"",
+    "ignoreLeadingWhiteSpace" -> "false",
+    "ignoreTrailingWhiteSpace" -> "false")
+
+  /** XML read-side fidelity twin: from_xml/the XML reader trim element text
+    * by default, eating padding exactly like the CSV writer trim.
+    */
+  val xmlFidelityOptions: Map[String, String] =
+    Map("ignoreSurroundingSpaces" -> "false")
+
   /** Scaled integerization for unit-interval scores (cosine, ratios): 4
     * decimal places (basis points). DuckDB twin:
     * `CAST(floor(x * 10000 + 0.5) AS BIGINT)`.

@@ -690,7 +690,13 @@ object FunctionQueries {
         .withColumn("x", to_xml(struct(col("event_type"), col("cents_in"))))
         .withColumn("rt", from_xml(col("x"),
           org.apache.spark.sql.types.StructType.fromDDL(
-            "event_type STRING, cents_in BIGINT")))
+            "event_type STRING, cents_in BIGINT"),
+          // the XML read contract the escaping law pins: default
+          // ignoreSurroundingSpaces=true would trim padded corpus values,
+          // making rt.event_type regroup under the trimmed key while the
+          // oracle groups by the raw one
+          scala.jdk.CollectionConverters.MapHasAsJava(
+            graft.Tables.xmlFidelityOptions).asJava))
         .withColumn("xp_type", expr("xpath_string(x, '/ROW/event_type')"))
         .withColumn("xp_cents", expr("xpath_long(x, '/ROW/cents_in')"))
       base.groupBy(col("rt.event_type").as("event_type"))

@@ -386,18 +386,12 @@ object LayoutQueries {
       val fmtOptions = Map(
         "orc"  -> Map.empty[String, String],
         "json" -> Map.empty[String, String],
-        // full-fidelity CSV contract (pinned by PropertySpec's quoting
-        // law): RFC-4180 doubled-quote escape on both sides, no
-        // writer-side whitespace trimming, multiLine read for embedded
-        // newlines — this projection never needs them, but the audit
-        // models onboarding arbitrary upstream text. Scale note:
-        // multiLine makes each CSV file ONE split (no mid-file record
-        // boundary detection), so a 100 TB text-CSV ingest must arrive
-        // as many moderate files, never a few huge ones
-        "csv"  -> Map("header" -> "true", "escape" -> "\"",
-          "multiLine" -> "true",
-          "ignoreLeadingWhiteSpace" -> "false",
-          "ignoreTrailingWhiteSpace" -> "false"),
+        // the shared CSV fidelity contract (Tables.csvFidelityOptions,
+        // pinned by PropertySpec's quoting law). multiLine is deliberately
+        // OMITTED: these fields cannot contain newlines, and multiLine
+        // makes each CSV file ONE split — it belongs on text-bearing
+        // ingest (as many moderate files), not on this audit's scan
+        "csv"  -> (graft.Tables.csvFidelityOptions + ("header" -> "true")),
         // Spark 4 native XML (no external package): rowTag names the
         // per-row element on both the writer and the reader
         "xml"  -> Map("rowTag" -> "row"))

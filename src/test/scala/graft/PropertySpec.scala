@@ -131,8 +131,8 @@ class PropertySpec extends AnyFunSuite {
       .withColumn("x", to_xml(struct(col("s"))))
       .withColumn("rt", from_xml(col("x"),
         org.apache.spark.sql.types.StructType.fromDDL("s STRING"),
-        // default true would trim " padded " and break identity
-        Map("ignoreSurroundingSpaces" -> "false").asJava))
+        // the shared read contract (default true would trim " padded ")
+        Tables.xmlFidelityOptions.asJava))
       .select(col("s"), col("rt.s").as("back"))
       .collect()
     val bad = rows.filter(r => r.isNullAt(1) || r.getString(0) != r.getString(1))
@@ -174,20 +174,23 @@ class PropertySpec extends AnyFunSuite {
       "generator must produce newline and quote hazards")
     withTempDir("graft-csvlaw") { tmp =>
       val df = inputs.zipWithIndex.map(_.swap).toDF("id", "s")
+      // the SHARED contract (Tables.csvFidelityOptions) — referencing the
+      // same constant the roundtrip audit uses is what makes this test a
+      // drift guard for the query's options, not a parallel copy
       df.write.mode("overwrite")
-        .option("header", "true").option("escape", "\"")
-        // the WRITER trims unquoted fields by default (these two default
-        // true on write, false on read — an asymmetry that silently eats
-        // padding)
-        .option("ignoreLeadingWhiteSpace", "false")
-        .option("ignoreTrailingWhiteSpace", "false")
+        .option("header", "true").options(Tables.csvFidelityOptions)
         .csv(tmp)
-      val back = spark.read
+      val raw = spark.read
         .schema("id INT, s STRING")
         .option("header", "true").option("multiLine", "true")
-        .option("escape", "\"")
+        .options(Tables.csvFidelityOptions)
         .csv(tmp)
-        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+        .collect()
+      // a null id means a record was shredded mid-field — surface that as
+      // its own diagnostic instead of an opaque getInt NPE
+      assert(raw.forall(!_.isNullAt(0)),
+        s"shredded CSV record (null id): ${raw.filter(_.isNullAt(0)).take(3).mkString}")
+      val back = raw.map(r => r.getInt(0) -> r.getString(1)).toMap
       val bad = inputs.zipWithIndex.filter { case (s, i) =>
         !back.get(i).contains(s)
       }
@@ -206,8 +209,10 @@ class PropertySpec extends AnyFunSuite {
     withTempDir("graft-jsonlaw") { tmp =>
       inputs.zipWithIndex.map(_.swap).toDF("id", "s")
         .write.mode("overwrite").json(tmp)
-      val back = spark.read.schema("id INT, s STRING").json(tmp)
-        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val raw = spark.read.schema("id INT, s STRING").json(tmp).collect()
+      assert(raw.forall(!_.isNullAt(0)),
+        s"mis-parsed JSON record (null id): ${raw.filter(_.isNullAt(0)).take(3).mkString}")
+      val back = raw.map(r => r.getInt(0) -> r.getString(1)).toMap
       val bad = inputs.zipWithIndex.filter { case (s, i) =>
         !back.get(i).contains(s)
       }
