@@ -202,11 +202,20 @@ object LayoutQueries {
     // on the next use of ANY fixture — without it each killed bench/verify
     // JVM would leak one fixture-sized dir permanently
     val orphan = s"^${java.util.regex.Pattern.quote(prefix)}-[0-9a-f]+-p([0-9]+)$$".r
+    // age gate: pid liveness alone can strand a dir forever if the OS
+    // recycles a crashed JVM's pid to an unrelated long-lived process — any
+    // prefix-matched dir untouched for 2+ days is reclaimed regardless
+    val cutoff = System.currentTimeMillis() - 2L * 24 * 60 * 60 * 1000
     val listing = java.nio.file.Files.list(tmpRoot)
     try listing.forEach { sib =>
       sib.getFileName.toString match {
-        case orphan(pid) if !ProcessHandle.of(pid.toLong)
-            .map[Boolean](_.isAlive).orElse(false) => deleteTree(sib)
+        case orphan(pid) =>
+          val pidDead = !ProcessHandle.of(pid.toLong)
+            .map[Boolean](_.isAlive).orElse(false)
+          val stale = scala.util.Try(
+            java.nio.file.Files.getLastModifiedTime(sib).toMillis < cutoff)
+            .getOrElse(false)
+          if (pidDead || stale) deleteTree(sib)
         case _ => ()
       }
     } finally listing.close()

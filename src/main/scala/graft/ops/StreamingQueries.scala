@@ -108,7 +108,8 @@ object StreamingQueries {
     * [[graft.streaming.EventStreams.runUpsertSink]]).
     */
   private def runToTable(df: DataFrame, name: String, mode: OutputMode,
-      extraConfs: Map[String, String] = Map.empty): DataFrame = {
+      extraConfs: Map[String, String] = Map.empty,
+      requireSingleDataBatch: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     // Stateful operators create one state store PER SHUFFLE PARTITION per
     // micro-batch (a stream-stream join creates four); at the batch-engine
@@ -138,6 +139,18 @@ object StreamingQueries {
           Files.createTempDirectory(s"graft-$name-ck").toString)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // A few oracles (spend milestones) are written against all input
+      // arriving in ONE micro-batch — cross-batch late events would be
+      // dropped by per-key guards and silently diverge from the batch twin.
+      // That holds today because streamEvents re-lays the source as a single
+      // file; assert it rather than trust the layout invariant at a distance.
+      if (requireSingleDataBatch) {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches <= 1,
+          s"$name: oracle assumes the whole fixture arrives in one " +
+            s"micro-batch, but $dataBatches batches carried rows — the " +
+            "source layout (streamEvents single-file re-lay) changed")
+      }
       val execMs = q.recentProgress.iterator
         .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
         .sum
@@ -170,8 +183,16 @@ object StreamingQueries {
     * provider cache is load-bearing; a shared one-shot harness is exactly
     * the case it is not.
     */
-  private def unloadStateStores(): Unit =
-    org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
+  private def unloadStateStores(): Unit = {
+    // Unloading is JVM-wide: it would rip live providers out from under any
+    // OTHER stream still running on this JVM. The harness runs streams
+    // strictly sequentially so this never triggers, but guard anyway — if a
+    // future caller overlaps streams, skipping hygiene is safe (bounded
+    // residue), corrupting a live query is not.
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.streams.active.length).getOrElse(0)
+    if (active == 0) org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
+  }
 
   /** Run a foreachBatch SINK query (upsert / MV merge) to completion with
     * the stream-partition conf held for its whole lifetime, record its
@@ -678,7 +699,7 @@ object StreamingQueries {
         .as[EventStreams.Event]
       runToTable(EventStreams.spendMilestones(ev).toDF(),
         "stream_spend_milestones_sink", OutputMode.Append,
-        rocksDbProviderConf)
+        rocksDbProviderConf, requireSingleDataBatch = true)
         .orderBy(col("user_id"), col("milestone_k"))
     },
     Some("""

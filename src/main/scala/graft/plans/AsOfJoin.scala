@@ -149,8 +149,16 @@ case class AsOfJoinExec(
               }
               advanceRight()
             }
+            // the merge invariant guarantees lastMatchTime < lTimeV, so the
+            // true delta is positive; raw Long subtraction can still wrap
+            // negative for deltas > Long.MaxValue (e.g. the negated-time
+            // forward composition near Long.Min/Max), and a wrapped delta
+            // would silently pass `<= t` — the sign guard rejects it, which
+            // is the mathematically correct verdict (true delta > any t)
             if (lastMatch != null && lastMatchKey == lKeyV &&
-                tol.forall(t => lTimeV - lastMatchTime <= t))
+                tol.forall { t =>
+                  val d = lTimeV - lastMatchTime; d >= 0L && d <= t
+                })
               Iterator.single(outProj(joined(lRow, lastMatch)))
             else emitUnmatched(lRow)
           }
@@ -198,8 +206,12 @@ case class AsOfJoinExec(
               advanceRight()
               kc = if (rRow == null) 0 else keyOrd.compare(rKeyV, lKeyV)
             }
+            // same overflow-wrap guard as the fast path: a negative delta can
+            // only be a Long wrap (sort order makes the true delta positive)
             if (lastMatch != null && keyOrd.compare(lastMatchKey, lKeyV) == 0 &&
-                tol.forall(t => delta(lTimeV, lastMatchTime) <= t))
+                tol.forall { t =>
+                  val d = delta(lTimeV, lastMatchTime); d >= 0L && d <= t
+                })
               Iterator.single(outProj(joined(lRow, lastMatch)))
             else emitUnmatched(lRow)
           }
