@@ -46,6 +46,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "sample_stratified" -> "broadcast 1-row Neyman weight-total aggregate",
     "text_bpe_apply" -> "broadcast 1-row top-merge-pair aggregate",
     "graph_kcore" -> "broadcast 1-row edge-count aggregate per peel round (3 rows total)",
+    "graph_kcore_converge" -> "broadcast 1-row edge-count aggregate over the converged core",
     "text_dsir_select" -> "broadcast 1-row feature-total aggregate (DSIR share denominators)")
   // dedup_eval's 1-row sample-modulus BNLJ runs eagerly inside its
   // localCheckpoint, so it never appears in the gated (post-checkpoint) plan.
