@@ -944,6 +944,161 @@ object DedupQueries {
       LIMIT 50"""),
     notes = "Lee-et-al exact substring dedup: duplicated 8-gram islands merged to maximal spans, top-50")
 
+  /** EXACT SUBSTRING EXCISION — the APPLY step [[dedupSubstringSpans]]
+    * stops short of (Lee et al. 2022 §3: REMOVE the maximal repeated
+    * substrings, don't just report them). Two generalizations over the
+    * spans query:
+    *
+    *  1. TRUE INTERVAL UNION, not consecutive-position islands: an 8-gram
+    *     at position p covers TOKENS [p, p+7], so grams at positions {0, 5}
+    *     overlap in token space even though their positions aren't
+    *     consecutive — `pos − row_number` islands would double-count the
+    *     shared tokens. The union is the classic sweep: a new span starts
+    *     exactly when pos exceeds the running max of all previous coverage
+    *     ends (`max(pos+7) over rows preceding`), then spans are
+    *     `sum(new)`-numbered — maximal coverage intervals per document.
+    *  2. THE EXCISED RESIDUE IS PINNED EXACTLY: per document, every token
+    *     position inside a span is dropped, and the survivors' order-
+    *     sensitive fold hash ((a·31+th) mod M over kept token hashes in
+    *     position order) is emitted — one BIGINT the oracle must reproduce
+    *     byte-for-byte from its own sweep. covered+kept = total is also in
+    *     the row, so the accounting identity is hash-gated too.
+    *
+    * Scale design: same one-shuffle cross-doc gram test as the spans query
+    * (min(doc)≠max(doc) partial-aggregates map-side); the base token-hash
+    * frame is localCheckpointed because THREE branches consume it (gram
+    * stream, token stream, totals) and the per-row transform is the
+    * expensive part (the phash-neardup lesson); the sweep window and the
+    * fold are per-document (bounded partitions); covered positions
+    * materialize as ≤8× the duplicated-gram rows, never tokens × spans.
+    */
+  val dedupSubstringMerge = QueryDef(
+    "dedup_substring_merge",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val M = 100000000000000000L
+      val ths = transform(split(col("text"), " "), t => RollingHash(t))
+      val base = graft.Tables.spreadIfNarrow(load(spark, dir, "documents"))
+        .select(col("doc_id"), ths.as("ths"))
+        .filter(size(col("ths")) >= 8)
+        .localCheckpoint() // 3 consumers; the per-row hash fold is the cost
+      val gramArr = transform(
+        sequence(lit(0), size(col("ths")) - 8),
+        p => aggregate(slice(col("ths"), p + 1, lit(8)), lit(0L),
+          (a, c) => (a * 31 + c) % M))
+      val grams = base
+        .select(col("doc_id"), posexplode(gramArr).as(Seq("pos", "g")))
+      val dupG = grams.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .select(col("g"))
+      val dupPos = grams.join(dupG, Seq("g"), "left_semi")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      // interval-union sweep: new span iff pos > max coverage end so far
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spans = dupPos
+        .withColumn("prev_end",
+          max(col("pos") + 7).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_span",
+          (col("prev_end").isNull || col("pos") > col("prev_end"))
+            .cast("long"))
+        .withColumn("span_id", sum(col("new_span")).over(w))
+        .groupBy(col("doc_id"), col("span_id"))
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + 7).as("e"))
+        .localCheckpoint() // consumed by the per-doc rollup AND the cover set
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).as("covered_tokens"))
+      val covered = spans.select(col("doc_id"),
+        explode(sequence(col("s"), col("e"))).as("cpos"))
+      val toks = base
+        .select(col("doc_id"), posexplode(col("ths")).as(Seq("tpos", "th")))
+        .select(col("doc_id"), col("tpos").cast("long").as("tpos"), col("th"))
+      val kept = toks.join(covered,
+        toks("doc_id") === covered("doc_id") && col("tpos") === col("cpos"),
+        "left_anti")
+      val keptAgg = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("kept_tokens"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("tpos"), col("th")))),
+              s => s("th")),
+            lit(0L), (a, c) => (a * 31 + c) % M).as("kept_hash"))
+      perDoc
+        .join(base.select(col("doc_id"),
+          size(col("ths")).cast("long").as("total_tokens")), Seq("doc_id"))
+        .join(keptAgg, Seq("doc_id"), "left") // fully-covered docs keep 0
+        .select(col("doc_id"), col("total_tokens"), col("n_spans"),
+          col("covered_tokens"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          coalesce(col("kept_hash"), lit(0L)).as("kept_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS MATERIALIZED (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 tok -> list_reduce(list_prepend(0::BIGINT,
+                   list_transform(list_filter(string_split(tok, ''),
+                     c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % 100000000000000000)) AS ths
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 8),
+      grams AS MATERIALIZED (
+        SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+               list_reduce(list_prepend(0::BIGINT,
+                 ths[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)]),
+                 (a, c) -> (a * 31 + c) % 100000000000000000) AS g
+        FROM d, UNNEST(range(0, len(ths) - 7)) AS r(i)),
+      dup_g AS (
+        SELECT g FROM grams
+        GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+      dup_pos AS MATERIALIZED (
+        SELECT grams.doc_id, grams.pos FROM grams SEMI JOIN dup_g USING (g)),
+      sweep AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_span
+        FROM dup_pos),
+      numbered AS (
+        SELECT doc_id, pos,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM sweep),
+      spans AS MATERIALIZED (
+        SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+        FROM numbered GROUP BY doc_id, span_id),
+      per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS covered_tokens
+        FROM spans GROUP BY doc_id),
+      cov AS (
+        SELECT doc_id, UNNEST(range(s, e + 1)) AS cpos FROM spans),
+      toks AS (
+        SELECT doc_id, CAST(r.i AS BIGINT) AS tpos,
+               ths[CAST(r.i + 1 AS INT)] AS th
+        FROM d, UNNEST(range(0, len(ths))) AS r(i)),
+      kept AS (
+        SELECT t.doc_id, t.tpos, t.th
+        FROM toks t ANTI JOIN cov c
+          ON t.doc_id = c.doc_id AND t.tpos = c.cpos),
+      ka AS (
+        SELECT doc_id, COUNT(*) AS kept_tokens,
+               list_reduce(list_prepend(0::BIGINT, list(th ORDER BY tpos)),
+                 (a, c) -> (a * 31 + c) % 100000000000000000) AS kept_hash
+        FROM kept GROUP BY doc_id),
+      tot AS (SELECT doc_id, len(ths) AS total_tokens FROM d)
+      SELECT p.doc_id, CAST(total_tokens AS BIGINT) AS total_tokens,
+             CAST(n_spans AS BIGINT) AS n_spans,
+             CAST(covered_tokens AS BIGINT) AS covered_tokens,
+             CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+             CAST(COALESCE(kept_hash, 0) AS BIGINT) AS kept_hash
+      FROM per_doc p
+      JOIN tot USING (doc_id)
+      LEFT JOIN ka USING (doc_id)
+      ORDER BY doc_id"""),
+    notes = "Lee-et-al apply step: interval-UNION sweep (overlap-aware, not consecutive-only islands) + excision, kept token stream pinned by an order-sensitive fold hash; covered+kept=total hash-gated")
+
   /** WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken 2003 — the
     * MOSS algorithm): slide a window of W=4 consecutive 4-token-gram hashes
     * and keep each window's minimum, rightmost on ties. The guarantee: any
@@ -1184,5 +1339,5 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(dedupMinhashLsh, dedupSimhash, dedupContainment,
     dedupPrefixFilter, dedupSortedNeighborhood, dedupEval, textCdcChunk,
-    dedupSubstringSpans, textWinnowing, dedupGateEval)
+    dedupSubstringSpans, dedupSubstringMerge, textWinnowing, dedupGateEval)
 }
