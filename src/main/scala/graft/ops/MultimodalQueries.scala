@@ -308,6 +308,138 @@ object MultimodalQueries {
       ORDER BY doc_id"""),
     notes = "banded Hamming near-dup on the 32-bit phash: 4x8-bit bands for candidates, bit_count(xor) <= 3 confirms = the pigeonhole recall guarantee, so the contract is exactly 'all pairs within Hamming 3'; phashes ride through the band join (no probe-backs), symmetrize via row-local explode, per-doc nearest via BandMod-encoded argmin")
 
+  /** 64-bit widening of [[phashFrame]] — same average-hash rule, 64 blocks
+    * over the ≤512-byte prefix. BASELINE.md (r10) records why: a 32-bit
+    * fingerprint only divides into recall-guaranteeing bands at 8 bits, so
+    * band-bucket collision rates grow with corpus size; 64 bits band as
+    * 4×16, and 2¹⁶ bucket values per band keep candidate volume bounded at
+    * corpus sizes where 2⁸ saturates. Bit 63 makes the signature NEGATIVE
+    * as a signed long — safe throughout: the fold adds disjoint powers of
+    * two (never carries, so no overflow even under ANSI), and band
+    * extraction masks after the arithmetic shift, where fill bits can
+    * never reach the masked window.
+    */
+  private def phash64Frame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Tables.spreadIfNarrow(graft.Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"),
+        least(length(col("text")), lit(512)).cast("long").as("n"))
+      .withColumn("cs", expr(
+        """transform(split(substring(text, 1, 512), ''),
+             c -> CAST(ascii(c) AS BIGINT))"""))
+      .withColumn("blocks", expr(
+        """transform(sequence(0L, 63L), b -> named_struct(
+             'b', b,
+             'len', ((b + 1) * n) div 64 - ((b * n) div 64),
+             's', CASE WHEN ((b + 1) * n) div 64 >= (b * n) div 64 + 1 THEN
+                    aggregate(
+                      slice(cs, CAST((b * n) div 64 + 1 AS INT),
+                        CAST(((b + 1) * n) div 64 - (b * n) div 64 AS INT)),
+                      0L, (a, x) -> a + x)
+                  ELSE 0L END))"""))
+      .withColumn("total", expr("aggregate(blocks, 0L, (a, x) -> a + x.s)"))
+      .withColumn("phash", expr(
+        """aggregate(blocks, 0L, (a, x) ->
+             a + CASE WHEN x.len > 0 AND x.s * n >= total * x.len
+                 THEN shiftleft(CAST(1 AS BIGINT), CAST(x.b AS INT))
+                 ELSE 0L END)"""))
+      .select(col("doc_id"), col("phash"))
+
+  /** DuckDB twin of [[phash64Frame]], ending in bits64(doc_id, phash).
+    * DuckDB rejects `1::BIGINT << 63` (overflow-checked shift), so the bit
+    * sum runs in HUGEINT and wraps ≥2⁶³ down to the signed-long value Spark
+    * produces — the two engines then agree bit for bit, including the sign.
+    */
+  private val Phash64CtesSql = """d64 AS (
+        SELECT doc_id, text, LEAST(length(text), 512) AS n FROM documents),
+      blocks64 AS (
+        SELECT doc_id, n, CAST(bb.b AS BIGINT) AS b,
+               (bb.b * n) // 64 + 1 AS st, ((bb.b + 1) * n) // 64 AS en,
+               COALESCE(list_sum(list_transform(
+                 range((bb.b * n) // 64 + 1, ((bb.b + 1) * n) // 64 + 1),
+                 i -> unicode(substr(text, CAST(i AS INT), 1)))), 0) AS s
+        FROM d64, UNNEST(range(0, 64)) AS bb(b)),
+      tot64 AS (
+        SELECT doc_id, n, SUM(s) AS total FROM blocks64 GROUP BY doc_id, n),
+      hug64 AS (
+        SELECT b.doc_id,
+               SUM(CASE WHEN (b.en - b.st + 1) > 0
+                     AND b.s * CAST(t.n AS BIGINT) >= t.total * (b.en - b.st + 1)
+                   THEN 1::HUGEINT << CAST(b.b AS INT) ELSE 0::HUGEINT END) AS h
+        FROM blocks64 b JOIN tot64 t ON b.doc_id = t.doc_id
+        GROUP BY b.doc_id),
+      bits64 AS (
+        SELECT doc_id,
+               CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN h - 18446744073709551616::HUGEINT
+                    ELSE h END AS BIGINT) AS phash
+        FROM hug64)"""
+
+  /** Banded Hamming near-dup on the 64-BIT phash, 4×16-bit bands — the
+    * corpus-scale fingerprint BASELINE.md's r10 limitation note asked for.
+    * Identical contract to [[multimodalPhashNeardup]]: the confirm
+    * threshold (bit_count(xor) ≤ 3) EQUALS the 4-band pigeonhole bound, so
+    * the output is exactly "every pair within Hamming 3 of the 64-bit
+    * signature" — but each band now carries 16 bits, so random-collision
+    * candidate volume per band value drops by 2⁸ relative to the 32-bit
+    * query at the same corpus size (the property that keeps the verify
+    * join sub-quadratic as the corpus grows past ~2⁸ buckets' capacity).
+    * Same plan shape as the 32-bit twin: one checkpointed fingerprint
+    * frame, phashes riding through the band join, distance filter before
+    * the distinct, row-local symmetrization.
+    */
+  val multimodalPhash64Neardup = QueryDef(
+    "multimodal_phash64_neardup",
+    (spark, dir) => {
+      val fps = phash64Frame(spark, dir).localCheckpoint()
+      val bands = fps.select(col("doc_id"), col("phash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bv", expr("shiftright(phash, band * 16) & 65535"))
+      val pairs = bands
+        .select(col("band"), col("bv"), col("doc_id").as("a_id"), col("phash").as("pa"))
+        .join(bands.select(col("band"), col("bv"), col("doc_id").as("b_id"),
+          col("phash").as("pb")), Seq("band", "bv"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("ham", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+        .filter(col("ham") <= 3)
+        .select(col("a_id"), col("b_id"), col("ham")).distinct()
+      pairs.select(explode(array(
+          struct(col("a_id").as("doc_id"), col("b_id").as("nbr"), col("ham")),
+          struct(col("b_id").as("doc_id"), col("a_id").as("nbr"), col("ham")))).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"),
+          col("e.ham").as("ham"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_nbrs"),
+          min(col("ham") * lit(DedupQueries.BandMod) + col("nbr")).as("key"))
+        .select(col("doc_id"), col("n_nbrs"),
+          expr(s"key div ${DedupQueries.BandMod}").as("min_ham"),
+          (col("key") % lit(DedupQueries.BandMod)).as("nearest_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $Phash64CtesSql,
+      bands AS (
+        SELECT doc_id, phash, CAST(bb.b AS BIGINT) AS band,
+               (phash >> (CAST(bb.b AS INT) * 16)) & 65535 AS bv
+        FROM bits64, UNNEST(range(0, 4)) AS bb(b)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+      sym AS (
+        SELECT a_id AS doc_id, b_id AS nbr, ham FROM pairs
+        UNION ALL
+        SELECT b_id AS doc_id, a_id AS nbr, ham FROM pairs)
+      SELECT doc_id, COUNT(*) AS n_nbrs,
+             CAST(MIN(ham * ${DedupQueries.BandMod} + nbr) // ${DedupQueries.BandMod} AS BIGINT) AS min_ham,
+             CAST(MIN(ham * ${DedupQueries.BandMod} + nbr) % ${DedupQueries.BandMod} AS BIGINT) AS nearest_id
+      FROM sym GROUP BY doc_id
+      ORDER BY doc_id"""),
+    notes = "64-bit average-hash, 4x16-bit bands: same pigeonhole <=3-Hamming contract as the 32-bit twin, 2^8x lower per-band collision rate at large corpus sizes; oracle computes the bit sum in HUGEINT and wraps to the signed long Spark produces")
+
   val all: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode,
-    multimodalFrames, multimodalPhash, multimodalPhashNeardup)
+    multimodalFrames, multimodalPhash, multimodalPhashNeardup,
+    multimodalPhash64Neardup)
 }

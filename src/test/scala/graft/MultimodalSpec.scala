@@ -81,4 +81,29 @@ class MultimodalSpec extends AnyFunSuite {
       assert(buckets.exists(s => s.contains(a) && s.contains(b)),
         s"pair ($a, $b) at Hamming ${ham(a, b)} shares no band bucket")
   }
+
+  test("property: 4x16-bit phash banding has complete recall to Hamming 3 on 64-bit hashes") {
+    // multimodal_phash64_neardup's widened contract: full 64-bit hashes
+    // (sign bit included — bit 63 set makes the long negative), 4 disjoint
+    // 16-bit bands, same pigeonhole bound. The adversarial set flips
+    // exactly 3 bits including bit 63, so the arithmetic-shift-then-mask
+    // band expression is exercised on negative values too.
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val base = (0 until 200).map(_ => rng.nextLong()) :+ (1L << 63) :+ -1L
+    val perturbed = base.map { h =>
+      val flips = rng.shuffle((0 until 63).toList).take(2) :+ 63
+      flips.foldLeft(h)((a, b) => a ^ (1L << b))
+    }
+    val hs = (base ++ perturbed).distinct
+    val bands = hs.toDF("phash")
+      .selectExpr("phash", "explode(sequence(0, 3)) AS band")
+      .selectExpr("phash", "band", "shiftright(phash, band * 16) & 65535 AS bv")
+      .as[(Long, Int, Long)].collect()
+    val buckets = bands.groupBy(r => (r._2, r._3)).values.map(_.map(_._1).toSet)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (a <- hs; b <- hs if a < b && ham(a, b) <= 3)
+      assert(buckets.exists(s => s.contains(a) && s.contains(b)),
+        s"pair ($a, $b) at Hamming ${ham(a, b)} shares no band bucket")
+  }
 }
