@@ -141,24 +141,74 @@ object DedupQueries {
     * wide bands (4×16 ⇒ J≳0.85) and let precision come from band width.
     */
   def minhashBandKeys(docs: DataFrame,
-      bands: Int = MinhashBands): DataFrame = {
-    val rows = NumPerms / bands
+      bands: Int = MinhashBands): DataFrame =
+    bandsFromSig(rowLocalSignatures(docs), bands)
+
+  /** Row-local 64-component signature as ONE array column (doc_id, lang,
+    * sig) — the storable form the incremental verified gate persists per
+    * accepted document. Value-identical to [[minhashSignatures]] (same
+    * permutations over the same distinct-token hashes); row-local like
+    * [[minhashBandKeys]] so it composes with streaming operators.
+    */
+  def rowLocalSignatures(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"), col("lang"),
       transform(array_distinct(split(col("text"), " ")),
         t => tokHash(t)).as("hs"))
-    val sig = hashed.select(col("doc_id") +: col("lang") +:
-      (0 until NumPerms).map(s => array_min(transform(col("hs"),
-        h => (lit(permA(s)) * h + lit(permB(s))) % lit(P))).as(s"m$s")): _*)
-    sig.select(col("doc_id"), col("lang"), explode(array(
+    hashed.select(col("doc_id"), col("lang"),
+      array((0 until NumPerms).map(s => array_min(transform(col("hs"),
+        h => (lit(permA(s)) * h + lit(permB(s))) % lit(P)))): _*).as("sig"))
+  }
+
+  /** LSH band keys from a stored signature array — the banding half of
+    * [[minhashBandKeys]], reusable over signatures that were persisted
+    * rather than just computed (the incremental gate's store). Same fold
+    * constants as [[bandSelectsSql]], so every consumer stays
+    * oracle-aligned.
+    */
+  def bandsFromSig(sigs: DataFrame, bands: Int): DataFrame = {
+    val rows = NumPerms / bands
+    sigs.select(col("doc_id"), col("lang"), explode(array(
         (0 until bands).map { b =>
           val bh = (0 until rows).foldLeft(lit(0L): Column) { (acc, i) =>
-            (acc * lit(8191L) + col(s"m${b * rows + i}")) % lit(BandMod)
+            (acc * lit(8191L) + element_at(col("sig"), b * rows + i + 1)) %
+              lit(BandMod)
           }
           struct(lit(b).as("band"), bh.as("bh"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("lang"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
+
+  /** All band keys for several band counts as ONE array-of-struct column
+    * over `sig` — (w, band, bh) rows ready to explode or persist. Lets the
+    * incremental gate compute and store every banding width in a single
+    * row-local projection (one fold per band, same constants as
+    * [[bandsFromSig]]/[[bandSelectsSql]]).
+    */
+  def bandStructs(widths: Seq[Int]): Column = array(
+    (for (w <- widths; b <- 0 until w) yield {
+      val rows = NumPerms / w
+      val bh = (0 until rows).foldLeft(lit(0L): Column) { (acc, i) =>
+        (acc * lit(8191L) + element_at(col("sig"), b * rows + i + 1)) %
+          lit(BandMod)
+      }
+      struct(lit(w).as("w"), lit(b).as("band"), bh.as("bh"))
+    }): _*)
+
+
+  /** Signature-overlap count between two sig-array columns — the verify
+    * predicate (`>= 45` of [[NumPerms]] ≈ Jaccard 0.7) as one zip_with
+    * fold, matching [[matchTermsSql]] term for term. (A sum of 64
+    * element_at equality terms was tried and is 4-6× SLOWER on millions of
+    * pairs: the 64-term when-chain falls out of whole-stage codegen as one
+    * enormous expression, while the fold stays a tight single pass.)
+    */
+  def sigOverlap(sa: Column, sb: Column): Column =
+    aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
+
+  /** The verify threshold shared with every minhash oracle: ⌈0.7·perms⌉. */
+  private[graft] val VerifyMin: Int = (NumPerms * 7 + 9) / 10
 
   /** Per-doc summary of verified candidate pairs: n_near + canonical min id. */
   private def summarize(allIds: DataFrame, pairs: DataFrame): DataFrame = {

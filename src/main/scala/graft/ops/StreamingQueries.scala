@@ -91,6 +91,12 @@ object StreamingQueries {
     */
   @volatile var lastExecSec: Map[String, Double] = Map.empty
 
+  /** Data-carrying micro-batch count of the last run per sink name — lets
+    * specs assert a query's incremental claim actually exercised multiple
+    * batches (a single-batch replay would trivially match any batch
+    * oracle). */
+  @volatile var lastBatchCounts: Map[String, Int] = Map.empty
+
   /** The per-query conf the three transformWithState entries pass through
     * [[runToTable]]: the operator supports only the RocksDB state store
     * provider (one definition so a tuning companion conf lands everywhere).
@@ -220,6 +226,7 @@ object StreamingQueries {
         .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
         .sum
       lastExecSec += name -> execMs / 1e3
+      lastBatchCounts += name -> q.recentProgress.count(_.numInputRows > 0)
       result
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -1048,9 +1055,253 @@ object StreamingQueries {
     },
     notes = "streaming MinHash/LSH ingestion gate: O(occupied buckets) keyed state, collision-only emission, batch-deterministic oracle")
 
+  /** Stage documents as n RANGE slices by doc_id (ascending), one parquet
+    * file each with increasing modification times, so a maxFilesPerTrigger=1
+    * file source replays the corpus as n micro-batches in id order. Range
+    * (not modulus) slicing is load-bearing for the verified gate: it makes
+    * "arrived in an earlier batch, or earlier in this batch" coincide with
+    * "smaller doc_id", which is what lets the stream's held set equal the
+    * batch oracle's removable set exactly. The max-id probe is staging
+    * scaffolding (the fixture replay harness), not part of the measured
+    * operator — a production source is already time-ordered.
+    */
+  private def stageDocRangeSlices(docs: DataFrame, n: Int): String = {
+    val stage = Files.createTempDirectory("graft-docslice-stage")
+    val incoming = Files.createTempDirectory("graft-docslice-in")
+    val baseMs = System.currentTimeMillis() - 60000L
+    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+    val step = maxId / n + 1
+    for (i <- 0 until n) {
+      val sliceDir = stage.resolve(s"s$i").toString
+      docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $sliceDir"))
+      val dst = incoming.resolve(s"slice-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(baseMs + i * 2000L)
+    }
+    incoming.toString
+  }
+
+  /** TWO-TIER VERIFIED STREAMING DEDUP — the deferred-verify tier the r10
+    * gate audit asked for (`dedup_gate_eval` pinned the verify-less 4×16
+    * gate at 100% precision but only 47–65% recall). Documents arrive as
+    * ordered micro-batches; each batch runs per-micro-batch (foreachBatch)
+    * against an ACCUMULATED SIGNATURE STORE:
+    *
+    *   tier 1 (cheap candidates): wide 4×16-band bucket match vs the store
+    *     + this batch — the same near-identical fast path as
+    *     `stream_neardup_gate`, here used as a flag on the output;
+    *   tier 2 (deferred verify): narrow 16×4-band candidates vs the store
+    *     + this batch, each confirmed by the ≥45/64 signature-overlap
+    *     predicate — the batch LSH standard, run incrementally.
+    *
+    * EVERY batch's signatures append to the store, held documents included:
+    * a held near-dup still witnesses later arrivals (exactly as the batch
+    * removable set lets a removable doc be another's partner). That closure
+    * is what makes the held set EQUAL the batch-LSH removable set, not just
+    * approximate it: range-ordered batches make "seen earlier" = "smaller
+    * id", the store keeps every earlier signature, and the narrow banding +
+    * verify are the batch pipeline's own — so candidate generation and
+    * confirmation coincide pair for pair. The oracle therefore states the
+    * full batch removable set (with the tier flag recomputed in SQL) and
+    * the hash gate demands doc-level equality — recall 100% at precision
+    * 100% by construction, strictly stronger than the ≥90% target.
+    *
+    * Scale posture: the store persists BOTH signatures and band keys, so a
+    * batch scans stored bands instead of re-deriving them for the whole
+    * corpus (which would be O(corpus) per batch — quadratic over the
+    * stream's life); at 100 TB the band table would be bucketed by band
+    * hash so the candidate join shuffles only bucket-matched slices.
+    * Per-batch cost is O(batch bands + matched store slices), never
+    * O(store) pair work: the signature build is row-local, candidate
+    * volume is band-bounded, and the verify join touches candidates only.
+    */
+  val streamNeardupVerified = QueryDef(
+    "stream_neardup_verified",
+    (spark, dir) => {
+      val storeDir = Files.createTempDirectory("graft-ndv-store").toString
+      val heldDir = Files.createTempDirectory("graft-ndv-held").toString
+      val ckpt = Files.createTempDirectory("graft-ndv-ck").toString
+      // staged BEFORE runSink so the slice layout isn't in the timed stream
+      val docs = graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val incoming = stageDocRangeSlices(docs, 3)
+      // one store row per doc: signature + every banding width, computed
+      // row-locally ONCE on arrival and persisted together — later batches
+      // scan stored band keys instead of re-deriving them for the whole
+      // corpus each batch (which would be O(corpus)/batch — quadratic over
+      // the stream's life), and the single table keeps the per-batch
+      // commit count down (parquet commit rounds dominate small batches)
+      // sig stays ONE array column: a 64-scalar-column store (the batch
+      // verify's shape) was tried and sends the optimizer into a
+      // pathological expression blow-up once projection collapse inlines
+      // the 64 heavy array_min trees into every band fold (minutes of
+      // planning, then OOM); the array form plans instantly and its
+      // interpreted zip_with verify costs ~1 s/batch at sf0.1 — the
+      // documented trade
+      def enrich(df: DataFrame): DataFrame =
+        DedupQueries.rowLocalSignatures(df)
+          .withColumn("bands", DedupQueries.bandStructs(Seq(16, 4)))
+      val storeSchema = enrich(docs.limit(0)).schema
+      def readOrEmpty(sp: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType): DataFrame = {
+        val files = new java.io.File(path).listFiles()
+        if (files != null && files.nonEmpty)
+          sp.read.schema(schema).parquet(path)
+        else sp.createDataFrame(
+          sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+      def bandsOf(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), col("lang"), explode(col("bands")).as("bb"))
+          .select(col("doc_id"), col("lang"), col("bb.w").as("w"),
+            col("bb.band").as("band"), col("bb.bh").as("bh"))
+      // the batch-engine parallelism, captured OUTSIDE runSink: runSink
+      // drops shuffle partitions to the stream-state sizing (4), which is
+      // right for stateful operators but starves this query's foreachBatch
+      // verify join — 2.4M candidate pairs at sf0.1 on 4 partitions was
+      // 4-5 s/batch; restoring the batch sizing inside the (stateless)
+      // batch body brings it back to batch-LSH economics
+      val batchPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+      runSink(spark, "stream_neardup_verified") {
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(incoming)
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sp = batch.sparkSession
+            val streamPartitions = sp.conf.get("spark.sql.shuffle.partitions")
+            val streamAqe = sp.conf.get("spark.sql.adaptive.enabled")
+            sp.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+            // the micro-batch thread hands foreachBatch a session whose
+            // conf clone has AQE forced off (stateful-stream rule); these
+            // body plans are pure batch (checkpointed sigs + parquet
+            // store), so claw back the adaptive engine for them
+            sp.conf.set("spark.sql.adaptive.enabled", "true")
+            try {
+            val sigs = enrich(batch.repartition(col("doc_id")))
+              .localCheckpoint() // batch-sized; consumed by every branch
+            val store = readOrEmpty(sp, storeDir, storeSchema)
+            // a-side = stored bands (strictly earlier ids, by range
+            // slicing) ∪ this batch's (same-batch pairs, id-ordered)
+            val allBands = bandsOf(store).unionByName(bandsOf(sigs))
+            // tier 2: narrow-band candidate PAIRS, then the signature-
+            // overlap verify — the batch LSH rule verbatim (a-side sigs
+            // from the store ∪ batch, b-side always this batch). Pairs are
+            // unavoidable here: the verify predicate is pairwise.
+            val cand = allBands.filter(col("w") === 16)
+              .select(col("band"), col("bh"), col("lang"),
+                col("doc_id").as("a_id"))
+              .join(broadcast(bandsOf(sigs).filter(col("w") === 16)
+                .select(col("band"), col("bh"), col("lang"),
+                  col("doc_id").as("b_id"))),
+                Seq("band", "bh", "lang"))
+              .filter(col("a_id") < col("b_id"))
+              .select(col("a_id"), col("b_id"), col("lang")).distinct()
+            val verified = cand
+              .join(store.unionByName(sigs)
+                .select(col("doc_id").as("a_id"), col("sig").as("sa")),
+                Seq("a_id"))
+              .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")),
+                Seq("b_id"))
+              .filter(DedupQueries.sigOverlap(col("sa"), col("sb")) >=
+                DedupQueries.VerifyMin)
+              .select(col("b_id").as("doc_id"), col("lang")).distinct()
+            // tier 1 flag needs only EXISTENCE of a smaller-id wide-band
+            // partner, so it aggregates bucket minima instead of joining
+            // out pairs — on a dup-dense corpus the wide buckets are
+            // cluster-sized and a pair join there is cluster-QUADRATIC
+            // (measured: the pair form put ~1 s of bucket fan-out into
+            // every batch); the min form is O(bucket count)
+            val wideMin = allBands.filter(col("w") === 4)
+              .groupBy(col("band"), col("bh"), col("lang"))
+              .agg(min(col("doc_id")).as("mn"))
+            val tier1 = bandsOf(sigs).filter(col("w") === 4)
+              .join(wideMin, Seq("band", "bh", "lang"))
+              .filter(col("mn") < col("doc_id"))
+              .select(col("doc_id")).distinct()
+              .withColumn("t1", lit(1))
+            verified.join(tier1, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("lang"),
+                when(col("t1").isNotNull, 1).otherwise(2).as("tier"))
+              .write.mode("append").parquet(heldDir)
+            // append AFTER the reads above: all of this batch, held
+            // included — held docs still witness later arrivals
+            sigs.write.mode("append").parquet(storeDir)
+            } finally {
+              sp.conf.set("spark.sql.shuffle.partitions", streamPartitions)
+              sp.conf.set("spark.sql.adaptive.enabled", streamAqe)
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      } {
+        val files = new java.io.File(heldDir).listFiles()
+        if (files == null || files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("lang",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("tier",
+                org.apache.spark.sql.types.IntegerType, nullable = false))))
+        else spark.read.parquet(heldDir).orderBy(col("doc_id"))
+      }
+    },
+    Some {
+      import DedupQueries.{tokHashSql, minColsSql, bandSelectsSql,
+        matchTermsSql, VerifyMin}
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id, lang, ${tokHashSql("tok")} AS h FROM toks),
+         |sigs AS (
+         |  SELECT doc_id, lang,
+         |    $minColsSql
+         |  FROM hashed GROUP BY doc_id, lang),
+         |bands AS (
+         |  ${bandSelectsSql(16)}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.lang = b.lang
+         |   AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT a_id, b_id
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = a_id
+         |  JOIN sigs sb ON sb.doc_id = b_id
+         |  WHERE $matchTermsSql >= $VerifyMin),
+         |removable AS (
+         |  SELECT DISTINCT b_id AS doc_id FROM pairs),
+         |gate_bands AS (
+         |  ${bandSelectsSql(4)}),
+         |wide AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM gate_bands a JOIN gate_bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.lang = b.lang
+         |   AND a.doc_id < b.doc_id)
+         |SELECT r.doc_id, d.lang,
+         |       CASE WHEN w.doc_id IS NOT NULL THEN 1 ELSE 2 END AS tier
+         |FROM removable r
+         |JOIN documents d ON r.doc_id = d.doc_id
+         |LEFT JOIN wide w ON r.doc_id = w.doc_id
+         |ORDER BY r.doc_id""".stripMargin
+    },
+    notes = "two-tier incremental dedup: per-micro-batch narrow-band candidates + signature verify against the accumulated store (held docs stay as witnesses); held set == batch-LSH removable set doc for doc (100% recall at 100% precision, > the >=90% target), tier flag = wide-band fast path")
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
     streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMvAgg,
     streamMarkov, streamSpendMilestones, streamIdleFlush, streamWarmStart,
-    snapshotChanges, streamSynthSource, streamSliding, streamNeardupGate)
+    snapshotChanges, streamSynthSource, streamSliding, streamNeardupGate,
+    streamNeardupVerified)
 }
