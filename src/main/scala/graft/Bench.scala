@@ -84,6 +84,36 @@ object Bench {
     val streamExecTotal = ops.StreamingQueries.lastExecSec
       .filterNot { case (k, _) => failed.contains(k.stripSuffix("_sink")) }
       .values.sum
+    // Self-adjudicating host-drift controls (r10 burned real effort
+    // hand-running TimeQuery controls to separate a 25-30% host window from
+    // code changes). Four stable queries whose code hasn't moved since r10,
+    // spanning profiles (DPP scan, bucketed join, iterative graph, codegen
+    // scan+agg), are compared against their RECORDED builder-host
+    // steady-state in-bench mins; the median ratio is the run's host
+    // factor. Reading a bench: divide the headline by the factor before
+    // comparing rounds — factor >~1.15 means the host window, not the
+    // code, inflated this run relative to the reference window; factor
+    // <1 means a healthier window than the reference. Records are the r11
+    // builder closing bench (154.0 s / 265 queries; that window itself
+    // measured ~1.1-1.2× vs r10 on untouched queries, which is exactly
+    // the drift this block exists to expose) and must be re-pinned if a
+    // control's code or fixture changes.
+    val controlRecords = Map(
+      "layout_dpp" -> 1.206, "layout_bucketed" -> 1.465,
+      "graph_kcore" -> 3.642, "q1_pricing" -> 0.313)
+    val controlsNow = controlRecords.toSeq.sorted
+      .flatMap { case (n, rec) => results.get(n).map(v => (n, v, rec)) }
+    val hostFactor = {
+      val ratios = controlsNow.map { case (_, v, rec) => v / rec }.sorted
+      if (ratios.isEmpty) 1.0
+      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+    }
+    def controlsJson: String = controlsNow
+      .map { case (n, v, rec) => "\"" + n + "\":{\"now\":" + f3(v) +
+        ",\"record\":" + f3(rec) + "}" }
+      .mkString("{", ",", "}")
+
     // The driver's stdout capture keeps only the LAST ~2000 bytes (measured:
     // BENCH_r04-r06 "tail" is exactly 2000 chars), so the full per-query line
     // (~6 KB at 230+ queries) can NEVER survive in the artifact-of-record —
@@ -101,6 +131,7 @@ object Bench {
       s""","streaming_total":${f3(streamTotal)},"streaming_exec_total":${f3(streamExecTotal)},""" +
       s""""batch_count":${batchRes.size},""" +
       s""""stream_count":${streamRes.size},$failedSummary"failed_count":${failed.size},""" +
+      s""""controls":$controlsJson,"controls_host_factor":${f3(hostFactor)},""" +
       s""""summary":"slowest_first","sf":"$sf"}"""
     // ADVICE r7: the fixed overhead embeds sfDir — an unusually long path
     // could push head+tail alone past the budget and get the summary's head
@@ -124,6 +155,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""streaming_total":${f3(streamTotal)},"streaming_exec_total":${f3(streamExecTotal)},""" +
+      s""""controls":$controlsJson,"controls_host_factor":${f3(hostFactor)},""" +
       s""""failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}"""
     // stdout is the driver's parse source, but it is at the mercy of log
     // interleaving/truncation — persist the full line to a file as well

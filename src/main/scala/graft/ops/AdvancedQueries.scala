@@ -279,6 +279,41 @@ object AdvancedQueries {
     },
     RelationalQueries.joinAsof.oracle)
 
+  /** The native as-of join on its INTERPRETED-ORDERING path: STRING key +
+    * TIMESTAMP time (the fast path needs BOTH long-backed; a string key
+    * forces the boxed merge with per-candidate UnsafeRow copies). Same
+    * semantics and same oracle as [[joinAsofNative]] — the key mapping
+    * u<id> is bijective and the merge needs only a consistent total order
+    * per side, so the output is identical; what changes is the code path,
+    * making this the slow path's standing correctness + scale + A/B
+    * anchor (fast-vs-boxed = `join_asof_native` vs this, same rows, same
+    * fixture, recorded in BASELINE.md). Timestamp strict-less runs at µs
+    * where the oracle compares ms — equivalent on this fixture because no
+    * per-user same-ms collisions exist (pinned by TestdataSchemaSpec's ts
+    * contract note).
+    */
+  val joinAsofStringNative = QueryDef(
+    "join_asof_string_native",
+    (spark, dir) => {
+      val ev = load(spark, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          concat(lit("u"), col("user_id")).as("p_key"),
+          col("ts").as("p_ts"), unix_millis(col("ts")).as("p_ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          concat(lit("u"), col("user_id")).as("v_key"),
+          col("ts").as("v_ts"), unix_millis(col("ts")).as("v_ms"))
+      graft.plans.AsOfJoinOps.asofJoin(spark, p, v,
+          p("p_key"), v("v_key"), p("p_ts"), v("v_ts"), v("view_id"))
+        .select(col("purchase_id"), col("user_id"),
+          col("view_id").as("prior_view_id"),
+          (col("p_ms") - col("v_ms")).as("gap_ms"))
+        .orderBy(col("purchase_id"))
+    },
+    RelationalQueries.joinAsof.oracle,
+    notes = "native as-of forced onto the interpreted path (string key + timestamp time); output identical to join_asof_native, so the pair is a standing fast-vs-boxed A/B")
+
   /** The native as-of join with a 30-minute TOLERANCE (pandas merge_asof's
     * staleness bound): a purchase only matches its latest prior view if that
     * view is at most 30 min old — stale matches drop inside the merge pass
@@ -727,7 +762,8 @@ object AdvancedQueries {
 
   val all: Seq[QueryDef] = Seq(subqueryScalar, subqueryExists, windowRange,
     windowRanks, eventsPivot, arrayFuncs, stringFuncs, arraySetops,
-    conditionalFuncs, joinAsofNative, joinAsofTolerance, joinAsofNearest,
+    conditionalFuncs, joinAsofNative, joinAsofStringNative, joinAsofTolerance,
+    joinAsofNearest,
     joinAsofOuter, joinAsofForward, joinAsofNearestNative, joinShuffleHash,
     joinBloom, skylinePareto)
 }

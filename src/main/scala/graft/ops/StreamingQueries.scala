@@ -1240,8 +1240,13 @@ object StreamingQueries {
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
       } {
-        val files = new java.io.File(heldDir).listFiles()
-        if (files == null || files.isEmpty)
+        // count only real part files: a batch with zero held rows still
+        // writes _SUCCESS, and read.parquet on a marker-only dir throws
+        // schema-inference errors instead of returning empty
+        val files = Option(new java.io.File(heldDir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+        if (files.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType(Seq(
