@@ -101,8 +101,17 @@ object Bench {
     val controlRecords = Map(
       "layout_dpp" -> 1.206, "layout_bucketed" -> 1.465,
       "graph_kcore" -> 3.642, "q1_pricing" -> 0.313)
-    val controlsNow = controlRecords.toSeq.sorted
-      .flatMap { case (n, rec) => results.get(n).map(v => (n, v, rec)) }
+    // records are meaningful ONLY at the scale factor they were pinned at:
+    // at any other sfDir the ratios measure data size, not host health, so
+    // the block degrades to empty controls + factor 1.0 (documented as
+    // "not applicable") rather than emitting a confidently wrong factor
+    val controlsSf = "sf0.1"
+    val controlsApplicable =
+      sfDir.stripSuffix("/").endsWith(controlsSf)
+    val controlsNow =
+      if (!controlsApplicable) Seq.empty
+      else controlRecords.toSeq.sorted
+        .flatMap { case (n, rec) => results.get(n).map(v => (n, v, rec)) }
     val hostFactor = {
       val ratios = controlsNow.map { case (_, v, rec) => v / rec }.sorted
       if (ratios.isEmpty) 1.0
@@ -132,7 +141,7 @@ object Bench {
       s""""batch_count":${batchRes.size},""" +
       s""""stream_count":${streamRes.size},$failedSummary"failed_count":${failed.size},""" +
       s""""controls":$controlsJson,"controls_host_factor":${f3(hostFactor)},""" +
-      s""""summary":"slowest_first","sf":"$sf"}"""
+      s""""controls_sf":"$controlsSf","summary":"slowest_first","sf":"$sf"}"""
     // ADVICE r7: the fixed overhead embeds sfDir — an unusually long path
     // could push head+tail alone past the budget and get the summary's head
     // clipped by the driver's ~2000-byte stdout tail window. Degrade, never
@@ -156,6 +165,7 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""streaming_total":${f3(streamTotal)},"streaming_exec_total":${f3(streamExecTotal)},""" +
       s""""controls":$controlsJson,"controls_host_factor":${f3(hostFactor)},""" +
+      s""""controls_sf":"$controlsSf",""" +
       s""""failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}"""
     // stdout is the driver's parse source, but it is at the mercy of log
     // interleaving/truncation — persist the full line to a file as well

@@ -165,15 +165,23 @@ object DedupQueries {
     * constants as [[bandSelectsSql]], so every consumer stays
     * oracle-aligned.
     */
+  /** THE band fold over a `sig` array column — one LSH band hash,
+    * (acc·8191 + sig[b·rows+i]) mod [[BandMod]] across the band's rows.
+    * Defined ONCE for every Spark-side banding consumer (the SQL twin is
+    * [[bandSelectsSql]]); the constants are oracle-alignment-critical, so
+    * they must not be re-spelled at call sites.
+    */
+  private[ops] def bandHash(b: Int, rows: Int): Column =
+    (0 until rows).foldLeft(lit(0L): Column) { (acc, i) =>
+      (acc * lit(8191L) + element_at(col("sig"), b * rows + i + 1)) %
+        lit(BandMod)
+    }
+
   def bandsFromSig(sigs: DataFrame, bands: Int): DataFrame = {
     val rows = NumPerms / bands
     sigs.select(col("doc_id"), col("lang"), explode(array(
         (0 until bands).map { b =>
-          val bh = (0 until rows).foldLeft(lit(0L): Column) { (acc, i) =>
-            (acc * lit(8191L) + element_at(col("sig"), b * rows + i + 1)) %
-              lit(BandMod)
-          }
-          struct(lit(b).as("band"), bh.as("bh"))
+          struct(lit(b).as("band"), bandHash(b, rows).as("bh"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("lang"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
@@ -186,14 +194,9 @@ object DedupQueries {
     * [[bandsFromSig]]/[[bandSelectsSql]]).
     */
   def bandStructs(widths: Seq[Int]): Column = array(
-    (for (w <- widths; b <- 0 until w) yield {
-      val rows = NumPerms / w
-      val bh = (0 until rows).foldLeft(lit(0L): Column) { (acc, i) =>
-        (acc * lit(8191L) + element_at(col("sig"), b * rows + i + 1)) %
-          lit(BandMod)
-      }
-      struct(lit(w).as("w"), lit(b).as("band"), bh.as("bh"))
-    }): _*)
+    (for (w <- widths; b <- 0 until w) yield
+      struct(lit(w).as("w"), lit(b).as("band"),
+        bandHash(b, NumPerms / w).as("bh"))): _*)
 
 
   /** Signature-overlap count between two sig-array columns — the verify
@@ -254,10 +257,7 @@ object DedupQueries {
       val rows = NumPerms / MinhashBands
       val bands = sigs.select(col("doc_id"), col("lang"), explode(array(
         (0 until MinhashBands).map { b =>
-          val bh = (0 until rows).foldLeft(lit(0L): Column) { (acc, i) =>
-            (acc * lit(8191L) + col("sig")(b * rows + i)) % lit(BandMod)
-          }
-          struct(lit(b).as("band"), bh.as("bh"))
+          struct(lit(b).as("band"), bandHash(b, rows).as("bh"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("lang"), col("bb.band"), col("bb.bh"))
       val candIds = bands.as("a").join(bands.as("b"),
@@ -737,10 +737,7 @@ object DedupQueries {
       val rows = NumPerms / MinhashBands
       val bands = sigs.select(col("doc_id"), col("lang"), explode(array(
         (0 until MinhashBands).map { b =>
-          val bh = (0 until rows).foldLeft(lit(0L): Column) { (acc, i) =>
-            (acc * lit(8191L) + col("sig")(b * rows + i)) % lit(BandMod)
-          }
-          struct(lit(b).as("band"), bh.as("bh"))
+          struct(lit(b).as("band"), bandHash(b, rows).as("bh"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("lang"), col("bb.band"), col("bb.bh"))
       val cand = bands.as("a").join(bands.as("b"),

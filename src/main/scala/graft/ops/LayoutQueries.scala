@@ -210,12 +210,21 @@ object LayoutQueries {
     try listing.forEach { sib =>
       sib.getFileName.toString match {
         case orphan(pid) =>
-          val pidDead = !ProcessHandle.of(pid.toLong)
-            .map[Boolean](_.isAlive).orElse(false)
-          val stale = scala.util.Try(
-            java.nio.file.Files.getLastModifiedTime(sib).toMillis < cutoff)
-            .getOrElse(false)
-          if (pidDead || stale) deleteTree(sib)
+          val handle = ProcessHandle.of(pid.toLong)
+          val pidDead = !handle.map[Boolean](_.isAlive).orElse(false)
+          // age alone must NOT reclaim: a live long-running owner's dir can
+          // sit for days (reads don't bump dir mtime) and deleting it
+          // mid-scan breaks that JVM. Staleness only disambiguates pid
+          // RECYCLING: if the process now holding the pid started AFTER the
+          // dir last changed, it cannot be the owner.
+          val mtime = scala.util.Try(
+            java.nio.file.Files.getLastModifiedTime(sib).toMillis)
+          val stale = mtime.map(_ < cutoff).getOrElse(false)
+          val recycled = mtime.toOption.exists(mt =>
+            handle.map[Boolean](h => h.info().startInstant()
+              .map[Boolean](si => si.toEpochMilli > mt)
+              .orElse(false)).orElse(false))
+          if (pidDead || (stale && recycled)) deleteTree(sib)
         case _ => ()
       }
     } finally listing.close()
