@@ -756,65 +756,77 @@ object TextQueries2 {
   // object init, which reads this — a later declaration would still be 0
   private val BpeTrainGuard = 14
 
+  /** The trainer loop, exposed for both BPE queries and any spec: returns
+    * (per-merge 1-row top frames with step, the INITIAL char-level symbol
+    * table, the FINAL symbol table after every applied merge, merge count).
+    */
+  private[graft] def bpeTrainState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Vector[org.apache.spark.sql.DataFrame],
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val wpos = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val wf = load(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val syms0 = wf
+      .select(col("w"), col("f"),
+        posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
+      .select(col("w"), col("f"), col("pos").cast("long").as("pos"),
+        col("sym"))
+      .localCheckpoint()
+    var syms = syms0
+    var f1 = 0L
+    var merges = Vector.empty[org.apache.spark.sql.DataFrame]
+    var done = false
+    var k = 0
+    while (!done && k < BpeTrainGuard) {
+      k += 1
+      val adj = syms.withColumn("nxt", lead(col("sym"), 1).over(wpos))
+      val top = adj.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum(col("f")).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(1)
+        .localCheckpoint()
+      top.collect().headOption match {
+        case None => done = true // alphabet exhausted: no adjacent pairs
+        case Some(r) =>
+          val freq = r.getAs[Long]("freq")
+          if (k == 1) f1 = freq
+          if (freq * 4 < f1) done = true
+          else {
+            merges :+= top.withColumn("step", lit(k.toLong))
+            val cand = adj.crossJoin(broadcast(top
+                .select(col("a").as("top_a"), col("b").as("top_b"))))
+              .withColumn("cand",
+                (col("sym") === col("top_a") && col("nxt") === col("top_b"))
+                  .cast("int"))
+              .withColumn("isl", col("pos") - sum(col("cand")).over(
+                wpos.rowsBetween(Window.unboundedPreceding, 0)))
+              .withColumn("isl_start",
+                min(when(col("cand") === 1, col("pos")))
+                  .over(Window.partitionBy(col("w"), col("isl"))))
+              .withColumn("is_merge",
+                col("cand") === 1 &&
+                  (col("pos") - col("isl_start")) % 2 === 0)
+              .withColumn("consumed",
+                coalesce(lag(col("is_merge"), 1).over(wpos), lit(false)))
+            syms = cand.filter(!col("consumed"))
+              .select(col("w"), col("f"), col("pos"),
+                when(col("is_merge"), concat(col("top_a"), col("top_b")))
+                  .otherwise(col("sym")).as("sym"))
+              .localCheckpoint()
+          }
+      }
+    }
+    (merges, syms0, syms, merges.size.toLong)
+  }
+
   val textBpeTrain = QueryDef(
     "text_bpe_train",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wpos = Window.partitionBy(col("w")).orderBy(col("pos"))
-      val wf = load(spark, dir, "documents")
-        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      var syms = wf
-        .select(col("w"), col("f"),
-          posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
-        .select(col("w"), col("f"), col("pos").cast("long").as("pos"),
-          col("sym"))
-        .localCheckpoint()
-      var f1 = 0L
-      var merges = Vector.empty[org.apache.spark.sql.DataFrame]
-      var done = false
-      var k = 0
-      while (!done && k < BpeTrainGuard) {
-        k += 1
-        val adj = syms.withColumn("nxt", lead(col("sym"), 1).over(wpos))
-        val top = adj.filter(col("nxt").isNotNull)
-          .groupBy(col("sym").as("a"), col("nxt").as("b"))
-          .agg(sum(col("f")).as("freq"))
-          .orderBy(col("freq").desc, col("a"), col("b"))
-          .limit(1)
-          .localCheckpoint()
-        top.collect().headOption match {
-          case None => done = true // alphabet exhausted: no adjacent pairs
-          case Some(r) =>
-            val freq = r.getAs[Long]("freq")
-            if (k == 1) f1 = freq
-            if (freq * 4 < f1) done = true
-            else {
-              merges :+= top.withColumn("step", lit(k.toLong))
-              val cand = adj.crossJoin(broadcast(top
-                  .select(col("a").as("top_a"), col("b").as("top_b"))))
-                .withColumn("cand",
-                  (col("sym") === col("top_a") && col("nxt") === col("top_b"))
-                    .cast("int"))
-                .withColumn("isl", col("pos") - sum(col("cand")).over(
-                  wpos.rowsBetween(Window.unboundedPreceding, 0)))
-                .withColumn("isl_start",
-                  min(when(col("cand") === 1, col("pos")))
-                    .over(Window.partitionBy(col("w"), col("isl"))))
-                .withColumn("is_merge",
-                  col("cand") === 1 &&
-                    (col("pos") - col("isl_start")) % 2 === 0)
-                .withColumn("consumed",
-                  coalesce(lag(col("is_merge"), 1).over(wpos), lit(false)))
-              syms = cand.filter(!col("consumed"))
-                .select(col("w"), col("f"), col("pos"),
-                  when(col("is_merge"), concat(col("top_a"), col("top_b")))
-                    .otherwise(col("sym")).as("sym"))
-                .localCheckpoint()
-            }
-        }
-      }
+      val (merges, _, _, _) = bpeTrainState(spark, dir)
       merges.reduce(_ unionAll _)
         .select(col("step"), concat(col("a"), col("b")).as("merged"),
           col("freq"))
@@ -823,16 +835,18 @@ object TextQueries2 {
     Some(bpeTrainOracle),
     notes = "BPE trainer to convergence: argmax merge until freq*4 < first merge's freq, guard 14; output = the ordered merge table; oracle = trainer unrolled to guard depth with the same running-threshold emission rule")
 
-  /** Generated oracle for [[textBpeTrain]]: the full trainer unrolled to
-    * the guard depth. Each round is [[textBpeApply]]'s CTE block verbatim
-    * (argmax → island/parity greedy apply → next symbol table); the final
-    * select emits round k's (a, b, freq) iff every round ≤ k cleared the
-    * freq·4 ≥ f1 threshold — the loop's break, stated as a running window
-    * conjunction. syms/top are MATERIALIZED: each is referenced twice per
-    * round and DuckDB would otherwise re-inline the whole chain
-    * exponentially (the kcore-converge lesson).
+  /** The generated trainer chain shared by both BPE oracles: the full
+    * trainer unrolled to the guard depth. Each round is [[textBpeApply]]'s
+    * CTE block verbatim (argmax → island/parity greedy apply → next symbol
+    * table); `emitted` selects round k's merge iff every round ≤ k cleared
+    * the freq·4 ≥ f1 threshold — the loop's break, stated as a running
+    * window conjunction. syms/top are MATERIALIZED: each is referenced
+    * twice per round and DuckDB would otherwise re-inline the whole chain
+    * exponentially (the kcore-converge lesson). Produces a complete WITH
+    * body ending in `emitted(step, a, b, freq)`; callers append their
+    * tail.
     */
-  private lazy val bpeTrainOracle: String = {
+  private lazy val bpeChainSql: String = {
     val rounds = (1 to BpeTrainGuard).map { k =>
       s"""      adj$k AS MATERIALIZED (
         SELECT w, f, pos, sym,
@@ -869,8 +883,7 @@ object TextQueries2 {
     val tops = (1 to BpeTrainGuard)
       .map(k => s"      SELECT $k AS step, a, b, freq FROM top$k")
       .mkString("\n      UNION ALL\n")
-    s"""
-      WITH words AS (
+    s"""words AS (
         SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
         FROM documents),
       wf AS (
@@ -882,13 +895,64 @@ object TextQueries2 {
 $rounds,
       tops AS (
 $tops),
-      thr AS (SELECT freq AS v FROM top1)
-      SELECT CAST(step AS BIGINT) AS step, a || b AS merged, freq
-      FROM tops, thr
-      QUALIFY SUM(CASE WHEN freq * 4 < v THEN 1 ELSE 0 END)
-              OVER (ORDER BY step ROWS UNBOUNDED PRECEDING) = 0
-      ORDER BY step"""
+      thr AS (SELECT freq AS v FROM top1),
+      emitted AS (
+        SELECT step, a, b, freq
+        FROM tops, thr
+        QUALIFY SUM(CASE WHEN freq * 4 < v THEN 1 ELSE 0 END)
+                OVER (ORDER BY step ROWS UNBOUNDED PRECEDING) = 0)"""
   }
+
+  private lazy val bpeTrainOracle: String =
+    s"""
+      WITH $bpeChainSql
+      SELECT CAST(step AS BIGINT) AS step, a || b AS merged, freq
+      FROM emitted
+      ORDER BY step"""
+
+  /** BPE ENCODE under the CONVERGED merges — the corpus statistics a
+    * tokenizer decision reads: after the trainer's stopping rule picks
+    * n merges, what vocabulary the symbol table carries and how far the
+    * token stream compressed vs characters. One hash-gated row:
+    * (n_merges, vocab_size, total_tokens, total_chars, compression_bp).
+    * total_tokens = Σ word-frequency-weighted symbols; the word-type
+    * collapse means encoding costs one corpus pass regardless of merge
+    * count, the same scale posture as the trainer.
+    *
+    * The oracle reuses the trainer chain and must respect the STOP: the
+    * guard-depth chain applies all 14 merges, so per-round stats are
+    * emitted for every intermediate symbol table and the row at
+    * after_merges = |emitted| is selected — the state the loop actually
+    * stopped in, not the guard-depth state.
+    */
+  val textBpeEncode = QueryDef(
+    "text_bpe_encode",
+    (spark, dir) => {
+      val (_, syms0, symsF, rounds) = bpeTrainState(spark, dir)
+      symsF.agg(countDistinct(col("sym")).as("vocab_size"),
+          sum(col("f")).as("total_tokens"))
+        .crossJoin(broadcast(syms0.agg(sum(col("f")).as("total_chars"))))
+        .select(lit(rounds).as("n_merges"),
+          col("vocab_size"), col("total_tokens"), col("total_chars"),
+          expr("(10000 * total_tokens) div total_chars").as("compression_bp"))
+    },
+    Some {
+      val stats = (1 to BpeTrainGuard + 1)
+        .map(k => s"      SELECT ${k - 1} AS after_merges," +
+          s" CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab," +
+          s" CAST(SUM(f) AS BIGINT) AS toks FROM syms$k")
+        .mkString("\n      UNION ALL\n")
+      s"""
+      WITH $bpeChainSql,
+      stop AS (SELECT CAST(COALESCE(MAX(step), 0) AS BIGINT) AS s FROM emitted),
+      stats AS (
+$stats),
+      chars AS (SELECT CAST(SUM(f) AS BIGINT) AS total_chars FROM syms1)
+      SELECT s AS n_merges, vocab AS vocab_size, toks AS total_tokens,
+             total_chars, (10000 * toks) // total_chars AS compression_bp
+      FROM stats JOIN stop ON after_merges = s, chars"""
+    },
+    notes = "encode stats under the CONVERGED merge set (not guard depth): vocab + weighted token count + compression bp, one hash-gated row; oracle selects the per-round stats row at the emitted-merge count")
 
   /** Gopher-style rule gate (Rae et al. 2021 §A1.1): the classic
     * pre-training quality filter as four independent pass/fail rules per
@@ -1026,5 +1090,5 @@ $tops),
   val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents,
     dedupKeepBest, textNormalize, textNgrams, textChunk, textBigramLm,
     textBpeStep, corpusOverlapMatrix, textLmCoverage, textBpeApply,
-    textBpeTrain, textGopherRules, textCharDiversity)
+    textBpeTrain, textBpeEncode, textGopherRules, textCharDiversity)
 }

@@ -45,6 +45,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "vector_pca_project" -> "broadcast 1-row eigenvector array (64 entries) + per-iteration rescale rows",
     "sample_stratified" -> "broadcast 1-row Neyman weight-total aggregate",
     "text_bpe_apply" -> "broadcast 1-row top-merge-pair aggregate",
+    "text_bpe_encode" -> "broadcast 1-row total-chars aggregate over the checkpointed symbol table",
     "graph_kcore" -> "broadcast 1-row edge-count aggregate per peel round (3 rows total)",
     "graph_kcore_converge" -> "broadcast 1-row edge-count aggregate over the converged core",
     "text_dsir_select" -> "broadcast 1-row feature-total aggregate (DSIR share denominators)")
