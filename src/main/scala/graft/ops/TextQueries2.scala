@@ -611,18 +611,139 @@ object TextQueries2 {
       FROM cov GROUP BY 1 ORDER BY 1"""),
     notes = "perplexity-filter stand-in: top-300 bigram hit share in bp; LM table bounded by vocab^2, broadcast")
 
+  /** Shared BPE building blocks — the greedy-apply logic is subtle enough
+    * that it must exist ONCE per engine (it used to exist in four copies;
+    * a review traced a real round-2+ bug through two of them, see
+    * [[bpeApplyTop]]). Spark side here, the generated-SQL twins below.
+    */
+  private[graft] def bpeWordFreqs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    load(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+
+  /** Word-frequency table → char-level symbol table (1-based positions). */
+  private[graft] def bpeChars(wf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    wf.select(col("w"), col("f"),
+        posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
+      .select(col("w"), col("f"), (col("pos") + 1).cast("long").as("pos"),
+        col("sym"))
+
+  /** Symbol table + successor column. */
+  private[graft] def bpeAdj(syms: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    syms.withColumn("nxt",
+      lead(col("sym"), 1).over(
+        Window.partitionBy(col("w")).orderBy(col("pos"))))
+  }
+
+  /** GREEDY LEFT-TO-RIGHT NON-OVERLAPPING application of one merge pair:
+    * "aaaa" + merge(a,a) → aa,aa — not three overlapping pairs. Candidate
+    * positions form islands of CONSECUTIVE positions and exactly the even
+    * offsets within an island merge (for a ≠ b islands have length 1 and
+    * the parity rule is vacuous; for a = b runs it IS the greedy rule).
+    *
+    * The parity trick is only sound on consecutive positions, so the
+    * output RENUMBERS positions (row_number per word). Without that,
+    * round 2+ of a trainer breaks: after one apply the surviving symbols
+    * sit at gapped positions, overlapping candidates land in SEPARATE
+    * islands ([ha,ha,ha] at pos 1,3,5 → both pairs "merge", the third
+    * symbol is consumed twice and vanishes). Found by review; pinned with
+    * a run-of-three case in BpeTrainSpec — the unrolled oracle replicated
+    * the same arithmetic, so only an independent spec could catch it.
+    */
+  private[graft] def bpeApplyTop(adj: org.apache.spark.sql.DataFrame,
+      top: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wpos = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val cand = adj.crossJoin(broadcast(top
+        .select(col("a").as("top_a"), col("b").as("top_b"))))
+      .withColumn("cand",
+        (col("sym") === col("top_a") && col("nxt") === col("top_b"))
+          .cast("int"))
+      .withColumn("isl", col("pos") - sum(col("cand")).over(
+        wpos.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("isl_start",
+        min(when(col("cand") === 1, col("pos")))
+          .over(Window.partitionBy(col("w"), col("isl"))))
+      .withColumn("is_merge",
+        col("cand") === 1 && (col("pos") - col("isl_start")) % 2 === 0)
+      .withColumn("consumed",
+        coalesce(lag(col("is_merge"), 1).over(wpos), lit(false)))
+    cand.filter(!col("consumed"))
+      .select(col("w"), col("f"), col("pos"),
+        when(col("is_merge"), concat(col("top_a"), col("top_b")))
+          .otherwise(col("sym")).as("sym"))
+      .withColumn("pos", row_number().over(wpos).cast("long"))
+  }
+
+  /** The argmax merge pair of a symbol table (1 row: a, b, freq). */
+  private[graft] def bpeTopPair(adj: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    adj.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("a"), col("nxt").as("b"))
+      .agg(sum(col("f")).as("freq"))
+      .orderBy(col("freq").desc, col("a"), col("b"))
+      .limit(1)
+
+  /** SQL twins of the blocks above, generated once. `bpePrefixSql` ends in
+    * syms1 (char-level, 1-based pos); `bpeRoundSql(k)` is one argmax +
+    * greedy-apply round syms$k → syms${k+1}, positions renumbered exactly
+    * like [[bpeApplyTop]]. syms/top/adj are MATERIALIZED against DuckDB's
+    * exponential CTE re-inlining (the kcore-converge lesson).
+    */
+  private val BpePrefixSql = """words AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents),
+      wf AS (
+        SELECT w, COUNT(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w),
+      syms1 AS MATERIALIZED (
+        SELECT w, f, CAST(t.i AS BIGINT) AS pos,
+               substr(w, CAST(t.i AS INT), 1) AS sym
+        FROM wf, UNNEST(range(1, length(w) + 1)) AS t(i))"""
+
+  private def bpeRoundSql(k: Int): String =
+    s"""      adj$k AS MATERIALIZED (
+        SELECT w, f, pos, sym,
+               LEAD(sym, 1) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM syms$k),
+      top$k AS MATERIALIZED (
+        SELECT sym AS a, nxt AS b, CAST(SUM(f) AS BIGINT) AS freq
+        FROM adj$k WHERE nxt IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2 LIMIT 1),
+      cand$k AS (
+        SELECT j.w, j.f, j.pos, j.sym, j.nxt, t.a, t.b,
+               CASE WHEN j.sym = t.a AND j.nxt = t.b THEN 1 ELSE 0 END AS cand
+        FROM adj$k j, top$k t),
+      isl$k AS (
+        SELECT *, pos - SUM(cand) OVER (PARTITION BY w ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS isl
+        FROM cand$k),
+      mrk$k AS (
+        SELECT *, MIN(CASE WHEN cand = 1 THEN pos END)
+                 OVER (PARTITION BY w, isl) AS isl_start
+        FROM isl$k),
+      mg$k AS (
+        SELECT *, cand = 1 AND (pos - isl_start) % 2 = 0 AS is_merge
+        FROM mrk$k),
+      cons$k AS (
+        SELECT *, COALESCE(LAG(is_merge, 1) OVER (PARTITION BY w
+                 ORDER BY pos), FALSE) AS consumed
+        FROM mg$k),
+      syms${k + 1} AS MATERIALIZED (
+        SELECT w, f,
+               ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+               CASE WHEN is_merge THEN a || b ELSE sym END AS sym
+        FROM cons$k WHERE NOT consumed)"""
+
   /** ONE FULL BPE TRAINING ITERATION: count pairs → pick the top merge →
     * APPLY it greedily corpus-wide → recount. [[textBpeStep]] stops at the
-    * argmax; this closes the trainer loop, which is where the semantics
-    * get subtle: BPE applies a merge LEFT-TO-RIGHT NON-OVERLAPPING
-    * ("aaaa" + merge(a,a) → aa,aa — not three overlapping pairs). That
-    * greedy scan is expressed relationally: candidate positions
-    * (c_i, c_{i+1}) = (a, b) form islands of consecutive positions, and
-    * within an island exactly the even offsets merge (for a ≠ b islands
-    * have length 1 and the parity rule is vacuous; for a = b runs it IS
-    * the greedy rule). Merged symbols replace their two chars, consumed
-    * successors drop, and the NEW adjacent-pair table is the output — the
-    * next iteration's input, verified end to end.
+    * argmax; this closes one trainer turn through the SHARED apply block
+    * ([[bpeApplyTop]] / [[bpeRoundSql]]) — the run-to-convergence loop is
+    * `text_bpe_train`.
     *
     * Scale: everything after the word-frequency reduction runs on DISTINCT
     * word types (the orders-of-magnitude collapse), windows partition by
@@ -632,99 +753,25 @@ object TextQueries2 {
   val textBpeApply = QueryDef(
     "text_bpe_apply",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wf = load(spark, dir, "documents")
-        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      def pairCounts(syms: org.apache.spark.sql.DataFrame) = syms
-        .groupBy(col("sym").as("a"), col("next_sym").as("b"))
+      val adj = bpeAdj(bpeChars(bpeWordFreqs(spark, dir)))
+      val merged = bpeApplyTop(adj, bpeTopPair(adj).select(col("a"), col("b")))
+      bpeAdj(merged).filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum(col("f")).as("freq"))
-      val wpos = Window.partitionBy(col("w")).orderBy(col("pos"))
-      val chars = wf
-        .select(col("w"), col("f"),
-          posexplode(split(col("w"), "")).as(Seq("pos", "c")))
-        .withColumn("next_c", lead(col("c"), 1).over(wpos))
-      val top = chars.filter(col("next_c").isNotNull)
-        .groupBy(col("c").as("top_a"), col("next_c").as("top_b"))
-        .agg(sum(col("f")).as("tf"))
-        .orderBy(col("tf").desc, col("top_a"), col("top_b"))
-        .limit(1)
-        .select(col("top_a"), col("top_b"))
-      val cand = chars.crossJoin(broadcast(top))
-        .withColumn("cand",
-          (col("c") === col("top_a") && col("next_c") === col("top_b"))
-            .cast("int"))
-        .withColumn("isl", col("pos") - sum(col("cand")).over(
-          wpos.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("isl_start",
-          min(when(col("cand") === 1, col("pos")))
-            .over(Window.partitionBy(col("w"), col("isl"))))
-        .withColumn("is_merge",
-          col("cand") === 1 && (col("pos") - col("isl_start")) % 2 === 0)
-        .withColumn("consumed",
-          coalesce(lag(col("is_merge"), 1).over(wpos), lit(false)))
-      val merged = cand.filter(!col("consumed"))
-        .select(col("w"), col("f"), col("pos"),
-          when(col("is_merge"), concat(col("top_a"), col("top_b")))
-            .otherwise(col("c")).as("sym"))
-        .withColumn("next_sym", lead(col("sym"), 1).over(wpos))
-        .filter(col("next_sym").isNotNull)
-      pairCounts(merged)
         .orderBy(col("freq").desc, col("a"), col("b"))
         .limit(20)
     },
-    Some("""
-      WITH words AS (
-        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
-        FROM documents),
-      wf AS (
-        SELECT w, COUNT(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w),
-      chars AS (
-        SELECT w, f, CAST(t.i AS BIGINT) AS pos,
-               substr(w, CAST(t.i AS INT), 1) AS c,
-               CASE WHEN t.i < length(w)
-                    THEN substr(w, CAST(t.i AS INT) + 1, 1) END AS next_c
-        FROM wf, UNNEST(range(1, length(w) + 1)) AS t(i)),
-      top AS (
-        SELECT c AS top_a, next_c AS top_b
-        FROM chars WHERE next_c IS NOT NULL
-        GROUP BY c, next_c
-        ORDER BY SUM(f) DESC, c, next_c LIMIT 1),
-      cand AS (
-        SELECT w, f, pos, c, next_c, top_a, top_b,
-               CASE WHEN c = top_a AND next_c = top_b THEN 1 ELSE 0 END
-                 AS cand
-        FROM chars, top),
-      isl AS (
-        SELECT *, pos - SUM(cand) OVER (PARTITION BY w ORDER BY pos
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-        FROM cand),
-      mrk AS (
-        SELECT *,
-               MIN(CASE WHEN cand = 1 THEN pos END)
-                 OVER (PARTITION BY w, isl) AS isl_start
-        FROM isl),
-      mg AS (
-        SELECT *, cand = 1 AND (pos - isl_start) % 2 = 0 AS is_merge
-        FROM mrk),
-      cons AS (
-        SELECT *, COALESCE(LAG(is_merge, 1) OVER (PARTITION BY w
-                 ORDER BY pos), FALSE) AS consumed
-        FROM mg),
-      syms AS (
-        SELECT w, f, pos,
-               CASE WHEN is_merge THEN top_a || top_b ELSE c END AS sym
-        FROM cons WHERE NOT consumed),
-      adj AS (
-        SELECT w, f, sym,
-               LEAD(sym, 1) OVER (PARTITION BY w ORDER BY pos) AS next_sym
-        FROM syms)
-      SELECT sym AS a, next_sym AS b, CAST(SUM(f) AS BIGINT) AS freq
-      FROM adj WHERE next_sym IS NOT NULL
-      GROUP BY sym, next_sym
+    Some(s"""
+      WITH $BpePrefixSql,
+${bpeRoundSql(1)}
+      SELECT sym AS a, nxt AS b, CAST(SUM(f) AS BIGINT) AS freq
+      FROM (SELECT w, f, sym,
+                   LEAD(sym, 1) OVER (PARTITION BY w ORDER BY pos) AS nxt
+            FROM syms2)
+      WHERE nxt IS NOT NULL
+      GROUP BY sym, nxt
       ORDER BY freq DESC, a, b LIMIT 20"""),
-    notes = "full BPE iteration: top merge applied greedily (parity-in-island windows), new pair table out")
+    notes = "full BPE iteration: top merge applied greedily (parity-in-island windows, shared apply block), new pair table out")
 
   /** BPE TRAINING RUN TO CONVERGENCE — the trainer loop [[textBpeApply]]
     * demonstrates one turn of, driven to its stopping rule: keep taking the
@@ -756,25 +803,16 @@ object TextQueries2 {
   // object init, which reads this — a later declaration would still be 0
   private val BpeTrainGuard = 14
 
-  /** The trainer loop, exposed for both BPE queries and any spec: returns
-    * (per-merge 1-row top frames with step, the INITIAL char-level symbol
-    * table, the FINAL symbol table after every applied merge, merge count).
+  /** The trainer loop over an arbitrary word-frequency table (the spec
+    * entry point — BpeTrainSpec drives hand-built corpora through it):
+    * returns (per-merge 1-row top frames with step, the INITIAL char-level
+    * symbol table, the FINAL symbol table after every applied merge,
+    * merge count).
     */
-  private[graft] def bpeTrainState(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Vector[org.apache.spark.sql.DataFrame],
+  private[graft] def bpeTrainFromWf(wf: org.apache.spark.sql.DataFrame)
+      : (Vector[org.apache.spark.sql.DataFrame],
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long) = {
-    import org.apache.spark.sql.expressions.Window
-    val wpos = Window.partitionBy(col("w")).orderBy(col("pos"))
-    val wf = load(spark, dir, "documents")
-      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
-    val syms0 = wf
-      .select(col("w"), col("f"),
-        posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
-      .select(col("w"), col("f"), col("pos").cast("long").as("pos"),
-        col("sym"))
-      .localCheckpoint()
+    val syms0 = bpeChars(wf).localCheckpoint()
     var syms = syms0
     var f1 = 0L
     var merges = Vector.empty[org.apache.spark.sql.DataFrame]
@@ -782,13 +820,8 @@ object TextQueries2 {
     var k = 0
     while (!done && k < BpeTrainGuard) {
       k += 1
-      val adj = syms.withColumn("nxt", lead(col("sym"), 1).over(wpos))
-      val top = adj.filter(col("nxt").isNotNull)
-        .groupBy(col("sym").as("a"), col("nxt").as("b"))
-        .agg(sum(col("f")).as("freq"))
-        .orderBy(col("freq").desc, col("a"), col("b"))
-        .limit(1)
-        .localCheckpoint()
+      val adj = bpeAdj(syms)
+      val top = bpeTopPair(adj).localCheckpoint()
       top.collect().headOption match {
         case None => done = true // alphabet exhausted: no adjacent pairs
         case Some(r) =>
@@ -797,37 +830,40 @@ object TextQueries2 {
           if (freq * 4 < f1) done = true
           else {
             merges :+= top.withColumn("step", lit(k.toLong))
-            val cand = adj.crossJoin(broadcast(top
-                .select(col("a").as("top_a"), col("b").as("top_b"))))
-              .withColumn("cand",
-                (col("sym") === col("top_a") && col("nxt") === col("top_b"))
-                  .cast("int"))
-              .withColumn("isl", col("pos") - sum(col("cand")).over(
-                wpos.rowsBetween(Window.unboundedPreceding, 0)))
-              .withColumn("isl_start",
-                min(when(col("cand") === 1, col("pos")))
-                  .over(Window.partitionBy(col("w"), col("isl"))))
-              .withColumn("is_merge",
-                col("cand") === 1 &&
-                  (col("pos") - col("isl_start")) % 2 === 0)
-              .withColumn("consumed",
-                coalesce(lag(col("is_merge"), 1).over(wpos), lit(false)))
-            syms = cand.filter(!col("consumed"))
-              .select(col("w"), col("f"), col("pos"),
-                when(col("is_merge"), concat(col("top_a"), col("top_b")))
-                  .otherwise(col("sym")).as("sym"))
-              .localCheckpoint()
+            syms = bpeApplyTop(adj, top).localCheckpoint()
           }
       }
     }
     (merges, syms0, syms, merges.size.toLong)
   }
 
+  /** Per-(session, dir) memo of the trainer run: `text_bpe_train` and
+    * `text_bpe_encode` both need it, and a full registry pass should train
+    * once, not once per consumer. The loop is deterministic, the memo
+    * holds only checkpointed frames, and the key space is bounded by the
+    * fixture dirs a JVM touches.
+    */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (Vector[org.apache.spark.sql.DataFrame],
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long)]()
+
+  private[graft] def bpeTrainState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Vector[org.apache.spark.sql.DataFrame],
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long) =
+    bpeMemo.computeIfAbsent((spark, dir),
+      _ => bpeTrainFromWf(bpeWordFreqs(spark, dir)))
+
   val textBpeTrain = QueryDef(
     "text_bpe_train",
     (spark, dir) => {
-      val (merges, _, _, _) = bpeTrainState(spark, dir)
-      merges.reduce(_ unionAll _)
+      val (merges, syms0, _, _) = bpeTrainState(spark, dir)
+      if (merges.isEmpty)
+        // degenerate corpus (no adjacent pairs anywhere): empty merge
+        // table with the right schema, matching the oracle's empty result
+        syms0.select(lit(0L).as("step"), col("sym").as("merged"),
+          col("f").as("freq")).limit(0)
+      else merges.reduce(_ unionAll _)
         .select(col("step"), concat(col("a"), col("b")).as("merged"),
           col("freq"))
         .orderBy(col("step"))
@@ -847,51 +883,11 @@ object TextQueries2 {
     * tail.
     */
   private lazy val bpeChainSql: String = {
-    val rounds = (1 to BpeTrainGuard).map { k =>
-      s"""      adj$k AS MATERIALIZED (
-        SELECT w, f, pos, sym,
-               LEAD(sym, 1) OVER (PARTITION BY w ORDER BY pos) AS nxt
-        FROM syms$k),
-      top$k AS MATERIALIZED (
-        SELECT sym AS a, nxt AS b, CAST(SUM(f) AS BIGINT) AS freq
-        FROM adj$k WHERE nxt IS NOT NULL
-        GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2 LIMIT 1),
-      cand$k AS (
-        SELECT j.w, j.f, j.pos, j.sym, j.nxt, t.a, t.b,
-               CASE WHEN j.sym = t.a AND j.nxt = t.b THEN 1 ELSE 0 END AS cand
-        FROM adj$k j, top$k t),
-      isl$k AS (
-        SELECT *, pos - SUM(cand) OVER (PARTITION BY w ORDER BY pos
-                 ROWS UNBOUNDED PRECEDING) AS isl
-        FROM cand$k),
-      mrk$k AS (
-        SELECT *, MIN(CASE WHEN cand = 1 THEN pos END)
-                 OVER (PARTITION BY w, isl) AS isl_start
-        FROM isl$k),
-      mg$k AS (
-        SELECT *, cand = 1 AND (pos - isl_start) % 2 = 0 AS is_merge
-        FROM mrk$k),
-      cons$k AS (
-        SELECT *, COALESCE(LAG(is_merge, 1) OVER (PARTITION BY w
-                 ORDER BY pos), FALSE) AS consumed
-        FROM mg$k),
-      syms${k + 1} AS MATERIALIZED (
-        SELECT w, f, pos,
-               CASE WHEN is_merge THEN a || b ELSE sym END AS sym
-        FROM cons$k WHERE NOT consumed)"""
-    }.mkString(",\n")
+    val rounds = (1 to BpeTrainGuard).map(bpeRoundSql).mkString(",\n")
     val tops = (1 to BpeTrainGuard)
       .map(k => s"      SELECT $k AS step, a, b, freq FROM top$k")
       .mkString("\n      UNION ALL\n")
-    s"""words AS (
-        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
-        FROM documents),
-      wf AS (
-        SELECT w, COUNT(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w),
-      syms1 AS MATERIALIZED (
-        SELECT w, f, CAST(t.i AS BIGINT) AS pos,
-               substr(w, CAST(t.i AS INT), 1) AS sym
-        FROM wf, UNNEST(range(1, length(w) + 1)) AS t(i)),
+    s"""$BpePrefixSql,
 $rounds,
       tops AS (
 $tops),
