@@ -451,10 +451,7 @@ object TextQueries2 {
       // tools/Repeat at sf0.1: 0.40 s as-is vs 0.51 s with a pre-explode
       // repartition): the word-frequency collapse's map-side combine makes
       // the scan-task tokenize cheaper than shuffling the raw text.
-      val wf = load(spark, dir, "documents")
-        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val wf = bpeWordFreqs(spark, dir)
       wf.select(col("f"),
           explode(expr(
             "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
@@ -839,9 +836,14 @@ ${bpeRoundSql(1)}
 
   /** Per-(session, dir) memo of the trainer run: `text_bpe_train` and
     * `text_bpe_encode` both need it, and a full registry pass should train
-    * once, not once per consumer. The loop is deterministic, the memo
-    * holds only checkpointed frames, and the key space is bounded by the
-    * fixture dirs a JVM touches.
+    * once, not once per consumer. The loop is deterministic and the memo
+    * holds only checkpointed frames. Two boundaries keep it honest:
+    * SPARK_GRAFT_BPE_COLD bypasses it entirely (so TimeQuery/ScaleEvidence
+    * can still measure the true training cost — without the bypass their
+    * warm pass would train and every timed rep would read the cache), and
+    * the map clears itself past a small bound so a long-lived JVM touching
+    * many fixtures doesn't pin checkpoint blocks (or dead sessions)
+    * forever — entries are recomputable, clearing is always safe.
     */
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
@@ -851,8 +853,13 @@ ${bpeRoundSql(1)}
   private[graft] def bpeTrainState(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Vector[org.apache.spark.sql.DataFrame],
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long) =
-    bpeMemo.computeIfAbsent((spark, dir),
-      _ => bpeTrainFromWf(bpeWordFreqs(spark, dir)))
+    if (sys.env.contains("SPARK_GRAFT_BPE_COLD"))
+      bpeTrainFromWf(bpeWordFreqs(spark, dir))
+    else {
+      if (bpeMemo.size > 4) bpeMemo.clear()
+      bpeMemo.computeIfAbsent((spark, dir),
+        _ => bpeTrainFromWf(bpeWordFreqs(spark, dir)))
+    }
 
   val textBpeTrain = QueryDef(
     "text_bpe_train",

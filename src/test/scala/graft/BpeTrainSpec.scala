@@ -54,10 +54,9 @@ class BpeTrainSpec extends AnyFunSuite {
 
   test("alphabet-exhausted corpus yields an empty merge table, not a crash") {
     import spark.implicits._
-    // every word is a single repeated... no: single-symbol words have no
-    // adjacent pairs at all after char split only if length 1 — which the
-    // word-freq filter already drops; simulate via an empty wf instead
-    // (the degenerate all-digits/punctuation corpus)
+    // length-1 words (the only pairless kind) are pre-filtered by the
+    // word-frequency block, so an empty wf models the degenerate
+    // all-digits/punctuation corpus
     val wf = Seq.empty[(String, Long)].toDF("w", "f")
     val (merges, _, _, n) = graft.ops.TextQueries2.bpeTrainFromWf(wf)
     assert(merges.isEmpty && n === 0L)
