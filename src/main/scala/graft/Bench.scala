@@ -93,11 +93,13 @@ object Bench {
     // factor. Reading a bench: divide the headline by the factor before
     // comparing rounds — factor >~1.15 means the host window, not the
     // code, inflated this run relative to the reference window; factor
-    // <1 means a healthier window than the reference. Records are the r11
-    // builder closing bench (154.0 s / 265 queries; that window itself
-    // measured ~1.1-1.2× vs r10 on untouched queries, which is exactly
-    // the drift this block exists to expose) and must be re-pinned if a
-    // control's code or fixture changes.
+    // <1 means a healthier window than the reference. Records are pinned
+    // from the r11 builder MID-ROUND calibration run (154.0 s / 246 batch
+    // queries per BASELINE.md's r11 work log — the closing bench was a
+    // separate, healthier 145.9 s / 248 window that measured factor 1.027
+    // against these records; that same-host spread is exactly the drift
+    // this block exists to expose) and must be re-pinned if a control's
+    // code or fixture changes.
     val controlRecords = Map(
       "layout_dpp" -> 1.206, "layout_bucketed" -> 1.465,
       "graph_kcore" -> 3.642, "q1_pricing" -> 0.313)

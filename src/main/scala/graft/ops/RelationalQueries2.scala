@@ -892,6 +892,13 @@ object RelationalQueries2 {
     * Rounds past convergence are no-op copies, so the unroll is always
     * well-defined; generated, because 16 hand-written round pairs would be
     * the one thing worse than generated SQL.
+    *
+    * Guard-hit parity (ADVICE r11): if no round converges by the guard
+    * depth the loop exits with (rounds=16, k16, d16) — so the oracle's
+    * `OR iter = $depth` fallback selects the same guard-depth trajectory
+    * row instead of returning zero rows, mirroring the loop exactly. (At
+    * convergence-exactly-at-16 both predicates pick the same row: d16 is
+    * d15 filtered by k16 = k15, an identity filter at the fixpoint.)
     */
   private lazy val kcoreConvergeOracle: String = {
     val depth = 16
@@ -925,7 +932,7 @@ $trajectory),
       SELECT CAST(iter AS BIGINT) AS rounds,
              CAST(nodes AS BIGINT) AS nodes_kept,
              CAST(edges AS BIGINT) AS edges_und
-      FROM t WHERE nodes = prev ORDER BY iter LIMIT 1"""
+      FROM t WHERE nodes = prev OR iter = $depth ORDER BY iter LIMIT 1"""
   }
 
   /** Min-label propagation RUN TO CONVERGENCE: [[graphLabelProp]]'s twin
@@ -943,6 +950,17 @@ $trajectory),
     * confirming round that moves nothing), which the oracle computes with a
     * second recursive CTE. Measured: 6 / 18 / 22 rounds at sf0.001/0.01/0.1,
     * matching the formula at all three.
+    *
+    * Guard-hit semantics (ADVICE r11, deliberate asymmetry with
+    * [[kcoreConvergeOracle]]'s fallback): this oracle derives the fixpoint
+    * AND the round count INDEPENDENTLY of the loop (exact CC min-reach +
+    * BFS-depth formula) — the house rule after the r11 BPE lesson, because
+    * an oracle that mirrors the loop cannot catch shared-logic bugs. A
+    * trajectory fallback would surrender that independence, so guard
+    * exhaustion (loop guard 40, oracle BFS cap 60) is INTENDED to surface
+    * loudly as an oracle mismatch: a graph whose propagation depth exceeds
+    * the guard is a fixture-contract violation (measured depth has ≥45%
+    * headroom at every SF), not a state to paper over.
     */
   /** One synchronous min-LP superstep: gather MIN neighbor label, merge
     * with LEAST, and carry a `moved` marker column. Shared by the loop and
