@@ -100,6 +100,21 @@ object Tables {
     * `CAST(s AS DOUBLE) / CAST(n AS DOUBLE)`.
     */
   def exactDiv(s: Column, n: Column): Column = s.cast("double") / n.cast("double")
+
+  /** Best-effort recursive delete for per-run temp scaffolding (staging
+    * slices, accumulated stores, checkpoints). Never throws: a half-deleted
+    * temp dir must not fail the query that already produced its result.
+    */
+  def deleteTree(path: String): Unit = {
+    import scala.util.Try
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Try(java.nio.file.Files.deleteIfExists(f)); () })
+      finally walk.close()
+    }
+  }
 }
 
 /** One registered query: the Spark implementation plus (when SQL-expressible)

@@ -136,13 +136,13 @@ object StreamingQueries {
     // whatever was already applied instead of leaking it into the shared
     // Verify/Bench session.
     val prevExtra = extraConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    val ckpt = Files.createTempDirectory(s"graft-$name-ck").toString
     try {
       spark.conf.set("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
       extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
-        .option("checkpointLocation",
-          Files.createTempDirectory(s"graft-$name-ck").toString)
+        .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       // A few oracles (spend milestones) are written against all input
@@ -168,6 +168,9 @@ object StreamingQueries {
         case (k, None)    => spark.conf.unset(k)
       }
       unloadStateStores()
+      // the memory-sink result lives in the session, not the checkpoint:
+      // a one-shot run's ck dir is pure residue once the query terminated
+      graft.Tables.deleteTree(ckpt)
     }
     spark.table(name)
   }
@@ -232,6 +235,20 @@ object StreamingQueries {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       unloadStateStores()
     }
+  }
+
+  /** Materialize a (small) streaming result into block-manager memory, then
+    * delete the per-run temp scaffolding its lazy plan still reads
+    * (versioned sink tables, slice-replay dirs, checkpoints) — without
+    * this every bench/verify invocation left its dirs in /tmp outside the
+    * pid-suffixed orphan-reclaim scheme (r11 ADVICE low). The checkpoint
+    * carries partition DATA, not a sort guarantee — callers re-apply their
+    * ORDER BY on the pinned frame.
+    */
+  private def pinThenClean(df: DataFrame, dirs: String*): DataFrame = {
+    val pinned = df.localCheckpoint()
+    dirs.foreach(graft.Tables.deleteTree)
+    pinned
   }
 
   /** Streaming tumbling counts, complete mode: the stream result must equal
@@ -507,15 +524,15 @@ object StreamingQueries {
     (spark, dir) => {
       val tablePath = Files.createTempDirectory("graft-upsert-table").toString
       val ckpt = Files.createTempDirectory("graft-upsert-ck").toString
-      runSink(spark, "stream_upsert") {
+      val out = runSink(spark, "stream_upsert") {
         EventStreams.runUpsertSink(streamEvents(spark, dir), tablePath, ckpt)
       } {
         EventStreams.readSnapshot(spark, tablePath)
           .getOrElse(sys.error(s"upsert sink produced no snapshot at $tablePath"))
           .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
             col("event_id"), cents(col("value")).as("value_cents"))
-          .orderBy(col("user_id"))
       }
+      pinThenClean(out, tablePath, ckpt).orderBy(col("user_id"))
     },
     Some("""
       SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
@@ -561,6 +578,8 @@ object StreamingQueries {
       java.nio.file.Files.move(part.toPath, dst)
       dst.toFile.setLastModified(baseMs + i * 2000L)
     }
+    // every part file has been moved out; the staging skeleton is garbage
+    graft.Tables.deleteTree(stage.toString)
     incoming.toString
   }
 
@@ -569,9 +588,9 @@ object StreamingQueries {
     (spark, dir) => {
       val tablePath = Files.createTempDirectory("graft-tt-table").toString
       val ckpt = Files.createTempDirectory("graft-tt-ck").toString
-      runSink(spark, "snapshot_asof") {
-        val ev = graft.Tables.load(spark, dir, "events")
-        val incoming = stageEventSlices(ev, 3)
+      val ev = graft.Tables.load(spark, dir, "events")
+      val incoming = stageEventSlices(ev, 3)
+      val out = runSink(spark, "snapshot_asof") {
         val stream = spark.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(incoming)
         EventStreams.runUpsertSink(stream, tablePath, ckpt)
@@ -583,8 +602,8 @@ object StreamingQueries {
           .getOrElse(sys.error(s"no snapshot as of v1 at $tablePath"))
           .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
             col("event_id"), cents(col("value")).as("value_cents"))
-          .orderBy(col("user_id"))
       }
+      pinThenClean(out, incoming, tablePath, ckpt).orderBy(col("user_id"))
     },
     Some("""
       SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
@@ -613,9 +632,9 @@ object StreamingQueries {
     (spark, dir) => {
       val tablePath = Files.createTempDirectory("graft-mv-table").toString
       val ckpt = Files.createTempDirectory("graft-mv-ck").toString
-      runSink(spark, "stream_mv_agg") {
-        val ev = graft.Tables.load(spark, dir, "events")
-        val incoming = stageEventSlices(ev, 3)
+      val ev = graft.Tables.load(spark, dir, "events")
+      val incoming = stageEventSlices(ev, 3)
+      val out = runSink(spark, "stream_mv_agg") {
         val stream = spark.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(incoming)
         EventStreams.runAggSink(stream, tablePath, ckpt)
@@ -624,8 +643,9 @@ object StreamingQueries {
           .getOrElse(sys.error(s"no MV snapshot at $tablePath"))
           .select(col("event_type"), col("day"), col("n").as("n_events"),
             col("s").as("value_cents"), col("mx").as("max_cents"))
-          .orderBy(col("event_type"), col("day"))
       }
+      pinThenClean(out, incoming, tablePath, ckpt)
+        .orderBy(col("event_type"), col("day"))
     },
     Some("""
       SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -842,9 +862,9 @@ object StreamingQueries {
     (spark, dir) => {
       val tablePath = Files.createTempDirectory("graft-cdf-table").toString
       val ckpt = Files.createTempDirectory("graft-cdf-ck").toString
-      runSink(spark, "snapshot_changes") {
-        val ev = graft.Tables.load(spark, dir, "events")
-        val incoming = stageEventSlices(ev, 3)
+      val ev = graft.Tables.load(spark, dir, "events")
+      val incoming = stageEventSlices(ev, 3)
+      val out = runSink(spark, "snapshot_changes") {
         val stream = spark.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(incoming)
         EventStreams.runUpsertSink(stream, tablePath, ckpt)
@@ -863,8 +883,8 @@ object StreamingQueries {
             col("n.event_id").as("new_event_id"),
             col("o.value_cents").as("old_value_cents"),
             col("n.value_cents").as("new_value_cents"))
-          .orderBy(col("user_id"))
       }
+      pinThenClean(out, incoming, tablePath, ckpt).orderBy(col("user_id"))
     },
     Some("""
       WITH v1 AS (
@@ -1084,6 +1104,8 @@ object StreamingQueries {
       java.nio.file.Files.move(part.toPath, dst)
       dst.toFile.setLastModified(baseMs + i * 2000L)
     }
+    // every part file has been moved out; the staging skeleton is garbage
+    graft.Tables.deleteTree(stage.toString)
     incoming.toString
   }
 
@@ -1167,7 +1189,8 @@ object StreamingQueries {
       // 4-5 s/batch; restoring the batch sizing inside the (stateless)
       // batch body brings it back to batch-LSH economics
       val batchPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-      runSink(spark, "stream_neardup_verified") {
+      try {
+      val held = runSink(spark, "stream_neardup_verified") {
         val stream = spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(incoming)
         stream.writeStream
@@ -1256,7 +1279,21 @@ object StreamingQueries {
                 org.apache.spark.sql.types.StringType),
               org.apache.spark.sql.types.StructField("tier",
                 org.apache.spark.sql.types.IntegerType, nullable = false))))
-        else spark.read.parquet(heldDir).orderBy(col("doc_id"))
+        else spark.read.parquet(heldDir)
+      }
+      // pin the (small) held set into block-manager memory BEFORE the
+      // scaffolding deletes below pull the lazy parquet read's files out
+      // from under it; the sort goes after the checkpoint (a LogicalRDD
+      // carries partition data, not a sort guarantee)
+      held.localCheckpoint().orderBy(col("doc_id"))
+      } finally {
+        // per-run scaffolding (r11 ADVICE low): the slice replay dir, the
+        // accumulated signature store, the held-rows spool, and the stream
+        // checkpoint are all run-local — without this, every bench/verify
+        // invocation left five fixture-scale dirs in /tmp outside the
+        // pid-suffixed orphan-reclaim scheme (stage dir now dies inside
+        // stageDocRangeSlices)
+        Seq(incoming, storeDir, heldDir, ckpt).foreach(graft.Tables.deleteTree)
       }
     },
     Some {

@@ -827,7 +827,14 @@ ${bpeRoundSql(1)}
           if (freq * 4 < f1) done = true
           else {
             merges :+= top.withColumn("step", lit(k.toLong))
-            syms = bpeApplyTop(adj, top).localCheckpoint()
+            val next = bpeApplyTop(adj, top).localCheckpoint()
+            // the superseded round's symbol table is dead once its
+            // successor is checkpointed (adj/top no longer read it) —
+            // free its blocks now instead of pinning one word-type frame
+            // per round until JVM death; syms0 survives (returned)
+            if (!(syms eq syms0))
+              org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(syms)
+            syms = next
           }
       }
     }
@@ -846,9 +853,53 @@ ${bpeRoundSql(1)}
     * forever — entries are recomputable, clearing is always safe.
     */
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.SparkSession, String, Long),
     (Vector[org.apache.spark.sql.DataFrame],
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long)]()
+
+  /** Newest mtime under the documents fixture: part of the memo key, so an
+    * in-JVM fixture regeneration (same dir, new files) misses the memo
+    * instead of serving the stale trainer state (r12 ADVICE low).
+    */
+  private def bpeFixtureStamp(dir: String): Long = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val kids = Option(f.listFiles()).getOrElse(Array.empty)
+    kids.foldLeft(f.lastModified)((m, k) => math.max(m, k.lastModified))
+  }
+
+  /** Drop every memoized entry AND free its localCheckpoint blocks — a
+    * reference-only clear() pins MEMORY_AND_DISK blocks until JVM death
+    * (r12 ADVICE low). Entries are deterministic recomputables, so
+    * evicting mid-flight readers is safe only because the driver runs
+    * queries serially; the unpersist forfeits recomputation by design.
+    */
+  private[graft] def bpeMemoEvictAll(): Unit = {
+    bpeMemo.values().forEach { case (merges, syms0, symsF, _) =>
+      (merges :+ syms0 :+ symsF)
+        .foreach(org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint)
+    }
+    bpeMemo.clear()
+  }
+
+  /** Evict (and unpersist) only the entries trained on `dir` — the spec
+    * hook: parallel suites share the session-wide memo, so a test that
+    * called the blanket eviction could yank blocks out from under another
+    * suite's in-flight bpe query.
+    */
+  private[graft] def bpeMemoEvict(dir: String): Unit = {
+    val it = bpeMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._2 == dir) {
+        val (merges, syms0, symsF, _) = e.getValue
+        (merges :+ syms0 :+ symsF)
+          .foreach(org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint)
+        it.remove()
+      }
+    }
+  }
+
+  private[graft] def bpeMemoSize: Int = bpeMemo.size
 
   private[graft] def bpeTrainState(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Vector[org.apache.spark.sql.DataFrame],
@@ -856,8 +907,8 @@ ${bpeRoundSql(1)}
     if (sys.env.contains("SPARK_GRAFT_BPE_COLD"))
       bpeTrainFromWf(bpeWordFreqs(spark, dir))
     else {
-      if (bpeMemo.size > 4) bpeMemo.clear()
-      bpeMemo.computeIfAbsent((spark, dir),
+      if (bpeMemo.size > 4) bpeMemoEvictAll()
+      bpeMemo.computeIfAbsent((spark, dir, bpeFixtureStamp(dir)),
         _ => bpeTrainFromWf(bpeWordFreqs(spark, dir)))
     }
 

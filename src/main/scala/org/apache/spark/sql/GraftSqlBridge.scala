@@ -30,4 +30,27 @@ object GraftSqlBridge {
     */
   def unloadStateStores(): Unit =
     execution.streaming.state.StateStore.unloadAll()
+
+  /** Free the block-manager storage behind a `localCheckpoint()`ed frame.
+    * `Dataset.unpersist` only touches the plan cache, not checkpoint
+    * blocks — the checkpointed RDD hides behind the plan's `LogicalRDD`
+    * leaf, so memo evictions that merely drop the Dataset reference pin
+    * its MEMORY_AND_DISK blocks until the JVM dies. Safe only when the
+    * frame is never computed again (unpersisting a locally-checkpointed
+    * RDD forfeits recomputation); callers evict-and-forget.
+    */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** The block-manager RDD id behind a checkpointed frame (spec probe:
+    * lets a test assert the id left `sc.getPersistentRDDs` after an
+    * eviction without racing parallel suites on the global set).
+    */
+  def localCheckpointRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: execution.LogicalRDD => lr.rdd.id
+    }
 }

@@ -61,4 +61,55 @@ class BpeTrainSpec extends AnyFunSuite {
     val (merges, _, _, n) = graft.ops.TextQueries2.bpeTrainFromWf(wf)
     assert(merges.isEmpty && n === 0L)
   }
+
+  test("memo eviction frees the trainer's localCheckpoint blocks") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // private fixture dir: suites share the session-wide memo in parallel,
+    // so this test must only ever evict its OWN entry
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-evict")
+    try {
+      Seq("hahaha hahaha", "haha banana").toDF("text").coalesce(1)
+        .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+      val (merges, syms0, symsF, n) =
+        graft.ops.TextQueries2.bpeTrainState(spark, dir.toString)
+      assert(n > 0L)
+      val ids = (merges :+ syms0 :+ symsF)
+        .flatMap(org.apache.spark.sql.GraftSqlBridge.localCheckpointRddId(_))
+      assert(ids.nonEmpty, "no checkpointed frames behind the memo entry?")
+      assert(ids.forall(sc.getPersistentRDDs.contains),
+        "memoized frames should be block-manager persisted")
+      graft.ops.TextQueries2.bpeMemoEvict(dir.toString)
+      val leaked = ids.filter(sc.getPersistentRDDs.contains)
+      assert(leaked.isEmpty,
+        s"eviction left checkpoint blocks pinned: rdd ids $leaked")
+    } finally graft.Tables.deleteTree(dir.toString)
+  }
+
+  test("memo key carries the fixture mtime: in-JVM regeneration retrains") {
+    import spark.implicits._
+    // fake fixture dir: the memo used to key on (session, dir) alone, so
+    // regenerating a fixture in place served the STALE trainer state
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-stale")
+    try {
+      val docs = dir.resolve("documents.parquet").toString
+      Seq("hahaha hahaha").toDF("text")
+        .coalesce(1).write.mode("overwrite").parquet(docs)
+      val (m1, _, _, _) = graft.ops.TextQueries2.bpeTrainState(spark, dir.toString)
+      val first1 = m1.head.collect().head
+      assert((first1.getString(0), first1.getString(1)) === ("h", "a"))
+      // regenerate IN PLACE with different text and a strictly newer mtime
+      Seq("xyxyxy xyxyxy").toDF("text")
+        .coalesce(1).write.mode("overwrite").parquet(docs)
+      val bump = System.currentTimeMillis() + 5000L
+      new java.io.File(docs).listFiles().foreach(_.setLastModified(bump))
+      val (m2, _, _, _) = graft.ops.TextQueries2.bpeTrainState(spark, dir.toString)
+      val first2 = m2.head.collect().head
+      assert((first2.getString(0), first2.getString(1)) === ("x", "y"),
+        s"stale memo served: got (${first2.getString(0)},${first2.getString(1)})")
+    } finally {
+      graft.ops.TextQueries2.bpeMemoEvict(dir.toString)
+      graft.Tables.deleteTree(dir.toString)
+    }
+  }
 }

@@ -419,7 +419,10 @@ class StreamingSpec extends AnyFunSuite {
         .select($"window_start", $"event_type", $"n", $"value_cents")
         .as[(Timestamp, String, Long, Long)].collect().toSet
       assert(rows.contains((ts(0), "click", 2L, 300L)), s"got $rows")
-    } finally q2.stop()
+    } finally {
+      q2.stop()
+      Seq(ckpt, outDir).foreach(graft.Tables.deleteTree)
+    }
   }
 
   test("neardup gate: first-seen keeper is sticky across micro-batches") {
@@ -457,10 +460,22 @@ class StreamingSpec extends AnyFunSuite {
     // and compare as sets — and require that the run really was
     // incremental (≥2 data batches), or the equality would be trivial.
     val sfDir = "/root/testdata/sf0.001"
+    def scaffolding(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.listFiles()).getOrElse(Array.empty).map(_.getName)
+        .filter(n => n.startsWith("graft-ndv-") ||
+          n.startsWith("graft-docslice-")).toSet
+    }
+    val dirsBefore = scaffolding()
     val held = graft.ops.StreamingQueries.streamNeardupVerified
       .fn(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("doc_id"))
       .collect().map(_.getLong(0)).toSet
+    // r11 ADVICE low: the run must clean up its five per-run temp dirs
+    // (slice stage+replay, signature store, held spool, checkpoint)
+    val leftover = scaffolding() -- dirsBefore
+    assert(leftover.isEmpty,
+      s"verified gate leaked temp scaffolding: $leftover")
     assert(graft.ops.StreamingQueries
       .lastBatchCounts("stream_neardup_verified") >= 2,
       "verified gate ran as a single batch — incremental claim not exercised")
