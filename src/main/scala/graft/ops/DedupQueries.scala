@@ -249,30 +249,41 @@ object DedupQueries {
     * cheap blocking: it caps bucket sizes on this homogeneous corpus and
     * cross-language token dups are not meaningful duplicates.
     */
+  /** All verified near-dup pairs (a_id < b_id, language-blocked): 16×4-band
+    * LSH candidates confirmed by the ≥[[VerifyMin]]/64 signature-overlap
+    * predicate — the batch standard. Shared by `dedup_minhash_lsh` and the
+    * streaming verified-gate metrics (`stream_neardup_unordered`), so the
+    * streaming queries' batch comparison set can never drift from the
+    * batch query itself.
+    */
+  def verifiedPairs(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs).cache()
+    val rows = NumPerms / MinhashBands
+    val bands = sigs.select(col("doc_id"), col("lang"), explode(array(
+      (0 until MinhashBands).map { b =>
+        struct(lit(b).as("band"), bandHash(b, rows).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("lang"), col("bb.band"), col("bb.bh"))
+    val candIds = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val withSigs = candIds
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+    val est = withSigs.select(col("a_id"), col("b_id"),
+      aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("matches"))
+    est.filter(col("matches") >= VerifyMin)
+  }
+
   val dedupMinhashLsh = QueryDef(
     "dedup_minhash_lsh",
     (spark, dir) => {
       val docs = load(spark, dir, "documents")
-      val sigs = minhashSignatures(docs).cache()
-      val rows = NumPerms / MinhashBands
-      val bands = sigs.select(col("doc_id"), col("lang"), explode(array(
-        (0 until MinhashBands).map { b =>
-          struct(lit(b).as("band"), bandHash(b, rows).as("bh"))
-        }: _*)).as("bb"))
-        .select(col("doc_id"), col("lang"), col("bb.band"), col("bb.bh"))
-      val candIds = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      val withSigs = candIds
-        .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
-        .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
-      val est = withSigs.select(col("a_id"), col("b_id"),
-        aggregate(zip_with(col("sa"), col("sb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).as("matches"))
-      val pairs = est.filter(col("matches") >= (NumPerms * 7 + 9) / 10)
+      val pairs = verifiedPairs(docs)
       summarize(docs.select(col("doc_id")), pairs)
     },
     Some {

@@ -2,7 +2,7 @@ package graft.ops
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
@@ -1086,14 +1086,36 @@ object StreamingQueries {
     * operator — a production source is already time-ordered.
     */
   private def stageDocRangeSlices(docs: DataFrame, n: Int): String = {
+    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+    val step = maxId / n + 1
+    stageDocSlices(docs, n,
+      i => col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+  }
+
+  /** Stage documents as n INTERLEAVED slices (`doc_id % n`), one parquet
+    * file each with increasing modification times — the UNORDERED-arrival
+    * replay: consecutive ids land in different micro-batches, so for most
+    * near-dup pairs the arrival order inverts or splits the id order —
+    * exactly the production condition (time-ordered stream, id-agnostic)
+    * that range slicing cannot exercise. Each slice is still written
+    * id-ascending, so within-batch arrival = id order, matching the
+    * engine's same-batch candidate rule.
+    */
+  private def stageDocModSlices(docs: DataFrame, n: Int): String =
+    stageDocSlices(docs, n, i => col("doc_id") % n === lit(i))
+
+  /** Shared slice writer: one single-file parquet per slice predicate,
+    * strictly increasing mtimes so `maxFilesPerTrigger=1` replays slice i
+    * as micro-batch i (file source processes oldest-first).
+    */
+  private def stageDocSlices(docs: DataFrame, n: Int,
+      slicePred: Int => Column): String = {
     val stage = Files.createTempDirectory("graft-docslice-stage")
     val incoming = Files.createTempDirectory("graft-docslice-in")
     val baseMs = System.currentTimeMillis() - 60000L
-    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
-    val step = maxId / n + 1
     for (i <- 0 until n) {
       val sliceDir = stage.resolve(s"s$i").toString
-      docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+      docs.filter(slicePred(i))
         .coalesce(1)
         .write.mode("overwrite").parquet(sliceDir)
       val part = new java.io.File(sliceDir).listFiles()
@@ -1143,54 +1165,68 @@ object StreamingQueries {
     * O(store) pair work: the signature build is row-local, candidate
     * volume is band-bounded, and the verify join touches candidates only.
     */
-  val streamNeardupVerified = QueryDef(
-    "stream_neardup_verified",
-    (spark, dir) => {
-      val storeDir = Files.createTempDirectory("graft-ndv-store").toString
-      val heldDir = Files.createTempDirectory("graft-ndv-held").toString
-      val ckpt = Files.createTempDirectory("graft-ndv-ck").toString
-      // staged BEFORE runSink so the slice layout isn't in the timed stream
-      val docs = graft.Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"))
-      val incoming = stageDocRangeSlices(docs, 3)
-      // one store row per doc: signature + every banding width, computed
-      // row-locally ONCE on arrival and persisted together — later batches
-      // scan stored band keys instead of re-deriving them for the whole
-      // corpus each batch (which would be O(corpus)/batch — quadratic over
-      // the stream's life), and the single table keeps the per-batch
-      // commit count down (parquet commit rounds dominate small batches)
-      // sig stays ONE array column: a 64-scalar-column store (the batch
-      // verify's shape) was tried and sends the optimizer into a
-      // pathological expression blow-up once projection collapse inlines
-      // the 64 heavy array_min trees into every band fold (minutes of
-      // planning, then OOM); the array form plans instantly and its
-      // interpreted zip_with verify costs ~1 s/batch at sf0.1 — the
-      // documented trade
-      def enrich(df: DataFrame): DataFrame =
-        DedupQueries.rowLocalSignatures(df)
-          .withColumn("bands", DedupQueries.bandStructs(Seq(16, 4)))
-      val storeSchema = enrich(docs.limit(0)).schema
-      def readOrEmpty(sp: SparkSession, path: String,
-          schema: org.apache.spark.sql.types.StructType): DataFrame = {
-        val files = new java.io.File(path).listFiles()
-        if (files != null && files.nonEmpty)
-          sp.read.schema(schema).parquet(path)
-        else sp.createDataFrame(
-          sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      }
-      def bandsOf(df: DataFrame): DataFrame =
-        df.select(col("doc_id"), col("lang"), explode(col("bands")).as("bb"))
-          .select(col("doc_id"), col("lang"), col("bb.w").as("w"),
-            col("bb.band").as("band"), col("bb.bh").as("bh"))
-      // the batch-engine parallelism, captured OUTSIDE runSink: runSink
-      // drops shuffle partitions to the stream-state sizing (4), which is
-      // right for stateful operators but starves this query's foreachBatch
-      // verify join — 2.4M candidate pairs at sf0.1 on 4 partitions was
-      // 4-5 s/batch; restoring the batch sizing inside the (stateless)
-      // batch body brings it back to batch-LSH economics
-      val batchPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-      try {
-      val held = runSink(spark, "stream_neardup_verified") {
+  /** Shared engine for the incremental verified-dedup family
+    * ([[streamNeardupVerified]], [[streamNeardupUnordered]]): documents
+    * stream in from `incoming` as micro-batch slices; each batch runs
+    * (foreachBatch) against an ACCUMULATED SIGNATURE STORE and appends the
+    * held rows (doc_id, lang, tier). Returns the held set pinned in
+    * block-manager memory with every per-run scaffolding dir deleted;
+    * callers apply their own ORDER BY.
+    *
+    * CANDIDATE RULE (the arrival-semantics core): a stored document
+    * arrived strictly EARLIER than anything in the current batch, so
+    * store-side candidates pair UNCONDITIONALLY — arrival order, not id
+    * order. Same-batch candidates pair by id order, which IS within-batch
+    * arrival because both stagers write each slice id-ascending. Under
+    * range slicing the two rules coincide with "smaller id first"
+    * (stored ⇒ smaller id), which is what makes the ordered query's held
+    * set equal the batch removable set; under interleaved slicing the
+    * unconditional store side is what catches the id-inverted pairs an
+    * `a_id < b_id` filter would silently drop (keeping BOTH copies).
+    */
+  private def neardupStoreRun(spark: SparkSession, name: String,
+      docs: DataFrame, incoming: String): DataFrame = {
+    val storeDir = Files.createTempDirectory("graft-ndv-store").toString
+    val heldDir = Files.createTempDirectory("graft-ndv-held").toString
+    val ckpt = Files.createTempDirectory("graft-ndv-ck").toString
+    // one store row per doc: signature + every banding width, computed
+    // row-locally ONCE on arrival and persisted together — later batches
+    // scan stored band keys instead of re-deriving them for the whole
+    // corpus each batch (which would be O(corpus)/batch — quadratic over
+    // the stream's life), and the single table keeps the per-batch
+    // commit count down (parquet commit rounds dominate small batches)
+    // sig stays ONE array column: a 64-scalar-column store (the batch
+    // verify's shape) was tried and sends the optimizer into a
+    // pathological expression blow-up once projection collapse inlines
+    // the 64 heavy array_min trees into every band fold (minutes of
+    // planning, then OOM); the array form plans instantly and its
+    // interpreted zip_with verify costs ~1 s/batch at sf0.1 — the
+    // documented trade
+    def enrich(df: DataFrame): DataFrame =
+      DedupQueries.rowLocalSignatures(df)
+        .withColumn("bands", DedupQueries.bandStructs(Seq(16, 4)))
+    val storeSchema = enrich(docs.limit(0)).schema
+    def readOrEmpty(sp: SparkSession, path: String,
+        schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val files = new java.io.File(path).listFiles()
+      if (files != null && files.nonEmpty)
+        sp.read.schema(schema).parquet(path)
+      else sp.createDataFrame(
+        sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    def bandsOf(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("lang"), explode(col("bands")).as("bb"))
+        .select(col("doc_id"), col("lang"), col("bb.w").as("w"),
+          col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // the batch-engine parallelism, captured OUTSIDE runSink: runSink
+    // drops shuffle partitions to the stream-state sizing (4), which is
+    // right for stateful operators but starves this query's foreachBatch
+    // verify join — 2.4M candidate pairs at sf0.1 on 4 partitions was
+    // 4-5 s/batch; restoring the batch sizing inside the (stateless)
+    // batch body brings it back to batch-LSH economics
+    val batchPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val held = runSink(spark, name) {
         val stream = spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(incoming)
         stream.writeStream
@@ -1208,21 +1244,29 @@ object StreamingQueries {
             val sigs = enrich(batch.repartition(col("doc_id")))
               .localCheckpoint() // batch-sized; consumed by every branch
             val store = readOrEmpty(sp, storeDir, storeSchema)
-            // a-side = stored bands (strictly earlier ids, by range
-            // slicing) ∪ this batch's (same-batch pairs, id-ordered)
-            val allBands = bandsOf(store).unionByName(bandsOf(sigs))
+            val batchBands16 = bandsOf(sigs).filter(col("w") === 16)
             // tier 2: narrow-band candidate PAIRS, then the signature-
-            // overlap verify — the batch LSH rule verbatim (a-side sigs
-            // from the store ∪ batch, b-side always this batch). Pairs are
-            // unavoidable here: the verify predicate is pairwise.
-            val cand = allBands.filter(col("w") === 16)
+            // overlap verify — the batch LSH rule run incrementally
+            // (a-side sigs from the store ∪ batch, b-side always this
+            // batch). Pairs are unavoidable here: the verify predicate is
+            // pairwise. Store-side pairs carry NO id filter (see the
+            // candidate rule above); same-batch pairs order by id.
+            val candCross = bandsOf(store).filter(col("w") === 16)
               .select(col("band"), col("bh"), col("lang"),
                 col("doc_id").as("a_id"))
-              .join(broadcast(bandsOf(sigs).filter(col("w") === 16)
+              .join(broadcast(batchBands16
+                .select(col("band"), col("bh"), col("lang"),
+                  col("doc_id").as("b_id"))),
+                Seq("band", "bh", "lang"))
+            val candSame = batchBands16
+              .select(col("band"), col("bh"), col("lang"),
+                col("doc_id").as("a_id"))
+              .join(broadcast(batchBands16
                 .select(col("band"), col("bh"), col("lang"),
                   col("doc_id").as("b_id"))),
                 Seq("band", "bh", "lang"))
               .filter(col("a_id") < col("b_id"))
+            val cand = candCross.unionByName(candSame)
               .select(col("a_id"), col("b_id"), col("lang")).distinct()
             val verified = cand
               .join(store.unionByName(sigs)
@@ -1239,7 +1283,8 @@ object StreamingQueries {
             // cluster-sized and a pair join there is cluster-QUADRATIC
             // (measured: the pair form put ~1 s of bucket fan-out into
             // every batch); the min form is O(bucket count)
-            val wideMin = allBands.filter(col("w") === 4)
+            val wideMin = bandsOf(store).unionByName(bandsOf(sigs))
+              .filter(col("w") === 4)
               .groupBy(col("band"), col("bh"), col("lang"))
               .agg(min(col("doc_id")).as("mn"))
             val tier1 = bandsOf(sigs).filter(col("w") === 4)
@@ -1283,18 +1328,27 @@ object StreamingQueries {
       }
       // pin the (small) held set into block-manager memory BEFORE the
       // scaffolding deletes below pull the lazy parquet read's files out
-      // from under it; the sort goes after the checkpoint (a LogicalRDD
-      // carries partition data, not a sort guarantee)
-      held.localCheckpoint().orderBy(col("doc_id"))
-      } finally {
-        // per-run scaffolding (r11 ADVICE low): the slice replay dir, the
-        // accumulated signature store, the held-rows spool, and the stream
-        // checkpoint are all run-local — without this, every bench/verify
-        // invocation left five fixture-scale dirs in /tmp outside the
-        // pid-suffixed orphan-reclaim scheme (stage dir now dies inside
-        // stageDocRangeSlices)
-        Seq(incoming, storeDir, heldDir, ckpt).foreach(graft.Tables.deleteTree)
-      }
+      // from under it (a LogicalRDD carries partition data; callers sort)
+      held.localCheckpoint()
+    } finally {
+      // per-run scaffolding (r11 ADVICE low): the slice replay dir, the
+      // accumulated signature store, the held-rows spool, and the stream
+      // checkpoint are all run-local — without this, every bench/verify
+      // invocation left five fixture-scale dirs in /tmp outside the
+      // pid-suffixed orphan-reclaim scheme (stage dirs die inside the
+      // stagers)
+      Seq(incoming, storeDir, heldDir, ckpt).foreach(graft.Tables.deleteTree)
+    }
+  }
+
+  val streamNeardupVerified = QueryDef(
+    "stream_neardup_verified",
+    (spark, dir) => {
+      val docs = graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      // staged BEFORE runSink so the slice layout isn't in the timed stream
+      neardupStoreRun(spark, "stream_neardup_verified", docs,
+        stageDocRangeSlices(docs, 3)).orderBy(col("doc_id"))
     },
     Some {
       import DedupQueries.{tokHashSql, minColsSql, bandSelectsSql,
@@ -1340,10 +1394,141 @@ object StreamingQueries {
     },
     notes = "two-tier incremental dedup: per-micro-batch narrow-band candidates + signature verify against the accumulated store (held docs stay as witnesses); held set == batch-LSH removable set doc for doc (100% recall at 100% precision, > the >=90% target), tier flag = wide-band fast path")
 
+  /** UNORDERED-ARRIVAL VERIFIED STREAMING DEDUP — the honest-production
+    * variant of [[streamNeardupVerified]] (r11 top ask): that query's exact
+    * batch parity leans on range-ordered slices making "seen earlier" =
+    * "smaller doc_id"; a production stream is time-ordered with no id
+    * discipline. Here the corpus replays as INTERLEAVED slices
+    * (`doc_id % 3` — consecutive ids in different micro-batches), so for
+    * most near-dup pairs the arrival order splits or inverts the id order,
+    * and the engine's arrival-based keeper policy (first arrival of a pair
+    * is kept, the later arrival held) genuinely diverges from the batch
+    * id-based policy.
+    *
+    * The output states the divergence EXPLICITLY, per language:
+    *   n_held        — stream-held docs (later arrival of ≥1 verified pair)
+    *   n_removable   — batch removable set (docs with a smaller-id partner)
+    *   n_common      — their intersection
+    *   n_held_dup    — held docs that are members of ANY verified pair;
+    *                   n_held_dup = n_held is the 100%-PRECISION claim
+    *                   (every held doc is a true near-dup — only the
+    *                   keeper CHOICE differs from batch), checked by the
+    *                   hash gate since both engines compute it
+    *   recall_bp     — 10000·n_common/n_removable vs the batch policy; the
+    *                   shortfall is exactly the id-order-dependent pairs
+    *                   (a kept first-arrival whose smaller-id partner came
+    *                   later), accounted, not hidden
+    * KEPT-SET size parity still holds pair-locally (exactly one of every
+    * verified pair survives); StreamingSpec pins the measured recall floor
+    * as a regression gate.
+    *
+    * The oracle is hash-exact, not rows-only: the interleave is
+    * deterministic (slice = doc_id % 3, slices replay in order), so
+    * "x arrived before y" is the SQL predicate
+    * `x%3 < y%3 OR (x%3 = y%3 AND x < y)` and DuckDB replays the whole
+    * arrival-based policy independently.
+    */
+  val streamNeardupUnordered = QueryDef(
+    "stream_neardup_unordered",
+    (spark, dir) => {
+      val docs = graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val held = neardupStoreRun(spark, "stream_neardup_unordered", docs,
+        stageDocModSlices(docs, 3))
+        .select(col("doc_id"), lit(1).as("held"))
+      // the batch comparison sets, recomputed through the BATCH pipeline's
+      // own pair generator (not the stream's store) — an engine bug cannot
+      // vouch for itself
+      val pairs = DedupQueries.verifiedPairs(docs)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val removable = pairs.select(col("b_id").as("doc_id")).distinct()
+        .withColumn("removable", lit(1))
+      val dup = pairs.select(col("a_id").as("doc_id"))
+        .unionAll(pairs.select(col("b_id").as("doc_id"))).distinct()
+        .withColumn("dup", lit(1))
+      docs.select(col("doc_id"), col("lang"))
+        .join(held, Seq("doc_id"), "left")
+        .join(removable, Seq("doc_id"), "left")
+        .join(dup, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("held"), lit(0))).cast("long").as("n_held"),
+          sum(coalesce(col("removable"), lit(0))).cast("long")
+            .as("n_removable"),
+          sum(when(col("held") === 1 && col("removable") === 1, 1L)
+            .otherwise(0L)).as("n_common"),
+          sum(when(col("held") === 1 && col("dup") === 1, 1L)
+            .otherwise(0L)).as("n_held_dup"))
+        .select(col("lang"), col("n_docs"), col("n_held"),
+          col("n_removable"), col("n_common"), col("n_held_dup"),
+          when(col("n_removable") === 0, lit(10000L))
+            .otherwise(expr("(10000 * n_common) div n_removable"))
+            .as("recall_bp"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      import DedupQueries.{tokHashSql, minColsSql, bandSelectsSql,
+        matchTermsSql, VerifyMin}
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id, lang, ${tokHashSql("tok")} AS h FROM toks),
+         |sigs AS (
+         |  SELECT doc_id, lang,
+         |    $minColsSql
+         |  FROM hashed GROUP BY doc_id, lang),
+         |bands AS (
+         |  ${bandSelectsSql(16)}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.lang = b.lang
+         |   AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT a_id, b_id
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = a_id
+         |  JOIN sigs sb ON sb.doc_id = b_id
+         |  WHERE $matchTermsSql >= $VerifyMin),
+         |held AS (
+         |  SELECT DISTINCT CASE
+         |      WHEN a_id % 3 < b_id % 3
+         |        OR (a_id % 3 = b_id % 3 AND a_id < b_id)
+         |      THEN b_id ELSE a_id END AS doc_id
+         |  FROM pairs),
+         |removable AS (SELECT DISTINCT b_id AS doc_id FROM pairs),
+         |dup AS (SELECT a_id AS doc_id FROM pairs
+         |        UNION SELECT b_id FROM pairs),
+         |flags AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS held,
+         |    CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS removable,
+         |    CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+         |  FROM documents d
+         |  LEFT JOIN held h ON d.doc_id = h.doc_id
+         |  LEFT JOIN removable r ON d.doc_id = r.doc_id
+         |  LEFT JOIN dup u ON d.doc_id = u.doc_id),
+         |agg AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |         CAST(SUM(held) AS BIGINT) AS n_held,
+         |         CAST(SUM(removable) AS BIGINT) AS n_removable,
+         |         CAST(SUM(held * removable) AS BIGINT) AS n_common,
+         |         CAST(SUM(held * dup) AS BIGINT) AS n_held_dup
+         |  FROM flags GROUP BY lang)
+         |SELECT lang, n_docs, n_held, n_removable, n_common, n_held_dup,
+         |       CASE WHEN n_removable = 0 THEN CAST(10000 AS BIGINT)
+         |            ELSE (10000 * n_common) // n_removable END AS recall_bp
+         |FROM agg
+         |ORDER BY lang""".stripMargin
+    },
+    notes = "unordered-arrival incremental dedup: interleaved (doc_id % 3) replay, arrival-order keeper policy; 100% precision (n_held_dup = n_held) with recall vs the batch id-policy removable set explicitly accounted; hash-exact oracle replays the deterministic arrival rule in SQL")
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
     streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMvAgg,
     streamMarkov, streamSpendMilestones, streamIdleFlush, streamWarmStart,
     snapshotChanges, streamSynthSource, streamSliding, streamNeardupGate,
-    streamNeardupVerified)
+    streamNeardupVerified, streamNeardupUnordered)
 }

@@ -491,6 +491,33 @@ class StreamingSpec extends AnyFunSuite {
     // (47-65% recall) closed by the deferred verify tier
   }
 
+  test("unordered replay: 100% precision with the recall floor vs the batch policy pinned") {
+    // the interleaved (doc_id % 3) replay — arrival order inverts the id
+    // order for many pairs, so the arrival-based keeper policy genuinely
+    // diverges from the batch id-based one; this gate pins the contract:
+    // precision stays exactly 100%, recall vs the batch removable set
+    // stays above the floor (measured 98.0% at sf0.001, 96.9% at sf0.01)
+    val rows = graft.ops.StreamingQueries.streamNeardupUnordered
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(graft.ops.StreamingQueries
+      .lastBatchCounts("stream_neardup_unordered") >= 2,
+      "unordered gate ran as a single batch — incremental claim not exercised")
+    def total(c: String): Long = rows.map(_.getAs[Long](c)).sum
+    val (nHeld, nHeldDup) = (total("n_held"), total("n_held_dup"))
+    val (nRemovable, nCommon) = (total("n_removable"), total("n_common"))
+    assert(nHeld > 0 && nRemovable > 0, "fixture has no near-dups — vacuous")
+    // 100% PRECISION: every stream-held doc is a member of a verified pair
+    assert(nHeldDup === nHeld,
+      s"held a non-duplicate: $nHeldDup of $nHeld held docs are dup-involved")
+    // the replay must actually exercise id-order inversion, or the recall
+    // gate is vacuous (held == removable would be the ordered case)
+    assert(nCommon < nHeld,
+      "no id-order-dependent keeper choices occurred — replay not unordered?")
+    val recallBp = 10000 * nCommon / nRemovable
+    assert(recallBp >= 9000,
+      s"arrival-policy recall $recallBp bp fell below the 90% floor")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
