@@ -1159,11 +1159,15 @@ object StreamingQueries {
     * Scale posture: the store persists BOTH signatures and band keys, so a
     * batch scans stored bands instead of re-deriving them for the whole
     * corpus (which would be O(corpus) per batch — quadratic over the
-    * stream's life); at 100 TB the band table would be bucketed by band
-    * hash so the candidate join shuffles only bucket-matched slices.
-    * Per-batch cost is O(batch bands + matched store slices), never
-    * O(store) pair work: the signature build is row-local, candidate
-    * volume is band-bounded, and the verify join touches candidates only.
+    * stream's life); both store tables are hive-partitioned by hash
+    * buckets ([[StoreBuckets]]) and every per-batch store read carries a
+    * STATIC partition filter on the batch's touched buckets, so the
+    * candidate join and the verify a-side scan open only bucket-matched
+    * slices (plan + touched-file gates in StreamingSpec; sizing note at
+    * [[StoreBuckets]]). Per-batch cost is O(batch bands + matched store
+    * slices), never O(store) pair work: the signature build is row-local,
+    * candidate volume is band-bounded, and the verify join touches
+    * candidates only.
     */
   /** Shared engine for the incremental verified-dedup family
     * ([[streamNeardupVerified]], [[streamNeardupUnordered]]): documents
@@ -1184,17 +1188,113 @@ object StreamingQueries {
     * unconditional store side is what catches the id-inverted pairs an
     * `a_id < b_id` filter would silently drop (keeping BOTH copies).
     */
+  /** Bucket count for the accumulated band store. The partition-pruning
+    * knob: a batch's candidate reads touch only the buckets its own band
+    * keys hash into, so pruning bites when the per-trigger batch is small
+    * relative to the bucket count — the production regime (trickle
+    * ingestion against a corpus-scale store). The bench replay's
+    * corpus-third batches touch every bucket (nothing to prune, and the
+    * pruned plan costs nothing extra), so the LOCAL sizing is bounded by
+    * per-partition-dir commit overhead instead: 64 buckets (130 dirs over
+    * two widths) cost +8 s of pure parquet-commit/listing rounds on the
+    * 3-batch sf0.1 replay vs 16 buckets at the 11.9 s baseline — measured,
+    * don't raise it for the fixture. Production sizing raises it with the
+    * corpus/batch ratio, exactly like the simhash band-width knob.
+    */
+  private[graft] val StoreBuckets = 16
+
+  /** Band-store partition bucket: hash of the (band, bh) key. */
+  private[graft] def bandBucket(band: Column, bh: Column): Column =
+    pmod(hash(band, bh), lit(StoreBuckets))
+
+  /** Sig-store partition bucket: hash of the doc id. */
+  private[graft] def sigBucket(id: Column): Column =
+    pmod(hash(id), lit(StoreBuckets))
+
+  // isin() with an empty list is not a match-nothing filter; make it one
+  private def inBuckets(c: Column, vs: Seq[Int]): Column =
+    if (vs.isEmpty) lit(false) else c.isin(vs.map(Integer.valueOf): _*)
+
+  /** Append a batch's exploded band keys (doc_id, lang, w, band, bh, pb)
+    * to the band store, hive-partitioned by (w, pb) so later batches'
+    * candidate joins partition-prune to their matched buckets. The
+    * repartition aligns write tasks with partition dirs (≤1 file per
+    * touched dir per batch instead of tasks×dirs).
+    */
+  private[graft] def writeStoreBands(batchBands: DataFrame, dir: String): Unit =
+    batchBands.repartition(col("w"), col("pb"))
+      .write.mode("append").partitionBy("w", "pb").parquet(dir)
+
+  /** Append a batch's signatures (one file per batch). The sig table stays
+    * UNBUCKETED by choice: the verify a-side scan is column-pruned
+    * (doc_id + one array column) and feeds a fused candidate join — a
+    * doc-bucket pruning variant was measured and the candidate-set
+    * materialization it needs (to learn the buckets) cost far more than
+    * the scan it saved; the band store is where pruning pays.
+    */
+  private[graft] def writeStoreSigs(sigs: DataFrame, dir: String): Unit =
+    sigs.select(col("doc_id"), col("lang"), col("sig"))
+      .write.mode("append").parquet(dir)
+
+  /** Partition-pruned band-store read: only width `w`'s buckets in `pbs`
+    * are scanned (both are hive partition columns, so the filter lands in
+    * the scan's PartitionFilters — files in other buckets are never
+    * opened; StreamingSpec gates the plan shape and touched-file count).
+    */
+  private[graft] def readStoreBands(sp: SparkSession, dir: String,
+      w: Int, pbs: Seq[Int]): DataFrame = {
+    val files = new java.io.File(dir).listFiles()
+    if (files == null || files.isEmpty)
+      sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bh",
+            org.apache.spark.sql.types.LongType))))
+    else sp.read.parquet(dir)
+      .filter(col("w") === w && inBuckets(col("pb"), pbs))
+      .select(col("doc_id"), col("lang"), col("band"), col("bh"))
+  }
+
+  /** Sig-store read (whole table, column-pruned by the consumer). */
+  private[graft] def readStoreSigs(sp: SparkSession, dir: String): DataFrame = {
+    val files = new java.io.File(dir).listFiles()
+    if (files == null || files.isEmpty)
+      sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))
+    else sp.read.parquet(dir)
+      .select(col("doc_id"), col("lang"), col("sig"))
+  }
+
   private def neardupStoreRun(spark: SparkSession, name: String,
       docs: DataFrame, incoming: String): DataFrame = {
     val storeDir = Files.createTempDirectory("graft-ndv-store").toString
+    val bandsDir = s"$storeDir/bands"
+    val sigsDir = s"$storeDir/sigs"
     val heldDir = Files.createTempDirectory("graft-ndv-held").toString
     val ckpt = Files.createTempDirectory("graft-ndv-ck").toString
-    // one store row per doc: signature + every banding width, computed
-    // row-locally ONCE on arrival and persisted together — later batches
-    // scan stored band keys instead of re-deriving them for the whole
-    // corpus each batch (which would be O(corpus)/batch — quadratic over
-    // the stream's life), and the single table keeps the per-batch
-    // commit count down (parquet commit rounds dominate small batches)
+    // the store is TWO bucketed tables, written once per batch:
+    //   bands: exploded (doc_id, lang, band, bh) hive-partitioned by
+    //          (w, pb = hash(band,bh) % StoreBuckets) — the candidate join
+    //          reads only the buckets this batch's own band keys touch;
+    //   sigs:  (doc_id, lang, sig) partitioned by hash(doc_id) bucket —
+    //          the verify a-side reads only its candidates' buckets.
+    // Band keys are computed row-locally ONCE on arrival and persisted, so
+    // later batches scan stored keys instead of re-deriving them for the
+    // whole corpus (O(corpus)/batch — quadratic over the stream's life).
+    // Two commit rounds per batch instead of one is the price of pruning;
+    // measured at sf0.1 it is commit-noise (see BASELINE.md).
     // sig stays ONE array column: a 64-scalar-column store (the batch
     // verify's shape) was tried and sends the optimizer into a
     // pathological expression blow-up once projection collapse inlines
@@ -1205,15 +1305,6 @@ object StreamingQueries {
     def enrich(df: DataFrame): DataFrame =
       DedupQueries.rowLocalSignatures(df)
         .withColumn("bands", DedupQueries.bandStructs(Seq(16, 4)))
-    val storeSchema = enrich(docs.limit(0)).schema
-    def readOrEmpty(sp: SparkSession, path: String,
-        schema: org.apache.spark.sql.types.StructType): DataFrame = {
-      val files = new java.io.File(path).listFiles()
-      if (files != null && files.nonEmpty)
-        sp.read.schema(schema).parquet(path)
-      else sp.createDataFrame(
-        sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
     def bandsOf(df: DataFrame): DataFrame =
       df.select(col("doc_id"), col("lang"), explode(col("bands")).as("bb"))
         .select(col("doc_id"), col("lang"), col("bb.w").as("w"),
@@ -1243,15 +1334,27 @@ object StreamingQueries {
             try {
             val sigs = enrich(batch.repartition(col("doc_id")))
               .localCheckpoint() // batch-sized; consumed by every branch
-            val store = readOrEmpty(sp, storeDir, storeSchema)
-            val batchBands16 = bandsOf(sigs).filter(col("w") === 16)
+            val batchBands = bandsOf(sigs)
+              .withColumn("pb", bandBucket(col("band"), col("bh")))
+              .localCheckpoint() // batch-sized; 5 consumers
+            // the batch's touched store buckets, per width: an O(1)-result
+            // driver scalar (≤ 2·StoreBuckets ints) that turns into the
+            // STATIC partition filter on the store scans below — the
+            // explicit isin is guaranteed pruning, where relying on
+            // runtime DPP insertion would hinge on the planner's
+            // selectivity heuristics
+            val touched = batchBands.select(col("w"), col("pb")).distinct()
+              .collect().map(r => (r.getInt(0), r.getInt(1)))
+            val pb16 = touched.collect { case (16, p) => p }.toSeq
+            val pb4 = touched.collect { case (4, p) => p }.toSeq
+            val batchBands16 = batchBands.filter(col("w") === 16)
             // tier 2: narrow-band candidate PAIRS, then the signature-
             // overlap verify — the batch LSH rule run incrementally
             // (a-side sigs from the store ∪ batch, b-side always this
             // batch). Pairs are unavoidable here: the verify predicate is
             // pairwise. Store-side pairs carry NO id filter (see the
             // candidate rule above); same-batch pairs order by id.
-            val candCross = bandsOf(store).filter(col("w") === 16)
+            val candCross = readStoreBands(sp, bandsDir, 16, pb16)
               .select(col("band"), col("bh"), col("lang"),
                 col("doc_id").as("a_id"))
               .join(broadcast(batchBands16
@@ -1269,7 +1372,8 @@ object StreamingQueries {
             val cand = candCross.unionByName(candSame)
               .select(col("a_id"), col("b_id"), col("lang")).distinct()
             val verified = cand
-              .join(store.unionByName(sigs)
+              .join(readStoreSigs(sp, sigsDir).unionByName(
+                  sigs.select(col("doc_id"), col("lang"), col("sig")))
                 .select(col("doc_id").as("a_id"), col("sig").as("sa")),
                 Seq("a_id"))
               .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")),
@@ -1283,11 +1387,13 @@ object StreamingQueries {
             // cluster-sized and a pair join there is cluster-QUADRATIC
             // (measured: the pair form put ~1 s of bucket fan-out into
             // every batch); the min form is O(bucket count)
-            val wideMin = bandsOf(store).unionByName(bandsOf(sigs))
-              .filter(col("w") === 4)
+            val batchBands4 = batchBands.filter(col("w") === 4)
+              .select(col("doc_id"), col("lang"), col("band"), col("bh"))
+            val wideMin = readStoreBands(sp, bandsDir, 4, pb4)
+              .unionByName(batchBands4)
               .groupBy(col("band"), col("bh"), col("lang"))
               .agg(min(col("doc_id")).as("mn"))
-            val tier1 = bandsOf(sigs).filter(col("w") === 4)
+            val tier1 = batchBands4
               .join(wideMin, Seq("band", "bh", "lang"))
               .filter(col("mn") < col("doc_id"))
               .select(col("doc_id")).distinct()
@@ -1298,7 +1404,8 @@ object StreamingQueries {
               .write.mode("append").parquet(heldDir)
             // append AFTER the reads above: all of this batch, held
             // included — held docs still witness later arrivals
-            sigs.write.mode("append").parquet(storeDir)
+            writeStoreBands(batchBands, bandsDir)
+            writeStoreSigs(sigs, sigsDir)
             } finally {
               sp.conf.set("spark.sql.shuffle.partitions", streamPartitions)
               sp.conf.set("spark.sql.adaptive.enabled", streamAqe)

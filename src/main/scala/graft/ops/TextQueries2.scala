@@ -1008,6 +1008,64 @@ $stats),
     },
     notes = "encode stats under the CONVERGED merge set (not guard depth): vocab + weighted token count + compression bp, one hash-gated row; oracle selects the per-round stats row at the emitted-merge count")
 
+  /** BPE SEGMENTATION — the tokenizer ARTIFACT (r11 ask #4): the per-word
+    * ordered token sequence under the converged merge ranks, i.e. what an
+    * inference-time tokenizer would emit for every word type in the
+    * corpus. The trainer's final symbol table IS the segmentation (one row
+    * per surviving position), so the query is a grouped ordered fold of
+    * [[bpeTrainState]]'s exit state: (w, f, n_tokens, seg) with `seg` the
+    * '|'-joined token list — words are [a-z]{2,} by construction
+    * ([[bpeWordFreqs]]), so the delimiter cannot collide. Scale: word-type
+    * frame, one pass, windows bounded by word length — the same collapse
+    * as the trainer.
+    *
+    * The oracle reuses the unrolled trainer chain and must respect the
+    * STOP (the guard-depth chain applies all 14 merges): every
+    * intermediate symbol table is tagged with its merge count and the
+    * table at after_merges = |emitted| is segmented — the state the loop
+    * actually stopped in, exactly as `text_bpe_encode` selects its stats
+    * row. BpeTrainSpec pins hand-corpus segmentations independently of
+    * the oracle (the r11 shared-logic lesson), including the
+    * overlapping-run corpus.
+    */
+  val textBpeSegment = QueryDef(
+    "text_bpe_segment",
+    (spark, dir) => {
+      val (_, _, symsF, _) = bpeTrainState(spark, dir)
+      bpeSegments(symsF)
+    },
+    Some {
+      val segs = (1 to BpeTrainGuard + 1)
+        .map(k => s"      SELECT ${k - 1} AS after_merges, w, f, pos, sym" +
+          s" FROM syms$k")
+        .mkString("\n      UNION ALL\n")
+      s"""
+      WITH $bpeChainSql,
+      stop AS (SELECT CAST(COALESCE(MAX(step), 0) AS BIGINT) AS s FROM emitted),
+      segs AS (
+$segs)
+      SELECT w, f, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             STRING_AGG(sym, '|' ORDER BY pos) AS seg
+      FROM segs JOIN stop ON after_merges = s
+      GROUP BY w, f
+      ORDER BY w"""
+    },
+    notes = "per-word ordered token lists under the converged merge ranks — the inference-time tokenizer output; oracle segments the unrolled chain's symbol table at the emitted-merge count")
+
+  /** Per-word ordered segmentation of a symbol table: (w, f, n_tokens,
+    * '|'-joined tokens). The sort key is the struct's leading `pos`, so
+    * the collect_list's nondeterministic arrival order is irrelevant.
+    */
+  private[graft] def bpeSegments(syms: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    syms.groupBy(col("w"), col("f"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          s => s.getField("sym")), "|").as("seg"))
+      .select(col("w"), col("f"), col("n_tokens"), col("seg"))
+      .orderBy(col("w"))
+
   /** Gopher-style rule gate (Rae et al. 2021 §A1.1): the classic
     * pre-training quality filter as four independent pass/fail rules per
     * document — mean word length in [3,10], ≥80% of words contain an
@@ -1144,5 +1202,6 @@ $stats),
   val all: Seq[QueryDef] = Seq(textTokens, textQuality, dedupComponents,
     dedupKeepBest, textNormalize, textNgrams, textChunk, textBigramLm,
     textBpeStep, corpusOverlapMatrix, textLmCoverage, textBpeApply,
-    textBpeTrain, textBpeEncode, textGopherRules, textCharDiversity)
+    textBpeTrain, textBpeEncode, textBpeSegment, textGopherRules,
+    textCharDiversity)
 }

@@ -62,6 +62,36 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(merges.isEmpty && n === 0L)
   }
 
+  test("segmentation: overlapping-run corpus collapses to one token") {
+    import spark.implicits._
+    // the r11 regression corpus: a broken renumber would leave "hahaha"
+    // segmented as haha|ha-with-a-lost-symbol (20 chars vanish); the
+    // correct trainer fully merges it in 3 rounds
+    val wf = Seq(("hahaha", 10L)).toDF("w", "f")
+    val (_, _, symsF, _) = graft.ops.TextQueries2.bpeTrainFromWf(wf)
+    val seg = graft.ops.TextQueries2.bpeSegments(symsF).collect()
+    assert(seg.length === 1)
+    val r = seg.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)) ===
+      ("hahaha", 10L, 1L, "hahaha"))
+  }
+
+  test("segmentation: early-stopped trainer leaves rare words multi-token") {
+    import spark.implicits._
+    // f1 = 200 from (a,b); (ab,ab) at 100 clears 100*4 >= 200 and merges;
+    // (c,d) at 10 fails 10*4 < 200 — so "cd" must stay TWO tokens while
+    // "abab" collapses to one: the seg output must reflect the STOP, not
+    // the guard depth
+    val wf = Seq(("abab", 100L), ("cd", 10L)).toDF("w", "f")
+    val (merges, _, symsF, n) = graft.ops.TextQueries2.bpeTrainFromWf(wf)
+    assert(n === 2L, s"expected 2 merges, got $n: " +
+      merges.map(_.collect().head).mkString(","))
+    val seg = graft.ops.TextQueries2.bpeSegments(symsF).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(seg("abab") === ((1L, "abab")))
+    assert(seg("cd") === ((2L, "c|d")))
+  }
+
   test("memo eviction frees the trainer's localCheckpoint blocks") {
     import spark.implicits._
     val sc = spark.sparkContext

@@ -518,6 +518,52 @@ class StreamingSpec extends AnyFunSuite {
       s"arrival-policy recall $recallBp bp fell below the 90% floor")
   }
 
+  test("band store: per-batch reads partition-prune to the touched buckets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the verified-dedup store's scale contract: the candidate join's
+    // store scan must OPEN only the bucket dirs the batch's band keys hash
+    // into — a plan whose bucket filter degraded to a post-scan data
+    // filter would silently re-read the whole store every batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndv-prune")
+      .toString
+    try {
+      val S = graft.ops.StreamingQueries
+      val bands = (0 until 512)
+        .map(i => (i.toLong, "en", 16, i % 16, i.toLong))
+        .toDF("doc_id", "lang", "w", "band", "bh")
+        .withColumn("pb", S.bandBucket(col("band"), col("bh")))
+      S.writeStoreBands(bands, dir) // two appends = two micro-batches:
+      S.writeStoreBands(bands, dir) // files accumulate per bucket dir
+      val buckets = bands.select($"pb").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(buckets.size >= 3, "fixture keys landed in <3 buckets")
+      val two = buckets.take(2)
+      val pruned = S.readStoreBands(spark, dir, 16, two)
+      // collect() drives pruned's OWN QueryExecution — count() would spin
+      // up a separate plan and leave this one's scan metrics at zero
+      assert(pruned.collect().length.toLong ===
+        bands.filter($"pb".isin(two.map(Integer.valueOf): _*)).count() * 2)
+      val scan = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      assert(scan.metadata("PartitionFilters").contains("pb"),
+        s"bucket filter did not land in PartitionFilters: ${scan.metadata}")
+      def filesUnder(p: java.io.File): Int =
+        Option(p.listFiles()).getOrElse(Array.empty).map { f =>
+          if (f.isDirectory) filesUnder(f)
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        }.sum
+      val filesTotal = filesUnder(new java.io.File(dir))
+      val filesTouched = two.map(b =>
+        filesUnder(new java.io.File(s"$dir/w=16/pb=$b"))).sum
+      val filesRead = scan.metrics("numFiles").value
+      assert(filesRead === filesTouched.toLong && filesRead < filesTotal,
+        s"scan read $filesRead files; expected the $filesTouched under the " +
+          s"2 matched buckets, store holds $filesTotal")
+    } finally graft.Tables.deleteTree(dir)
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
