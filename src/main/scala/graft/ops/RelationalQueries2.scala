@@ -847,8 +847,19 @@ object RelationalQueries2 {
     * induced edge set, the final keep set, and the executed round count. */
   private[graft] def kcoreConvergeState(spark: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, Long) =
+    kcorePeelLoop(sparseTradeEdges(spark, dir))
+
+  /** The peel loop over an arbitrary symmetric (u, v) edge frame — the
+    * spec entry point (GraphConvergenceSpec drives a hand graph with a
+    * KNOWN maximal 2-core through it; the unrolled oracle restates the
+    * same peel arithmetic, so only an independent corpus can catch an
+    * over-peeling bug that lands at a smaller valid sub-core).
+    */
+  private[graft] def kcorePeelLoop(edges0: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Long) = {
-    var e = sparseTradeEdges(spark, dir).localCheckpoint()
+    var e = edges0.localCheckpoint()
     var nPrev = e.select(col("u")).distinct().count()
     var rounds = 0L
     var converged = false
@@ -1032,8 +1043,152 @@ $trajectory),
       FROM comp GROUP BY root ORDER BY lbl"""),
     notes = "pure sync LP to fixpoint (moved-sum convergence scalar, guard 40); fixpoint = connected-component min labels, rounds = max BFS dist from component min + 1 — both stated independently by the oracle")
 
+  // declared BEFORE graphPagerankConverge: its oracle (a lazy val forced at
+  // QueryDef init) reads this — a later declaration would still be 0
+  private val PrConvergeGuard = 40
+
+  /** DAMPED PAGERANK RUN TO CONVERGENCE — completes the convergence-driven
+    * graph family (kcore = monotone peel fixpoint, LP = exact-label
+    * fixpoint, this = CONTRACTION-mapping stop): iterate the integer-bp
+    * recurrence of [[graphPagerankIter]] (rank' = 1500 + (85·Σ(rank div
+    * outdeg)) div 100, exact Long arithmetic in a pinned order, so chained
+    * iterations stay bit-identical cross-engine) on the sparsified slice
+    * until the L1 drift Σ|rank_i − rank_{i−1}| falls below 100·|nodes| —
+    * mean per-node drift under 1% of the initial 10000 bp mass, a
+    * data-relative threshold like the BPE quarter rule. The graph is
+    * symmetric, so every node has out- AND in-degree ≥ 1: no dangling
+    * mass, every iteration's join is total, and the L1 join is exact.
+    *
+    * Loop discipline (the family contract): one localCheckpointed pass per
+    * round that steps the ranks AND carries the |Δ| column, so the L1
+    * convergence scalar (an O(1)-result distributed aggregate, the LP
+    * moved-sum pattern) reads the checkpoint instead of re-running the
+    * step; the iteration-invariant edge list is checkpointed once. The
+    * per-round checkpoint is the unbounded-loop rule ([[kcoreConvergeState]],
+    * [[labelPropConvergeState]]) — the fixed-depth fuse-it-into-one-job
+    * optimization belongs to [[graphPagerankIter]], where the depth is
+    * known at authoring time.
+    *
+    * Oracle: the recurrence unrolled to the guard depth with the same
+    * L1-trajectory stop rule; guard exhaustion falls back to the
+    * guard-depth row (`COALESCE(stop, guard)`) exactly as the loop exits
+    * with rank_guard — the kcore-style fallback is correct here because
+    * this oracle SHARES the recurrence (an unroll cannot catch shared
+    * recurrence bugs anyway; GraphConvergenceSpec carries the independent
+    * contraction/fixpoint assertions), unlike LP's independently-derived
+    * oracle where a fallback would surrender the independence.
+    */
+  /** The PR loop, exposed for the convergence spec: returns the converged
+    * (node, rank_bp) table, the round count, and the final L1 drift. */
+  private[graft] def pagerankConvergeState(
+      spark: org.apache.spark.sql.SparkSession, dir: String):
+      (org.apache.spark.sql.DataFrame, Long, Long) =
+    pagerankLoop(sparseTradeEdges(spark, dir))
+
+  /** The PR loop over an arbitrary symmetric (u, v) edge frame — the spec
+    * entry point (GraphConvergenceSpec replays a hand graph through it and
+    * compares against a driver-side integer reference implementation of
+    * the same recurrence; the unrolled oracle restates the recurrence, so
+    * only an independent implementation can catch a shared-arithmetic
+    * bug).
+    */
+  private[graft] def pagerankLoop(edges0: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = edges0
+      .select(col("u").as("src"), col("v").as("dst"))
+      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .localCheckpoint() // iteration-invariant side: computed once
+    var ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("rank_bp", lit(10000L))
+      .localCheckpoint()
+    val eps = 100L * ranks.count()
+    var l1 = Long.MaxValue
+    var rounds = 0L
+    while (l1 >= eps && rounds < PrConvergeGuard) {
+      val stepped = edges.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank_bp div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(1500L) + expr("(85L * sum(contrib)) div 100L")).as("rank_bp"))
+        .join(ranks.select(col("node"), col("rank_bp").as("prev")),
+          col("dst") === col("node"))
+        .select(col("node"), col("rank_bp"),
+          abs(col("rank_bp") - col("prev")).as("delta"))
+        .localCheckpoint()
+      l1 = stepped.agg(coalesce(sum(col("delta")), lit(0L)))
+        .first().getLong(0)
+      rounds += 1
+      ranks = stepped.select(col("node"), col("rank_bp"))
+    }
+    (ranks, rounds, l1)
+  }
+
+  val graphPagerankConverge = QueryDef(
+    "graph_pagerank_converge",
+    (spark, dir) => {
+      val (ranks, rounds, l1) = pagerankConvergeState(spark, dir)
+      ranks.orderBy(col("rank_bp").desc, col("node")).limit(20)
+        .select(col("node"), col("rank_bp"),
+          lit(rounds).as("rounds"), lit(l1).as("l1_bp"))
+    },
+    Some(pagerankConvergeOracle),
+    notes = "L1-delta-driven damped PageRank (integer bp, sparse slice): iterate until mean per-node drift < 1% of initial mass, guard 40; oracle = recurrence unrolled to guard depth, stop round selected by the same L1 rule with a guard-depth fallback")
+
+  /** The unrolled-recurrence oracle for [[graphPagerankConverge]]: one
+    * MATERIALIZED rank CTE + one L1 scalar per round to the guard depth
+    * (the kcore lesson — without MATERIALIZED, DuckDB re-inlines each
+    * chained reference and the scan tree goes exponential), the stop round
+    * = first iter whose L1 < 100·|nodes| with `COALESCE(…, guard)` for
+    * guard exhaustion, and the selected round's top-20 ranks read from a
+    * UNION ALL of the per-round tables.
+    */
+  private lazy val pagerankConvergeOracle: String = {
+    val g = PrConvergeGuard
+    val head = """
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 20 = 0 AND l_linenumber = 1),
+      edges AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM e0
+        UNION ALL SELECT v AS src, u AS dst FROM e0),
+      deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      eps AS (SELECT 100 * COUNT(*) AS e FROM deg),
+      r0 AS MATERIALIZED (SELECT src AS node, CAST(10000 AS BIGINT) AS rank_bp FROM deg)"""
+    val roundCtes = (1 to g).map { i =>
+      s"""      r$i AS MATERIALIZED (
+        SELECT e.dst AS node,
+               CAST(1500 + (85 * SUM(r.rank_bp // d.outdeg)) // 100 AS BIGINT) AS rank_bp
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.node = e.src
+        GROUP BY e.dst),
+      l$i AS MATERIALIZED (
+        SELECT CAST(SUM(ABS(a.rank_bp - b.rank_bp)) AS BIGINT) AS l1
+        FROM r$i a JOIN r${i - 1} b ON a.node = b.node)"""
+    }.mkString(",\n")
+    val traj = (1 to g)
+      .map(i => s"      SELECT $i AS iter, (SELECT l1 FROM l$i) AS l1")
+      .mkString("\n      UNION ALL\n")
+    val allRanks = (1 to g)
+      .map(i => s"      SELECT $i AS iter, node, rank_bp FROM r$i")
+      .mkString("\n      UNION ALL\n")
+    s"""$head,
+$roundCtes,
+      traj AS (
+$traj),
+      stop AS (SELECT CAST(COALESCE(
+                 (SELECT MIN(iter) FROM traj, eps WHERE l1 < e), $g)
+               AS BIGINT) AS s FROM (VALUES (1))),
+      allr AS (
+$allRanks)
+      SELECT node, rank_bp, s AS rounds,
+             (SELECT l1 FROM traj WHERE iter = s) AS l1_bp
+      FROM allr, stop WHERE iter = s
+      ORDER BY rank_bp DESC, node LIMIT 20"""
+  }
+
   val all: Seq[QueryDef] = Seq(q13CustDist, joinFullOuter, q15TopSupp,
     q8Share, q20Excess, q21SoleLate, aggSalted, joinSalted, graphPagerank,
     graphPagerankIter, graphTriangles, graphBfs, joinDivision, graphLabelProp,
-    graphKcore, graphKcoreConverge, graphLabelPropConverge)
+    graphKcore, graphKcoreConverge, graphLabelPropConverge,
+    graphPagerankConverge)
 }

@@ -57,4 +57,61 @@ class GraphConvergenceSpec extends AnyFunSuite {
       .filter(col("m") =!= col("lbl")).count()
     assert(badMin === 0L, s"$badMin labels are not their group's min id")
   }
+
+  test("kcore peel is MAXIMAL: hand graph with a known 2-core, not a sub-core") {
+    import spark.implicits._
+    // two 3-cliques {1,2,3} and {4,5,6} joined by the path 3-7-4, plus a
+    // pendant 7-8. The maximal 2-core is {1..7} (node 7's degree stays 2
+    // after the pendant 8 is peeled): a correct peel removes ONLY 8 and
+    // stops. The fixpoint assertion alone (min degree >= k) cannot catch
+    // an over-aggressive peel that also drops 7 and lands at the two bare
+    // triangles — a smaller, still-valid fixpoint; this exact-equality
+    // gate can.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 7L), (7L, 4L), (7L, 8L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val (e, keep, rounds) = graft.ops.RelationalQueries2.kcorePeelLoop(edges)
+    val kept = keep.collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      s"peel did not land at the maximal 2-core: kept $kept")
+    assert(e.count() === 16L, // 8 undirected surviving edges, both directions
+      s"induced core has ${e.count() / 2} undirected edges, expected 8")
+    // round 1 peels the pendant, round 2 confirms the fixpoint
+    assert(rounds === 2L, s"expected 2 rounds, got $rounds")
+  }
+
+  test("pagerank converge matches a driver-side integer reference on a hand graph") {
+    import spark.implicits._
+    // asymmetric-degree hand graph: path 1-2-3-4 plus the chord 2-4. The
+    // unrolled SQL oracle restates the distributed recurrence, so this
+    // reference re-implements it independently (plain Scala Longs, same
+    // pinned order: per-edge rank div outdeg, exact sum, then
+    // 1500 + (85*s) div 100) and must agree on ranks, round count, and
+    // the stop rule (L1 < 100*n).
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L))
+    val sym = und ++ und.map(_.swap)
+    val edges = sym.toDF("u", "v")
+    val (ranks, rounds, l1) = graft.ops.RelationalQueries2.pagerankLoop(edges)
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: adjacency as plain maps
+    val out = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nbrs = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val n = out.size
+    var ref = out.keys.map(_ -> 10000L).toMap
+    var refL1 = Long.MaxValue
+    var refRounds = 0L
+    while (refL1 >= 100L * n && refRounds < 40) {
+      val next = nbrs.map { case (node, in) =>
+        node -> (1500L + 85L * in.map(s => ref(s) / out(s)).sum / 100L)
+      }
+      refL1 = next.map { case (k, v) => math.abs(v - ref(k)) }.sum
+      refRounds += 1
+      ref = next
+    }
+    assert(got === ref,
+      s"distributed ranks diverged from the reference: got $got, want $ref")
+    assert(rounds === refRounds, s"rounds $rounds != reference $refRounds")
+    assert(l1 === refL1 && l1 < 100L * n,
+      s"final L1 $l1 (reference $refL1) not under the 100*n=${100 * n} stop")
+  }
 }
