@@ -86,23 +86,25 @@ object Bench {
       .values.sum
     // Self-adjudicating host-drift controls (r10 burned real effort
     // hand-running TimeQuery controls to separate a 25-30% host window from
-    // code changes). Four stable queries whose code hasn't moved since r10,
-    // spanning profiles (DPP scan, bucketed join, iterative graph, codegen
-    // scan+agg), are compared against their RECORDED builder-host
-    // steady-state in-bench mins; the median ratio is the run's host
-    // factor. Reading a bench: divide the headline by the factor before
-    // comparing rounds — factor >~1.15 means the host window, not the
-    // code, inflated this run relative to the reference window; factor
-    // <1 means a healthier window than the reference. Records are pinned
-    // from the r11 builder MID-ROUND calibration run (154.0 s / 246 batch
-    // queries per BASELINE.md's r11 work log — the closing bench was a
-    // separate, healthier 145.9 s / 248 window that measured factor 1.027
-    // against these records; that same-host spread is exactly the drift
-    // this block exists to expose) and must be re-pinned if a control's
-    // code or fixture changes.
+    // code changes). Six stable queries spanning profiles — DPP scan,
+    // bucketed join, iterative graph, codegen scan+agg, and (r12 verdict
+    // ask: the drift spread concentrated in families the controls didn't
+    // cover) a text battery and a dedup/window pipeline — are compared
+    // against their RECORDED builder-host steady-state in-bench mins; the
+    // median ratio is the run's host factor. Reading a bench: divide the
+    // headline by the factor before comparing rounds — factor >~1.15 means
+    // the host window, not the code, inflated this run relative to the
+    // reference window; factor <1 means a healthier window than the
+    // reference. All six records were pinned together from ONE r13
+    // mid-round calibration run (147.1 s batch / 270 queries / 0 failed,
+    // factor 0.947 against the previous four r11-era records — i.e. a
+    // healthier window than the old reference, so the old records were
+    // retired rather than mixed with new ones) and must be re-pinned if a
+    // control's code or fixture changes.
     val controlRecords = Map(
-      "layout_dpp" -> 1.206, "layout_bucketed" -> 1.465,
-      "graph_kcore" -> 3.642, "q1_pricing" -> 0.313)
+      "layout_dpp" -> 1.126, "layout_bucketed" -> 1.346,
+      "graph_kcore" -> 3.677, "q1_pricing" -> 0.300,
+      "text_ngrams" -> 1.041, "pipeline_url_dedup" -> 1.129)
     // records are meaningful ONLY at the scale factor they were pinned at:
     // at any other sfDir the ratios measure data size, not host health, so
     // the block degrades to empty controls + factor 1.0 (documented as

@@ -1284,12 +1284,13 @@ object StreamingQueries {
     val sigsDir = s"$storeDir/sigs"
     val heldDir = Files.createTempDirectory("graft-ndv-held").toString
     val ckpt = Files.createTempDirectory("graft-ndv-ck").toString
-    // the store is TWO bucketed tables, written once per batch:
+    // the store is TWO tables, each written once per batch:
     //   bands: exploded (doc_id, lang, band, bh) hive-partitioned by
     //          (w, pb = hash(band,bh) % StoreBuckets) — the candidate join
     //          reads only the buckets this batch's own band keys touch;
-    //   sigs:  (doc_id, lang, sig) partitioned by hash(doc_id) bucket —
-    //          the verify a-side reads only its candidates' buckets.
+    //   sigs:  (doc_id, lang, sig), deliberately UNbucketed — see
+    //          writeStoreSigs for the measured rejection of the
+    //          doc-bucketed variant.
     // Band keys are computed row-locally ONCE on arrival and persisted, so
     // later batches scan stored keys instead of re-deriving them for the
     // whole corpus (O(corpus)/batch — quadratic over the stream's life).
