@@ -107,13 +107,20 @@ object Tables {
     */
   def deleteTree(path: String): Unit = {
     import scala.util.Try
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { Try(java.nio.file.Files.deleteIfExists(f)); () })
-      finally walk.close()
+    // the WHOLE body is wrapped, not just the per-file delete: walk()'s
+    // traversal itself throws (UncheckedIOException) on entries that
+    // vanish or turn unreadable mid-scan, and this runs in finally blocks
+    // where an escape would mask the primary exception
+    Try {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Try(java.nio.file.Files.deleteIfExists(f)); () })
+        finally walk.close()
+      }
     }
+    ()
   }
 }
 

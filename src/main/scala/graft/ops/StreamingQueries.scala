@@ -245,11 +245,13 @@ object StreamingQueries {
     * carries partition DATA, not a sort guarantee — callers re-apply their
     * ORDER BY on the pinned frame.
     */
-  private def pinThenClean(df: DataFrame, dirs: String*): DataFrame = {
-    val pinned = df.localCheckpoint()
-    dirs.foreach(graft.Tables.deleteTree)
-    pinned
-  }
+  private def pinThenClean(dirs: String*)(result: => DataFrame): DataFrame =
+    // finally, not sequence: a failing sink must still surrender its temp
+    // dirs, or red verify runs accumulate exactly the residue class this
+    // helper exists to close (review finding — neardupStoreRun already
+    // had the try/finally shape; the four sink queries did not)
+    try result.localCheckpoint()
+    finally dirs.foreach(graft.Tables.deleteTree)
 
   /** Streaming tumbling counts, complete mode: the stream result must equal
     * the batch `events_tumbling` aggregation exactly — same oracle shape.
@@ -524,15 +526,16 @@ object StreamingQueries {
     (spark, dir) => {
       val tablePath = Files.createTempDirectory("graft-upsert-table").toString
       val ckpt = Files.createTempDirectory("graft-upsert-ck").toString
-      val out = runSink(spark, "stream_upsert") {
-        EventStreams.runUpsertSink(streamEvents(spark, dir), tablePath, ckpt)
-      } {
-        EventStreams.readSnapshot(spark, tablePath)
-          .getOrElse(sys.error(s"upsert sink produced no snapshot at $tablePath"))
-          .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
-            col("event_id"), cents(col("value")).as("value_cents"))
-      }
-      pinThenClean(out, tablePath, ckpt).orderBy(col("user_id"))
+      pinThenClean(tablePath, ckpt) {
+        runSink(spark, "stream_upsert") {
+          EventStreams.runUpsertSink(streamEvents(spark, dir), tablePath, ckpt)
+        } {
+          EventStreams.readSnapshot(spark, tablePath)
+            .getOrElse(sys.error(s"upsert sink produced no snapshot at $tablePath"))
+            .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+              col("event_id"), cents(col("value")).as("value_cents"))
+        }
+      }.orderBy(col("user_id"))
     },
     Some("""
       SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
@@ -590,20 +593,21 @@ object StreamingQueries {
       val ckpt = Files.createTempDirectory("graft-tt-ck").toString
       val ev = graft.Tables.load(spark, dir, "events")
       val incoming = stageEventSlices(ev, 3)
-      val out = runSink(spark, "snapshot_asof") {
-        val stream = spark.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1").parquet(incoming)
-        EventStreams.runUpsertSink(stream, tablePath, ckpt)
-      } {
-        val versions = EventStreams.snapshotVersions(tablePath)
-        require(versions.map(_._1) == Seq(0L, 1L, 2L),
-          s"expected versions v0..v2, got ${versions.map(_._1)}")
-        EventStreams.readSnapshotAsOf(spark, tablePath, 1L)
-          .getOrElse(sys.error(s"no snapshot as of v1 at $tablePath"))
-          .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
-            col("event_id"), cents(col("value")).as("value_cents"))
-      }
-      pinThenClean(out, incoming, tablePath, ckpt).orderBy(col("user_id"))
+      pinThenClean(incoming, tablePath, ckpt) {
+        runSink(spark, "snapshot_asof") {
+          val stream = spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(incoming)
+          EventStreams.runUpsertSink(stream, tablePath, ckpt)
+        } {
+          val versions = EventStreams.snapshotVersions(tablePath)
+          require(versions.map(_._1) == Seq(0L, 1L, 2L),
+            s"expected versions v0..v2, got ${versions.map(_._1)}")
+          EventStreams.readSnapshotAsOf(spark, tablePath, 1L)
+            .getOrElse(sys.error(s"no snapshot as of v1 at $tablePath"))
+            .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+              col("event_id"), cents(col("value")).as("value_cents"))
+        }
+      }.orderBy(col("user_id"))
     },
     Some("""
       SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
@@ -634,18 +638,18 @@ object StreamingQueries {
       val ckpt = Files.createTempDirectory("graft-mv-ck").toString
       val ev = graft.Tables.load(spark, dir, "events")
       val incoming = stageEventSlices(ev, 3)
-      val out = runSink(spark, "stream_mv_agg") {
-        val stream = spark.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1").parquet(incoming)
-        EventStreams.runAggSink(stream, tablePath, ckpt)
-      } {
-        EventStreams.readSnapshot(spark, tablePath)
-          .getOrElse(sys.error(s"no MV snapshot at $tablePath"))
-          .select(col("event_type"), col("day"), col("n").as("n_events"),
-            col("s").as("value_cents"), col("mx").as("max_cents"))
-      }
-      pinThenClean(out, incoming, tablePath, ckpt)
-        .orderBy(col("event_type"), col("day"))
+      pinThenClean(incoming, tablePath, ckpt) {
+        runSink(spark, "stream_mv_agg") {
+          val stream = spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(incoming)
+          EventStreams.runAggSink(stream, tablePath, ckpt)
+        } {
+          EventStreams.readSnapshot(spark, tablePath)
+            .getOrElse(sys.error(s"no MV snapshot at $tablePath"))
+            .select(col("event_type"), col("day"), col("n").as("n_events"),
+              col("s").as("value_cents"), col("mx").as("max_cents"))
+        }
+      }.orderBy(col("event_type"), col("day"))
     },
     Some("""
       SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -864,27 +868,28 @@ object StreamingQueries {
       val ckpt = Files.createTempDirectory("graft-cdf-ck").toString
       val ev = graft.Tables.load(spark, dir, "events")
       val incoming = stageEventSlices(ev, 3)
-      val out = runSink(spark, "snapshot_changes") {
-        val stream = spark.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1").parquet(incoming)
-        EventStreams.runUpsertSink(stream, tablePath, ckpt)
-      } {
-        def snap(v: Long) = EventStreams.readSnapshotAsOf(spark, tablePath, v)
-          .getOrElse(sys.error(s"no snapshot as of v$v at $tablePath"))
-          .select(col("user_id"), col("event_id"),
-            cents(col("value")).as("value_cents"))
-        snap(2L).as("n").join(snap(1L).as("o"), Seq("user_id"), "left_outer")
-          .filter(col("o.event_id").isNull ||
-            col("o.event_id") =!= col("n.event_id"))
-          .select(col("user_id"),
-            when(col("o.event_id").isNull, "insert").otherwise("update")
-              .as("change_type"),
-            col("o.event_id").as("old_event_id"),
-            col("n.event_id").as("new_event_id"),
-            col("o.value_cents").as("old_value_cents"),
-            col("n.value_cents").as("new_value_cents"))
-      }
-      pinThenClean(out, incoming, tablePath, ckpt).orderBy(col("user_id"))
+      pinThenClean(incoming, tablePath, ckpt) {
+        runSink(spark, "snapshot_changes") {
+          val stream = spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(incoming)
+          EventStreams.runUpsertSink(stream, tablePath, ckpt)
+        } {
+          def snap(v: Long) = EventStreams.readSnapshotAsOf(spark, tablePath, v)
+            .getOrElse(sys.error(s"no snapshot as of v$v at $tablePath"))
+            .select(col("user_id"), col("event_id"),
+              cents(col("value")).as("value_cents"))
+          snap(2L).as("n").join(snap(1L).as("o"), Seq("user_id"), "left_outer")
+            .filter(col("o.event_id").isNull ||
+              col("o.event_id") =!= col("n.event_id"))
+            .select(col("user_id"),
+              when(col("o.event_id").isNull, "insert").otherwise("update")
+                .as("change_type"),
+              col("o.event_id").as("old_event_id"),
+              col("n.event_id").as("new_event_id"),
+              col("o.value_cents").as("old_value_cents"),
+              col("n.value_cents").as("new_value_cents"))
+        }
+      }.orderBy(col("user_id"))
     },
     Some("""
       WITH v1 AS (
@@ -1236,6 +1241,18 @@ object StreamingQueries {
     sigs.select(col("doc_id"), col("lang"), col("sig"))
       .write.mode("append").parquet(dir)
 
+  /** True iff the tree under `f` holds at least one parquet data file —
+    * the store-read emptiness probe. listFiles-nonEmpty is NOT enough: a
+    * zero-row batch's write still creates the dir with only a _SUCCESS
+    * marker, and a schema-less read of a marker-only dir throws
+    * schema-inference errors instead of returning empty (the same hazard
+    * the held-dir reader guards, re-lost once the store readers dropped
+    * their explicit schemas for hive partition discovery).
+    */
+  private def hasParquetData(f: java.io.File): Boolean =
+    Option(f.listFiles()).getOrElse(Array.empty).exists(k =>
+      (k.isDirectory && hasParquetData(k)) || k.getName.endsWith(".parquet"))
+
   /** Partition-pruned band-store read: only width `w`'s buckets in `pbs`
     * are scanned (both are hive partition columns, so the filter lands in
     * the scan's PartitionFilters — files in other buckets are never
@@ -1243,8 +1260,7 @@ object StreamingQueries {
     */
   private[graft] def readStoreBands(sp: SparkSession, dir: String,
       w: Int, pbs: Seq[Int]): DataFrame = {
-    val files = new java.io.File(dir).listFiles()
-    if (files == null || files.isEmpty)
+    if (!hasParquetData(new java.io.File(dir)))
       sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
@@ -1262,8 +1278,7 @@ object StreamingQueries {
 
   /** Sig-store read (whole table, column-pruned by the consumer). */
   private[graft] def readStoreSigs(sp: SparkSession, dir: String): DataFrame = {
-    val files = new java.io.File(dir).listFiles()
-    if (files == null || files.isEmpty)
+    if (!hasParquetData(new java.io.File(dir)))
       sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",

@@ -867,19 +867,19 @@ ${bpeRoundSql(1)}
     kids.foldLeft(f.lastModified)((m, k) => math.max(m, k.lastModified))
   }
 
-  /** Drop every memoized entry AND free its localCheckpoint blocks — a
-    * reference-only clear() pins MEMORY_AND_DISK blocks until JVM death
-    * (r12 ADVICE low). Entries are deterministic recomputables, so
-    * evicting mid-flight readers is safe only because the driver runs
-    * queries serially; the unpersist forfeits recomputation by design.
+  /** Drop every memoized entry WITHOUT eagerly unpersisting — the
+    * overflow-bound path. Deliberately reference-drop only (review
+    * finding): an eager unpersist here races in-flight readers when
+    * parallel test suites share the session-wide memo (unpersisting a
+    * localCheckpoint forfeits recomputation, so a concurrent collect on
+    * an evicted frame FAILS instead of recomputing — strictly worse than
+    * the transient residue). Dropped references are not a JVM-lifetime
+    * leak: RDD.persist registers with the ContextCleaner, which
+    * unpersists unreachable RDDs at GC. Eager freeing lives in
+    * [[bpeMemoEvict]], where the caller owns the fixture dir and no other
+    * reader can hold it.
     */
-  private[graft] def bpeMemoEvictAll(): Unit = {
-    bpeMemo.values().forEach { case (merges, syms0, symsF, _) =>
-      (merges :+ syms0 :+ symsF)
-        .foreach(org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint)
-    }
-    bpeMemo.clear()
-  }
+  private[graft] def bpeMemoEvictAll(): Unit = bpeMemo.clear()
 
   /** Evict (and unpersist) only the entries trained on `dir` — the spec
     * hook: parallel suites share the session-wide memo, so a test that

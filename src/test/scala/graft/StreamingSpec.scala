@@ -518,6 +518,30 @@ class StreamingSpec extends AnyFunSuite {
       s"arrival-policy recall $recallBp bp fell below the 90% floor")
   }
 
+  test("store readers tolerate a marker-only dir (zero-row batch wrote only _SUCCESS)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a zero-row micro-batch's append still creates the store dir with
+    // only a _SUCCESS marker; a listFiles-nonEmpty probe then routes the
+    // next batch into a schema-less read that throws schema-inference
+    // errors (review finding — the refactor to hive partition discovery
+    // lost the explicit-schema immunity the old reader had)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndv-empty")
+      .toString
+    try {
+      val S = graft.ops.StreamingQueries
+      val empty = Seq.empty[(Long, String, Int, Int, Long)]
+        .toDF("doc_id", "lang", "w", "band", "bh")
+        .withColumn("pb", S.bandBucket(col("band"), col("bh")))
+      S.writeStoreBands(empty, s"$dir/bands")
+      S.writeStoreSigs(Seq.empty[(Long, String, Seq[Long])]
+        .toDF("doc_id", "lang", "sig"), s"$dir/sigs")
+      assert(S.readStoreBands(spark, s"$dir/bands", 16, Seq(0, 1))
+        .count() === 0L)
+      assert(S.readStoreSigs(spark, s"$dir/sigs").count() === 0L)
+    } finally graft.Tables.deleteTree(dir)
+  }
+
   test("band store: per-batch reads partition-prune to the touched buckets") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
