@@ -1106,7 +1106,7 @@ object StreamingQueries {
     * id-ascending, so within-batch arrival = id order, matching the
     * engine's same-batch candidate rule.
     */
-  private def stageDocModSlices(docs: DataFrame, n: Int): String =
+  private[graft] def stageDocModSlices(docs: DataFrame, n: Int): String =
     stageDocSlices(docs, n, i => col("doc_id") % n === lit(i))
 
   /** Shared slice writer: one single-file parquet per slice predicate,
@@ -1253,6 +1253,67 @@ object StreamingQueries {
     Option(f.listFiles()).getOrElse(Array.empty).exists(k =>
       (k.isDirectory && hasParquetData(k)) || k.getName.endsWith(".parquet"))
 
+  /** Compact the band store: rewrite the accumulated per-batch files into
+    * one file per (w, pb) bucket, preserving rows exactly. The maintenance
+    * companion the bucketed layout requires at scale: every batch appends
+    * one file per touched bucket, so FILE COUNT grows with stream life
+    * while file SIZE stays batch-bounded — the classic streaming
+    * small-files problem (listing cost and scan-task fan-out grow
+    * per-batch even when pruning holds bytes flat). One store read +
+    * rewrite, amortized by running every [[CompactEveryBatches]] triggers;
+    * the swap is rename-based so a (sequential) reader never sees a
+    * half-written store.
+    *
+    * TRIGGER is file PRESSURE, not a blind cadence: at batch start, any
+    * bucket dir holding ≥ [[CompactBucketFiles]] files compacts the store
+    * — the condition a production maintenance job keys on. At fixture
+    * scale the 3-slice bench replays never reach the threshold (each
+    * bucket ends at ≤3 files only AFTER the final write), so the bench
+    * pays only the per-batch listing probe — a blind every-2nd-batch
+    * cadence was measured first and cost +2.0 s per replay (11.6 → 13.6 s
+    * steady min) rewriting a store with no small-files problem. The
+    * engine-wired path is exercised end-to-end by StreamingSpec's 6-slice
+    * replay (pressure fires mid-stream, held set must equal the
+    * independently-computed arrival-rule set); row identity and the
+    * one-file-per-bucket layout are pinned by the direct compaction spec.
+    */
+  private[graft] val CompactBucketFiles = 3
+
+  /** Spec observability: total compactions run in this JVM. */
+  private[graft] val compactionsRun = new java.util.concurrent.atomic.AtomicLong
+
+  /** Max parquet-file count over the store's bucket dirs (the pressure
+    * probe; one listing pass, no data read).
+    */
+  private[graft] def maxBucketFiles(dir: String): Int = {
+    def walk(f: java.io.File): Int = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      val here = kids.count(_.getName.endsWith(".parquet"))
+      val below = kids.filter(_.isDirectory).map(walk)
+      (here +: below.toSeq).max
+    }
+    val root = new java.io.File(dir)
+    if (root.isDirectory) walk(root) else 0
+  }
+
+  private[graft] def compactStoreBands(sp: SparkSession, dir: String): Unit =
+    if (hasParquetData(new java.io.File(dir))) {
+      compactionsRun.incrementAndGet()
+      val fresh = s"$dir.compact"
+      sp.read.parquet(dir).repartition(col("w"), col("pb"))
+        .write.mode("overwrite").partitionBy("w", "pb").parquet(fresh)
+      val live = new java.io.File(dir)
+      val retired = new java.io.File(s"$dir.old")
+      if (live.renameTo(retired) && new java.io.File(fresh).renameTo(live))
+        graft.Tables.deleteTree(retired.toString)
+      else {
+        // a failed swap must leave the live store untouched: undo the
+        // first rename if it happened, drop the orphaned rewrite
+        retired.renameTo(live)
+        graft.Tables.deleteTree(fresh)
+      }
+    }
+
   /** Partition-pruned band-store read: only width `w`'s buckets in `pbs`
     * are scanned (both are hive partition columns, so the filter lands in
     * the scan's PartitionFilters — files in other buckets are never
@@ -1292,7 +1353,7 @@ object StreamingQueries {
       .select(col("doc_id"), col("lang"), col("sig"))
   }
 
-  private def neardupStoreRun(spark: SparkSession, name: String,
+  private[graft] def neardupStoreRun(spark: SparkSession, name: String,
       docs: DataFrame, incoming: String): DataFrame = {
     val storeDir = Files.createTempDirectory("graft-ndv-store").toString
     val bandsDir = s"$storeDir/bands"
@@ -1348,6 +1409,12 @@ object StreamingQueries {
             // store), so claw back the adaptive engine for them
             sp.conf.set("spark.sql.adaptive.enabled", "true")
             try {
+            // small-files maintenance FIRST (see compactStoreBands): a
+            // batch-start trigger means the rewrite is always read back by
+            // this batch's candidate joins — compacting after the final
+            // write would burn a rewrite nothing ever reads
+            if (maxBucketFiles(bandsDir) >= CompactBucketFiles)
+              compactStoreBands(sp, bandsDir)
             val sigs = enrich(batch.repartition(col("doc_id")))
               .localCheckpoint() // batch-sized; consumed by every branch
             val batchBands = bandsOf(sigs)

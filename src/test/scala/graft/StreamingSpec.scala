@@ -518,6 +518,76 @@ class StreamingSpec extends AnyFunSuite {
       s"arrival-policy recall $recallBp bp fell below the 90% floor")
   }
 
+  test("engine-wired compaction: 6-slice replay fires the pressure trigger, held set intact") {
+    import org.apache.spark.sql.functions._
+    // the 3-slice registry replays never reach the file-pressure
+    // threshold (deliberately — see compactStoreBands); this replay's 6
+    // interleaved slices push a touched bucket past CompactBucketFiles
+    // at batch 3's start, so the engine compacts MID-stream and every
+    // later batch's candidate reads run over the compacted store. A
+    // row-corrupting rewrite would change the held set, which must equal
+    // the arrival-rule set computed here independently from the batch
+    // pair generator.
+    val S = graft.ops.StreamingQueries
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val before = S.compactionsRun.get()
+    val held = S.neardupStoreRun(spark, "spec_ndv6",
+        docs, S.stageDocModSlices(docs, 6))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(S.compactionsRun.get() > before,
+      "the 6-slice replay never fired the compaction pressure trigger")
+    val expected = graft.ops.DedupQueries.verifiedPairs(docs)
+      .select(col("a_id"), col("b_id")).collect()
+      .map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (a % 6 < b % 6 || (a % 6 == b % 6 && a < b)) b else a
+      }.toSet
+    assert(held === expected,
+      s"held set diverged over the compacted store: extra=${held -- expected}, missed=${expected -- held}")
+  }
+
+  test("band-store compaction: one file per bucket after N appends, rows identical") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the bucketed layout's small-files maintenance: each batch appends
+    // one file per touched bucket, so a long stream's file count grows
+    // per-batch; compaction must collapse every bucket dir to ONE file
+    // without adding, dropping, or mutating a row — and the pruned read
+    // path must keep working over the compacted layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndv-compact")
+      .toString
+    try {
+      val S = graft.ops.StreamingQueries
+      def mkBands(lo: Int) = (lo until lo + 256)
+        .map(i => (i.toLong, "en", 16, i % 16, i.toLong))
+        .toDF("doc_id", "lang", "w", "band", "bh")
+        .withColumn("pb", S.bandBucket(col("band"), col("bh")))
+      S.writeStoreBands(mkBands(0), dir)   // three "micro-batch" appends
+      S.writeStoreBands(mkBands(256), dir)
+      S.writeStoreBands(mkBands(512), dir)
+      def rows() = spark.read.parquet(dir)
+        .select($"doc_id", $"lang", $"band", $"bh", $"w", $"pb")
+        .collect().map(_.toSeq).toSet
+      def bucketFiles(): Seq[Int] = {
+        val w16 = new java.io.File(s"$dir/w=16")
+        Option(w16.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+          .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+          .toSeq
+      }
+      val before = rows()
+      assert(bucketFiles().exists(_ >= 3), "appends did not accumulate files")
+      S.compactStoreBands(spark, dir)
+      assert(rows() === before, "compaction changed the store's rows")
+      assert(bucketFiles().nonEmpty && bucketFiles().forall(_ === 1),
+        s"buckets not compacted to one file each: ${bucketFiles()}")
+      // the pruned read path still works over the compacted layout
+      val some = spark.read.parquet(dir).select($"pb").distinct()
+        .collect().map(_.getInt(0)).sorted.take(2).toSeq
+      assert(S.readStoreBands(spark, dir, 16, some).count() > 0L)
+    } finally graft.Tables.deleteTree(dir)
+  }
+
   test("store readers tolerate a marker-only dir (zero-row batch wrote only _SUCCESS)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
