@@ -51,7 +51,7 @@ class BucketingSpec extends AnyFunSuite {
   test("layout_bucketed read path: no shuffle beneath the merge join") {
     val sf = "/root/testdata/sf0.001"
     val tag = "spec"
-    val base = java.nio.file.Files.createTempDirectory("graft-bspec").toString
+    val base = SparkTestSession.tempDir("graft-bspec")
     try {
       Tables.load(spark, sf, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"))

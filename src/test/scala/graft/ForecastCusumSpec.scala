@@ -13,7 +13,7 @@ class ForecastCusumSpec extends AnyFunSuite {
 
   /** Write a tiny events-shaped parquet dir and return its path. */
   private def eventsDir(rows: Seq[(Long, String, Long, String, Double, String)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-fc").toString
+    val dir = SparkTestSession.tempDir("graft-fc")
     rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
       .selectExpr("event_id", "CAST(tss AS TIMESTAMP) AS ts0", "user_id",
         "event_type", "value", "props")
@@ -62,7 +62,7 @@ class ForecastCusumSpec extends AnyFunSuite {
   }
 
   test("quantiles_weighted picks the smallest value reaching p% cumulative weight") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-wq").toString
+    val dir = SparkTestSession.tempDir("graft-wq")
     // one flag, quantities 1,2,3 with weights (cents) 100,100,200:
     // tw=400; cw: 100,200,400 -> wq25=1 (100*100>=25*400), wq50=2, wq75=3
     Seq((1.0, 1.00, "A"), (2.0, 1.00, "A"), (3.0, 2.00, "A"))
@@ -76,7 +76,7 @@ class ForecastCusumSpec extends AnyFunSuite {
   }
 
   test("text_bpe_step counts pairs weighted by word frequency") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val dir = SparkTestSession.tempDir("graft-bpe")
     // "ab ab abc" -> wf: ab->2, abc->1; pairs: (a,b)->3, (b,c)->1
     Seq((1L, "ab ab abc", "en", "s", 9L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

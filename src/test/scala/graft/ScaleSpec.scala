@@ -127,7 +127,7 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("partition pruning: date-partitioned write is pruned by the scan") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val tmp = SparkTestSession.tempDir("graft_part")
     try {
       Tables.load(spark, "/root/testdata/sf0.001", "events")
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))

@@ -12,7 +12,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("mergeSchema unions evolving parquet batches; old rows null new columns") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val dir = SparkTestSession.tempDir("graft_evolve")
     try {
       // batch 1: (id, value); batch 2 adds a quality column
       Seq((1L, 10.0), (2L, 20.0)).toDF("id", "value")
@@ -35,7 +35,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
   }
 
   test("JSON corrupt records: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val dir = SparkTestSession.tempDir("graft_json")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/data.jsonl"),
       """{"id": 1, "v": 2.5}

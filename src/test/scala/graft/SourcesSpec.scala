@@ -15,7 +15,7 @@ class SourcesSpec extends AnyFunSuite {
     // ("9"), extra column ("7,8,9"). PERMISSIVE keeps every row (bad field →
     // null, short row → null-padded, long row → truncated); DROPMALFORMED
     // drops all three; FAILFAST is fatal.
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val dir = SparkTestSession.tempDir("graft_csv")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/data.csv"), "a,b\n1,2\nxx,3\n9\n7,8,9\n4,5\n")
     def read(mode: String) = spark.read

@@ -16,6 +16,22 @@ object SparkTestSession {
     s
   }
 
+  /** Create a test temp dir that is deleted when the test JVM exits —
+    * the default for spec scratch space. Every full `sbt test` run used
+    * to strand ~180 fixture-scale dirs in /tmp (upsert tables, sink
+    * checkpoints, csv scratch) with no owner; a per-dir shutdown hook
+    * reclaims them without forcing try/finally boilerplate into every
+    * test. Tests that must delete EARLY (e.g. to assert their own
+    * cleanup) still use explicit finally blocks; deleteTree is idempotent
+    * so the hook firing afterwards is harmless.
+    */
+  def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => graft.Tables.deleteTree(p.toString)))
+    p.toString
+  }
+
   /** AQE-aware ShuffleExchange counter shared by the zero-shuffle plan
     * gates (BucketingSpec, SynthSpjSpec): materializes the DataFrame so
     * AQE finalizes, then walks stages and subqueries. One copy, so a fix

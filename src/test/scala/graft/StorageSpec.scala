@@ -12,7 +12,7 @@ class StorageSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("dynamic partition overwrite replaces only the written partitions") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    val dir = SparkTestSession.tempDir("graft_dpo")
     val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
       Seq((1L, "d1"), (2L, "d2"), (3L, "d3")).toDF("id", "day")

@@ -275,8 +275,8 @@ class StreamingSpec extends AnyFunSuite {
   test("foreachBatch upsert sink maintains latest-value-per-user across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val table = java.nio.file.Files.createTempDirectory("graft_upsert").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
+    val table = SparkTestSession.tempDir("graft_upsert")
+    val ckpt = SparkTestSession.tempDir("graft_upsert_ck")
     val input = MemoryStream[Event]
     val q = EventStreams.runUpsertSink(input.toDF(), table, ckpt)
     try {
@@ -304,8 +304,8 @@ class StreamingSpec extends AnyFunSuite {
   test("additive MV sink merges partial aggregates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val table = java.nio.file.Files.createTempDirectory("graft_mv").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ck").toString
+    val table = SparkTestSession.tempDir("graft_mv")
+    val ckpt = SparkTestSession.tempDir("graft_mv_ck")
     val input = MemoryStream[Event]
     val q = EventStreams.runAggSink(input.toDF(), table, ckpt)
     try {
@@ -330,8 +330,8 @@ class StreamingSpec extends AnyFunSuite {
   test("snapshot time travel: AS OF reads the floor version, immutable history") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val table = java.nio.file.Files.createTempDirectory("graft_tt").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_tt_ck").toString
+    val table = SparkTestSession.tempDir("graft_tt")
+    val ckpt = SparkTestSession.tempDir("graft_tt_ck")
     val input = MemoryStream[Event]
     val q = EventStreams.runUpsertSink(input.toDF(), table, ckpt)
     try {
@@ -366,8 +366,8 @@ class StreamingSpec extends AnyFunSuite {
   test("upsert sink: fresh checkpoint against a reused tablePath keeps old data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val table = java.nio.file.Files.createTempDirectory("graft_upsert2").toString
-    val ck1 = java.nio.file.Files.createTempDirectory("graft_upsert2_ck1").toString
+    val table = SparkTestSession.tempDir("graft_upsert2")
+    val ck1 = SparkTestSession.tempDir("graft_upsert2_ck1")
     val in1 = MemoryStream[Event]
     val q1 = EventStreams.runUpsertSink(in1.toDF(), table, ck1)
     try {
@@ -376,7 +376,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q1.stop()
     // a NEW checkpoint restarts batch ids at 0; the checkpoint-scoped guard
     // must not mistake this run's batch 0 for the old run's completed one
-    val ck2 = java.nio.file.Files.createTempDirectory("graft_upsert2_ck2").toString
+    val ck2 = SparkTestSession.tempDir("graft_upsert2_ck2")
     val in2 = MemoryStream[Event]
     val q2 = EventStreams.runUpsertSink(in2.toDF(), table, ck2)
     try {
@@ -393,8 +393,8 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     // the memory sink refuses checkpoint recovery — the file sink is the
     // recovery-capable one, so the restart goes through parquet output
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val ckpt = SparkTestSession.tempDir("graft_ckpt")
+    val outDir = SparkTestSession.tempDir("graft_ckpt_out")
     val input = MemoryStream[Event]
     def start() =
       EventStreams.tumblingCounts(input.toDF(), watermark = "10 minutes",

@@ -51,7 +51,7 @@ class SynthSourceSpec extends AnyFunSuite {
       .option("rowsPerBatch", "10000").load()
       .writeStream.format("memory").queryName("synth_stream_drain")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("synth-ck").toString)
+        SparkTestSession.tempDir("synth-ck"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     assert(spark.table("synth_stream_drain").count() === 50000L)

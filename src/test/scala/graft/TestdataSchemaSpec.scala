@@ -58,7 +58,7 @@ class TestdataSchemaSpec extends AnyFunSuite {
   private def writeSparkEra(dir: java.nio.file.Path, ntz: Boolean): String = {
     import org.apache.spark.sql.functions._
     import scala.jdk.CollectionConverters._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-era-w")
+    val tmp = java.nio.file.Paths.get(SparkTestSession.tempDir("graft-era-w"))
     val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try {
@@ -120,7 +120,7 @@ class TestdataSchemaSpec extends AnyFunSuite {
   }
 
   private lazy val eraDirs: Map[String, String] = {
-    val base = java.nio.file.Files.createTempDirectory("graft-era")
+    val base = java.nio.file.Paths.get(SparkTestSession.tempDir("graft-era"))
     def sub(n: String) = java.nio.file.Files.createDirectory(base.resolve(n))
     Map(
       "ns-long" -> writeNanosEra(sub("ns")),
@@ -157,7 +157,7 @@ class TestdataSchemaSpec extends AnyFunSuite {
       val q = sdf.select(col("event_id"), col("ts"))
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-era-ck").toString)
+          SparkTestSession.tempDir("graft-era-ck"))
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

@@ -14,7 +14,7 @@ class TextRulesSpec extends AnyFunSuite {
   /** Write a tiny documents.parquet into a temp sf dir and return the dir. */
   private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("textrules").toString
+    val dir = SparkTestSession.tempDir("textrules")
     rows.toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
