@@ -224,29 +224,21 @@ object LayoutQueries {
             handle.map[Boolean](h => h.info().startInstant()
               .map[Boolean](si => si.toEpochMilli > mt)
               .orElse(false)).orElse(false))
-          if (pidDead || (stale && recycled)) deleteTree(sib)
+          if (pidDead || (stale && recycled))
+            graft.Tables.deleteTree(sib.toString)
         case _ => ()
       }
     } finally listing.close()
     val p = tmpRoot.resolve(s"$prefix-$key-p${ProcessHandle.current().pid()}")
     java.nio.file.Files.createDirectories(p)
     if (cleanupRegistered.add(p.toString))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Tables.deleteTree(p.toString)))
     p.toString
   }
 
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    import scala.util.Try
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { Try(java.nio.file.Files.deleteIfExists(f)); () })
-      finally walk.close()
-    }
-  }
 
   val layoutDpp = QueryDef(
     "layout_dpp",

@@ -1296,14 +1296,25 @@ object StreamingQueries {
     if (root.isDirectory) walk(root) else 0
   }
 
-  private[graft] def compactStoreBands(sp: SparkSession, dir: String): Unit =
-    if (hasParquetData(new java.io.File(dir))) {
+  private[graft] def compactStoreBands(sp: SparkSession, dir: String): Unit = {
+    val live = new java.io.File(dir)
+    val retired = new java.io.File(s"$dir.old")
+    val fresh = s"$dir.compact"
+    // crash/failure recovery BEFORE anything else (review finding):
+    //  - a kill between the two swap renames leaves the store only in
+    //    .old — restore it, or every later read would silently route to
+    //    the empty-store branch and drop the whole accumulated history;
+    //  - stale .old/.compact residue from an earlier failed swap blocks
+    //    rename(2) forever otherwise (target-exists), which would turn
+    //    every pressured batch into a full rewrite that is immediately
+    //    discarded — silently, since deleteTree never throws.
+    if (!live.exists && retired.exists) { retired.renameTo(live); () }
+    graft.Tables.deleteTree(retired.toString)
+    graft.Tables.deleteTree(fresh)
+    if (hasParquetData(live)) {
       compactionsRun.incrementAndGet()
-      val fresh = s"$dir.compact"
       sp.read.parquet(dir).repartition(col("w"), col("pb"))
         .write.mode("overwrite").partitionBy("w", "pb").parquet(fresh)
-      val live = new java.io.File(dir)
-      val retired = new java.io.File(s"$dir.old")
       if (live.renameTo(retired) && new java.io.File(fresh).renameTo(live))
         graft.Tables.deleteTree(retired.toString)
       else {
@@ -1313,6 +1324,7 @@ object StreamingQueries {
         graft.Tables.deleteTree(fresh)
       }
     }
+  }
 
   /** Partition-pruned band-store read: only width `w`'s buckets in `pbs`
     * are scanned (both are hive partition columns, so the filter lands in

@@ -25,10 +25,15 @@ object SparkTestSession {
     * cleanup) still use explicit finally blocks; deleteTree is idempotent
     * so the hook firing afterwards is harmless.
     */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val tempDirHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => tempDirs.forEach(graft.Tables.deleteTree(_))))
+
   def tempDir(prefix: String): String = {
+    tempDirHook // ONE hook draining the queue, not a Thread per dir
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(
-      new Thread(() => graft.Tables.deleteTree(p.toString)))
+    tempDirs.add(p.toString)
     p.toString
   }
 
