@@ -1226,9 +1226,16 @@ object StreamingQueries {
     * repartition aligns write tasks with partition dirs (≤1 file per
     * touched dir per batch instead of tasks×dirs).
     */
-  private[graft] def writeStoreBands(batchBands: DataFrame, dir: String): Unit =
-    batchBands.repartition(col("w"), col("pb"))
+  private[graft] def writeStoreBands(batchBands: DataFrame, dir: String,
+      bid: Option[Long] = None): Unit = bid match {
+    case None => batchBands.repartition(col("w"), col("pb"))
       .write.mode("append").partitionBy("w", "pb").parquet(dir)
+    case Some(b) =>
+      // retention layout: batch id OUTERMOST so expiry is one dir drop
+      batchBands.withColumn("bid", lit(b))
+        .repartition(col("w"), col("pb"))
+        .write.mode("append").partitionBy("bid", "w", "pb").parquet(dir)
+  }
 
   /** Append a batch's signatures (one file per batch). The sig table stays
     * UNBUCKETED by choice: the verify a-side scan is column-pruned
@@ -1237,9 +1244,14 @@ object StreamingQueries {
     * materialization it needs (to learn the buckets) cost far more than
     * the scan it saved; the band store is where pruning pays.
     */
-  private[graft] def writeStoreSigs(sigs: DataFrame, dir: String): Unit =
-    sigs.select(col("doc_id"), col("lang"), col("sig"))
+  private[graft] def writeStoreSigs(sigs: DataFrame, dir: String,
+      bid: Option[Long] = None): Unit = bid match {
+    case None => sigs.select(col("doc_id"), col("lang"), col("sig"))
       .write.mode("append").parquet(dir)
+    case Some(b) => sigs.select(col("doc_id"), col("lang"), col("sig"))
+      .withColumn("bid", lit(b))
+      .write.mode("append").partitionBy("bid").parquet(dir)
+  }
 
   /** True iff the tree under `f` holds at least one parquet data file —
     * the store-read emptiness probe. listFiles-nonEmpty is NOT enough: a
@@ -1332,7 +1344,7 @@ object StreamingQueries {
     * opened; StreamingSpec gates the plan shape and touched-file count).
     */
   private[graft] def readStoreBands(sp: SparkSession, dir: String,
-      w: Int, pbs: Seq[Int]): DataFrame = {
+      w: Int, pbs: Seq[Int], minBid: Option[Long] = None): DataFrame = {
     if (!hasParquetData(new java.io.File(dir)))
       sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -1344,13 +1356,23 @@ object StreamingQueries {
             org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("bh",
             org.apache.spark.sql.types.LongType))))
-    else sp.read.parquet(dir)
-      .filter(col("w") === w && inBuckets(col("pb"), pbs))
-      .select(col("doc_id"), col("lang"), col("band"), col("bh"))
+    else {
+      val base = sp.read.parquet(dir)
+        .filter(col("w") === w && inBuckets(col("pb"), pbs))
+      // retention window: bid is the OUTERMOST partition dir, so this is
+      // partition pruning too — expired batches are never even listed in
+      // the scan (and their dirs get physically dropped by the engine)
+      minBid.fold(base)(m => base.filter(col("bid") >= m))
+        .select(col("doc_id"), col("lang"), col("band"), col("bh"))
+    }
   }
 
-  /** Sig-store read (whole table, column-pruned by the consumer). */
-  private[graft] def readStoreSigs(sp: SparkSession, dir: String): DataFrame = {
+  /** Sig-store read (whole table, column-pruned by the consumer; windowed
+    * by bid under retention — the candidate join already bounds which
+    * a-ids can match, so the bid filter here is a space/scan measure).
+    */
+  private[graft] def readStoreSigs(sp: SparkSession, dir: String,
+      minBid: Option[Long] = None): DataFrame = {
     if (!hasParquetData(new java.io.File(dir)))
       sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -1361,12 +1383,33 @@ object StreamingQueries {
           org.apache.spark.sql.types.StructField("sig",
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.LongType)))))
-    else sp.read.parquet(dir)
-      .select(col("doc_id"), col("lang"), col("sig"))
+    else {
+      val base = sp.read.parquet(dir)
+      minBid.fold(base)(m => base.filter(col("bid") >= m))
+        .select(col("doc_id"), col("lang"), col("sig"))
+    }
+  }
+
+  /** Physically drop expired bid partitions (dirs named `bid=<v>` with
+    * v < minBid) from a retention-layout store — O(1) per expired batch,
+    * the deletion cost profile a bounded-state production gate needs.
+    */
+  private[graft] val retentionDrops = new java.util.concurrent.atomic.AtomicLong
+
+  private def dropExpiredBids(dir: String, minBid: Long): Unit = {
+    val bidDir = "^bid=([0-9]+)$".r
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .foreach(f => f.getName match {
+        case bidDir(v) if v.toLong < minBid =>
+          retentionDrops.incrementAndGet()
+          graft.Tables.deleteTree(f.toString)
+        case _ => ()
+      })
   }
 
   private[graft] def neardupStoreRun(spark: SparkSession, name: String,
-      docs: DataFrame, incoming: String): DataFrame = {
+      docs: DataFrame, incoming: String,
+      retainBatches: Option[Int] = None): DataFrame = {
     val storeDir = Files.createTempDirectory("graft-ndv-store").toString
     val bandsDir = s"$storeDir/bands"
     val sigsDir = s"$storeDir/sigs"
@@ -1410,8 +1453,12 @@ object StreamingQueries {
         val stream = spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(incoming)
         stream.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val sp = batch.sparkSession
+            // retention window floor: batch b may only see bids >= b - K
+            // (bid == slice index: maxFilesPerTrigger=1 over mtime-ordered
+            // slices — the same mapping the arrival-rule oracles rely on)
+            val minBid = retainBatches.map(k => batchId - k)
             val streamPartitions = sp.conf.get("spark.sql.shuffle.partitions")
             val streamAqe = sp.conf.get("spark.sql.adaptive.enabled")
             sp.conf.set("spark.sql.shuffle.partitions", batchPartitions)
@@ -1425,7 +1472,12 @@ object StreamingQueries {
             // batch-start trigger means the rewrite is always read back by
             // this batch's candidate joins — compacting after the final
             // write would burn a rewrite nothing ever reads
-            if (maxBucketFiles(bandsDir) >= CompactBucketFiles)
+            // compaction only applies to the unbounded layout: under
+            // retention the file count is already bounded by the window
+            // (>= one dir drop per batch), and the rewrite would flatten
+            // the bid partitioning the expiry relies on
+            if (retainBatches.isEmpty &&
+                maxBucketFiles(bandsDir) >= CompactBucketFiles)
               compactStoreBands(sp, bandsDir)
             val sigs = enrich(batch.repartition(col("doc_id")))
               .localCheckpoint() // batch-sized; consumed by every branch
@@ -1449,7 +1501,7 @@ object StreamingQueries {
             // batch). Pairs are unavoidable here: the verify predicate is
             // pairwise. Store-side pairs carry NO id filter (see the
             // candidate rule above); same-batch pairs order by id.
-            val candCross = readStoreBands(sp, bandsDir, 16, pb16)
+            val candCross = readStoreBands(sp, bandsDir, 16, pb16, minBid)
               .select(col("band"), col("bh"), col("lang"),
                 col("doc_id").as("a_id"))
               .join(broadcast(batchBands16
@@ -1467,7 +1519,7 @@ object StreamingQueries {
             val cand = candCross.unionByName(candSame)
               .select(col("a_id"), col("b_id"), col("lang")).distinct()
             val verified = cand
-              .join(readStoreSigs(sp, sigsDir).unionByName(
+              .join(readStoreSigs(sp, sigsDir, minBid).unionByName(
                   sigs.select(col("doc_id"), col("lang"), col("sig")))
                 .select(col("doc_id").as("a_id"), col("sig").as("sa")),
                 Seq("a_id"))
@@ -1484,7 +1536,7 @@ object StreamingQueries {
             // every batch); the min form is O(bucket count)
             val batchBands4 = batchBands.filter(col("w") === 4)
               .select(col("doc_id"), col("lang"), col("band"), col("bh"))
-            val wideMin = readStoreBands(sp, bandsDir, 4, pb4)
+            val wideMin = readStoreBands(sp, bandsDir, 4, pb4, minBid)
               .unionByName(batchBands4)
               .groupBy(col("band"), col("bh"), col("lang"))
               .agg(min(col("doc_id")).as("mn"))
@@ -1499,8 +1551,15 @@ object StreamingQueries {
               .write.mode("append").parquet(heldDir)
             // append AFTER the reads above: all of this batch, held
             // included — held docs still witness later arrivals
-            writeStoreBands(batchBands, bandsDir)
-            writeStoreSigs(sigs, sigsDir)
+            writeStoreBands(batchBands, bandsDir,
+              retainBatches.map(_ => batchId))
+            writeStoreSigs(sigs, sigsDir, retainBatches.map(_ => batchId))
+            // physical expiry AFTER this batch's reads: batch b+1 needs
+            // bids >= b+1-K, so everything below that floor is dead
+            retainBatches.foreach { k =>
+              dropExpiredBids(bandsDir, batchId + 1 - k)
+              dropExpiredBids(sigsDir, batchId + 1 - k)
+            }
             } finally {
               sp.conf.set("spark.sql.shuffle.partitions", streamPartitions)
               sp.conf.set("spark.sql.adaptive.enabled", streamAqe)
@@ -1727,10 +1786,121 @@ object StreamingQueries {
     },
     notes = "unordered-arrival incremental dedup: interleaved (doc_id % 3) replay, arrival-order keeper policy; 100% precision (n_held_dup = n_held) with recall vs the batch id-policy removable set explicitly accounted; hash-exact oracle replays the deterministic arrival rule in SQL")
 
+  /** RETENTION-BOUNDED (TTL) VERIFIED STREAMING DEDUP — the state-bound
+    * the unbounded store cannot give a 100 TB stream: signatures older
+    * than [[streamNeardupTtl]]'s K = 2 batches EXPIRE, so store size is
+    * O(window), not O(stream life). Expiry is PHYSICAL and O(1) per
+    * batch: the store's bid (batch id) is the OUTERMOST hive partition,
+    * so the window floor is one more partition filter on every read
+    * (expired batches are never listed) and enforcement is a dir drop
+    * ([[dropExpiredBids]]) — no rewrite, no tombstones.
+    *
+    * The price of bounded state is bounded recall, and this query states
+    * it the house way — explicitly, per language: a duplicate whose only
+    * earlier partners expired ESCAPES the gate (n_escaped), and recall_bp
+    * is measured against the unbounded arrival-policy held set. Held docs
+    * still witness within the window; precision stays 100% by
+    * construction (the TTL held set is a SUBSET of the full-policy held
+    * set, since every within-window partner is an earlier arrival).
+    *
+    * Hash-exact oracle: 6 deterministic slices (doc_id % 6, bid = slice
+    * index under oldest-first replay) make the window rule pure SQL —
+    * partner x covers y iff slice(y) − slice(x) ≤ 2 with the arrival
+    * tie-break on equal slices.
+    */
+  val streamNeardupTtl = QueryDef(
+    "stream_neardup_ttl",
+    (spark, dir) => {
+      val docs = graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val held = neardupStoreRun(spark, "stream_neardup_ttl", docs,
+          stageDocModSlices(docs, 6), retainBatches = Some(2))
+        .select(col("doc_id"), lit(1).as("held"))
+      val pairs = DedupQueries.verifiedPairs(docs)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val earlierA = (col("a_id") % 6 < col("b_id") % 6) ||
+        (col("a_id") % 6 === col("b_id") % 6 && col("a_id") < col("b_id"))
+      val heldFull = pairs
+        .select(when(earlierA, col("b_id")).otherwise(col("a_id"))
+          .as("doc_id"))
+        .distinct().withColumn("full", lit(1))
+      docs.select(col("doc_id"), col("lang"))
+        .join(held, Seq("doc_id"), "left")
+        .join(heldFull, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("held"), lit(0))).cast("long").as("n_held"),
+          sum(coalesce(col("full"), lit(0))).cast("long").as("n_held_full"))
+        .select(col("lang"), col("n_docs"), col("n_held"),
+          col("n_held_full"),
+          (col("n_held_full") - col("n_held")).as("n_escaped"),
+          when(col("n_held_full") === 0, lit(10000L))
+            .otherwise(expr("(10000 * n_held) div n_held_full"))
+            .as("recall_bp"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      import DedupQueries.{tokHashSql, minColsSql, bandSelectsSql,
+        matchTermsSql, VerifyMin}
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id, lang, ${tokHashSql("tok")} AS h FROM toks),
+         |sigs AS (
+         |  SELECT doc_id, lang,
+         |    $minColsSql
+         |  FROM hashed GROUP BY doc_id, lang),
+         |bands AS (
+         |  ${bandSelectsSql(16)}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.lang = b.lang
+         |   AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT a_id, b_id,
+         |         (a_id % 6 < b_id % 6
+         |          OR (a_id % 6 = b_id % 6 AND a_id < b_id)) AS earlier_a
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = a_id
+         |  JOIN sigs sb ON sb.doc_id = b_id
+         |  WHERE $matchTermsSql >= $VerifyMin),
+         |held_full AS (
+         |  SELECT DISTINCT CASE WHEN earlier_a THEN b_id ELSE a_id END
+         |    AS doc_id FROM pairs),
+         |held_ttl AS (
+         |  SELECT DISTINCT CASE WHEN earlier_a THEN b_id ELSE a_id END
+         |    AS doc_id
+         |  FROM pairs
+         |  WHERE CASE WHEN earlier_a THEN b_id % 6 - a_id % 6
+         |             ELSE a_id % 6 - b_id % 6 END <= 2),
+         |flags AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS held,
+         |    CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fl
+         |  FROM documents d
+         |  LEFT JOIN held_ttl t ON d.doc_id = t.doc_id
+         |  LEFT JOIN held_full f ON d.doc_id = f.doc_id),
+         |agg AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |         CAST(SUM(held) AS BIGINT) AS n_held,
+         |         CAST(SUM(fl) AS BIGINT) AS n_held_full
+         |  FROM flags GROUP BY lang)
+         |SELECT lang, n_docs, n_held, n_held_full,
+         |       n_held_full - n_held AS n_escaped,
+         |       CASE WHEN n_held_full = 0 THEN CAST(10000 AS BIGINT)
+         |            ELSE (10000 * n_held) // n_held_full END AS recall_bp
+         |FROM agg
+         |ORDER BY lang""".stripMargin
+    },
+    notes = "retention-bounded incremental dedup: 6-slice replay, signatures expire after 2 batches via O(1) bid-partition drops; bounded state's recall loss vs the unbounded arrival policy explicitly accounted (n_escaped); hash-exact window-rule oracle")
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
     streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMvAgg,
     streamMarkov, streamSpendMilestones, streamIdleFlush, streamWarmStart,
     snapshotChanges, streamSynthSource, streamSliding, streamNeardupGate,
-    streamNeardupVerified, streamNeardupUnordered)
+    streamNeardupVerified, streamNeardupUnordered, streamNeardupTtl)
 }
