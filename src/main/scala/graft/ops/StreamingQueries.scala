@@ -1321,8 +1321,15 @@ object StreamingQueries {
     //    every pressured batch into a full rewrite that is immediately
     //    discarded — silently, since deleteTree never throws.
     if (!live.exists && retired.exists) { retired.renameTo(live); () }
-    graft.Tables.deleteTree(retired.toString)
-    graft.Tables.deleteTree(fresh)
+    // clear residue ONLY when a live store exists: if the restore above
+    // failed, .old holds the SOLE surviving copy and deleting it would be
+    // exactly the silent data loss the recovery exists to prevent
+    // (deleteTree never throws, so nothing would even be logged) — leave
+    // everything in place for the next attempt instead
+    if (live.exists) {
+      graft.Tables.deleteTree(retired.toString)
+      graft.Tables.deleteTree(fresh)
+    }
     if (hasParquetData(live)) {
       compactionsRun.incrementAndGet()
       sp.read.parquet(dir).repartition(col("w"), col("pb"))
@@ -1390,12 +1397,13 @@ object StreamingQueries {
     }
   }
 
+  /** Spec observability: total expired bid partitions dropped in this JVM. */
+  private[graft] val retentionDrops = new java.util.concurrent.atomic.AtomicLong
+
   /** Physically drop expired bid partitions (dirs named `bid=<v>` with
     * v < minBid) from a retention-layout store — O(1) per expired batch,
     * the deletion cost profile a bounded-state production gate needs.
     */
-  private[graft] val retentionDrops = new java.util.concurrent.atomic.AtomicLong
-
   private def dropExpiredBids(dir: String, minBid: Long): Unit = {
     val bidDir = "^bid=([0-9]+)$".r
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)

@@ -518,29 +518,42 @@ class StreamingSpec extends AnyFunSuite {
       s"arrival-policy recall $recallBp bp fell below the 90% floor")
   }
 
-  test("ttl replay: physical bid drops bound the store; escape accounting closes") {
-    // the retention gate's contract: state is bounded by PHYSICALLY
-    // dropping expired bid partitions (not just filtering them), every
-    // lost duplicate is accounted as an escape (held + escaped == full),
-    // the window genuinely expires something on this fixture, and recall
-    // vs the unbounded policy stays above the floor (measured 99.0% at
-    // sf0.001, 98.96% at sf0.01)
+  test("ttl replay: physical bid drops bound the store; held set == window rule per doc") {
+    import org.apache.spark.sql.functions._
+    // the retention gate's contract, gated per DOC, not per count (review
+    // finding: the query's own n_held + n_escaped == n_held_full is an
+    // arithmetic identity and could never catch a window-filter bug that
+    // holds a non-duplicate — per-doc equality with the independently
+    // computed window-rule set gates precision AND recall at once): the
+    // engine's held set must be exactly {later arrival of every verified
+    // pair whose slice gap <= K}, expired bid partitions must be
+    // PHYSICALLY dropped, and the window must genuinely expire something
+    // on this fixture or the whole gate is vacuous
     val S = graft.ops.StreamingQueries
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
     val dropsBefore = S.retentionDrops.get()
-    val rows = S.streamNeardupTtl.fn(spark, "/root/testdata/sf0.001").collect()
+    val held = S.neardupStoreRun(spark, "spec_ttl6", docs,
+        S.stageDocModSlices(docs, 6), retainBatches = Some(2))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(S.retentionDrops.get() > dropsBefore,
       "no expired bid partition was physically dropped")
-    assert(S.lastBatchCounts("stream_neardup_ttl") >= 4,
+    assert(S.lastBatchCounts("spec_ttl6") >= 4,
       "6-slice replay ran fewer than 4 data batches — window not exercised")
-    def total(c: String): Long = rows.map(_.getAs[Long](c)).sum
-    assert(total("n_held") + total("n_escaped") === total("n_held_full"),
-      "escape accounting does not close")
-    assert(total("n_escaped") > 0,
+    val pairs = graft.ops.DedupQueries.verifiedPairs(docs)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def earlierA(a: Long, b: Long): Boolean =
+      a % 6 < b % 6 || (a % 6 == b % 6 && a < b)
+    val fullHeld = pairs.map { case (a, b) =>
+      if (earlierA(a, b)) b else a }.toSet
+    val expected = pairs.collect { case (a, b)
+        if (if (earlierA(a, b)) b % 6 - a % 6 else a % 6 - b % 6) <= 2 =>
+      if (earlierA(a, b)) b else a }.toSet
+    assert((fullHeld -- expected).nonEmpty,
       "window expired nothing — the TTL gate is vacuous on this fixture")
-    assert(total("n_held") > 0)
-    val recallBp = 10000 * total("n_held") / total("n_held_full")
-    assert(recallBp >= 9000,
-      s"windowed recall $recallBp bp fell below the 90% floor")
+    assert(held === expected,
+      s"held set diverged from the window rule: extra=${held -- expected}, missed=${expected -- held}")
   }
 
   test("engine-wired compaction: 6-slice replay fires the pressure trigger, held set intact") {
