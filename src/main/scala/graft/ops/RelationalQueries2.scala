@@ -1118,7 +1118,13 @@ $trajectory),
       l1 = stepped.agg(coalesce(sum(col("delta")), lit(0L)))
         .first().getLong(0)
       rounds += 1
+      val prev = ranks
       ranks = stepped.select(col("node"), col("rank_bp"))
+      // the superseded round's checkpoint is dead once `stepped` is
+      // materialized (r13 ADVICE: up to guard-many pinned frames per
+      // invocation otherwise accumulate until JVM exit); the frame is
+      // invocation-local, so no concurrent reader can hold it
+      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(prev)
     }
     (ranks, rounds, l1)
   }

@@ -2,7 +2,7 @@ package graft.ops
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
@@ -1288,6 +1288,22 @@ object StreamingQueries {
     * replay (pressure fires mid-stream, held set must equal the
     * independently-computed arrival-rule set); row identity and the
     * one-file-per-bucket layout are pinned by the direct compaction spec.
+    *
+    * FILESYSTEM ASSUMPTION (r13 verdict ask #4): the two-rename swap below
+    * — and [[dropExpiredBids]]'s dir deletes — are crash-safe only because
+    * local-FS `rename(2)` is atomic and directory-granular. On an object
+    * store (S3/ABFSS), where production would run, "rename" is a
+    * non-atomic per-object copy+delete: a reader can observe a
+    * half-renamed store, and a crash mid-"rename" loses the atomicity the
+    * recovery logic here leans on. The production shape is a MANIFEST
+    * POINTER: write the compacted generation to a fresh prefix
+    * (`gen=<n+1>/…`), then atomically flip one small manifest object (or a
+    * catalog entry — the Delta/Iceberg commit pattern) naming the live
+    * generation; readers resolve the manifest first, expiry deletes
+    * unreferenced generations asynchronously. The swap is isolated in this
+    * one method precisely so that port swaps the implementation, not the
+    * engine. Full design note in BASELINE.md ("Object-store swap
+    * semantics").
     */
   private[graft] val CompactBucketFiles = 3
 
@@ -1403,6 +1419,13 @@ object StreamingQueries {
   /** Physically drop expired bid partitions (dirs named `bid=<v>` with
     * v < minBid) from a retention-layout store — O(1) per expired batch,
     * the deletion cost profile a bounded-state production gate needs.
+    * Local-FS semantics assumed (one dir unlink is atomic); on an object
+    * store this is a per-object delete batch and a concurrent reader can
+    * see a partially-deleted bid — harmless HERE because every read
+    * already carries the `bid >= minBid` filter (the filter, not the
+    * delete, is the correctness boundary; the delete is purely a space
+    * reclaim), but see [[compactStoreBands]] for the swap that does need
+    * the manifest-pointer treatment.
     */
   private def dropExpiredBids(dir: String, minBid: Long): Unit = {
     val bidDir = "^bid=([0-9]+)$".r
@@ -1715,7 +1738,7 @@ object StreamingQueries {
       val dup = pairs.select(col("a_id").as("doc_id"))
         .unionAll(pairs.select(col("b_id").as("doc_id"))).distinct()
         .withColumn("dup", lit(1))
-      docs.select(col("doc_id"), col("lang"))
+      val result = docs.select(col("doc_id"), col("lang"))
         .join(held, Seq("doc_id"), "left")
         .join(removable, Seq("doc_id"), "left")
         .join(dup, Seq("doc_id"), "left")
@@ -1733,7 +1756,14 @@ object StreamingQueries {
           when(col("n_removable") === 0, lit(10000L))
             .otherwise(expr("(10000 * n_common) div n_removable"))
             .as("recall_bp"))
-        .orderBy(col("lang"))
+        .localCheckpoint() // eager: pins the O(langs) aggregate...
+      // ...so the run-local pairs + held checkpoints can be freed NOW
+      // (r13 ADVICE: they pinned a fresh corpus-scale RDD per bench/verify
+      // pass for JVM life). The tiny result residue is reference-dropped by
+      // the caller and reclaimed by the ContextCleaner at GC.
+      GraftSqlBridge.unpersistLocalCheckpoint(pairs)
+      GraftSqlBridge.unpersistLocalCheckpoint(held)
+      result.orderBy(col("lang"))
     },
     Some {
       import DedupQueries.{tokHashSql, minColsSql, bandSelectsSql,
@@ -1832,7 +1862,7 @@ object StreamingQueries {
         .select(when(earlierA, col("b_id")).otherwise(col("a_id"))
           .as("doc_id"))
         .distinct().withColumn("full", lit(1))
-      docs.select(col("doc_id"), col("lang"))
+      val result = docs.select(col("doc_id"), col("lang"))
         .join(held, Seq("doc_id"), "left")
         .join(heldFull, Seq("doc_id"), "left")
         .groupBy(col("lang"))
@@ -1845,7 +1875,11 @@ object StreamingQueries {
           when(col("n_held_full") === 0, lit(10000L))
             .otherwise(expr("(10000 * n_held) div n_held_full"))
             .as("recall_bp"))
-        .orderBy(col("lang"))
+        .localCheckpoint() // eager — then free the run-local inputs (see
+      // stream_neardup_unordered: same r13-ADVICE residue class)
+      GraftSqlBridge.unpersistLocalCheckpoint(pairs)
+      GraftSqlBridge.unpersistLocalCheckpoint(held)
+      result.orderBy(col("lang"))
     },
     Some {
       import DedupQueries.{tokHashSql, minColsSql, bandSelectsSql,

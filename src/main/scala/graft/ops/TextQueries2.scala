@@ -857,14 +857,23 @@ ${bpeRoundSql(1)}
     (Vector[org.apache.spark.sql.DataFrame],
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long)]()
 
-  /** Newest mtime under the documents fixture: part of the memo key, so an
-    * in-JVM fixture regeneration (same dir, new files) misses the memo
-    * instead of serving the stale trainer state (r12 ADVICE low).
+  /** Content-shape stamp of the documents fixture — part of the memo key,
+    * so an in-JVM fixture regeneration (same dir, new files) misses the
+    * memo instead of serving the stale trainer state (r12 ADVICE low).
+    * Folds file NAME, LENGTH, and mtime (plus the file count via the fold
+    * seed) into one hash rather than taking max(mtime) alone: a
+    * regeneration landing on the same millisecond tick, or a restore that
+    * preserves mtimes, still changes names/byte-lengths and misses the
+    * memo (r13 ADVICE low). Name-sorted so the fold is listing-order
+    * independent.
     */
   private def bpeFixtureStamp(dir: String): Long = {
     val f = new java.io.File(s"$dir/documents.parquet")
-    val kids = Option(f.listFiles()).getOrElse(Array.empty)
-    kids.foldLeft(f.lastModified)((m, k) => math.max(m, k.lastModified))
+    val kids = Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+    kids.foldLeft(f.lastModified ^ (kids.length.toLong << 48)) { (h, k) =>
+      ((h * 1000003L) ^ k.getName.hashCode.toLong) * 31L +
+        k.length * 7919L + k.lastModified
+    }
   }
 
   /** Drop every memoized entry WITHOUT eagerly unpersisting — the
