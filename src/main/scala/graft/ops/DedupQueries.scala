@@ -282,7 +282,14 @@ object DedupQueries {
       aggregate(zip_with(col("sa"), col("sb"),
           (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).as("matches"))
-    est.filter(col("matches") >= VerifyMin)
+    // the VERIFIED pairs are cached too (r13 verdict ask #3): four
+    // consumers re-derive this exact frame per bench pass
+    // (dedup_minhash_lsh + the unordered/ttl/late streaming comparisons),
+    // each paying the candidate join + verify fold; the filtered result is
+    // tiny (verified pairs only) and plan-keyed like the sigs cache above,
+    // so all consumers on the same fixture hit one warm entry instead of
+    // each pinning a private localCheckpoint copy
+    est.filter(col("matches") >= VerifyMin).cache()
   }
 
   val dedupMinhashLsh = QueryDef(

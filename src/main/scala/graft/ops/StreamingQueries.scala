@@ -1208,6 +1208,22 @@ object StreamingQueries {
     */
   private[graft] val StoreBuckets = 16
 
+  /** Retention window (batches) for the TTL-bounded store
+    * ([[streamNeardupTtl]]): a batch may witness partners from the K most
+    * recent prior batches. The recall-vs-state knob, sibling of
+    * [[StoreBuckets]]: store size is O(K · batch), and every K-increment
+    * buys back escapes whose only partners sat exactly K+1 batches away.
+    * LOCAL sizing (K = 2 over a 6-slice replay) keeps the window strictly
+    * smaller than the stream so expiry genuinely fires — recall vs the
+    * unbounded policy is 99.0%/98.96% at sf0.001/0.01 (BASELINE.md), and
+    * the K = 3 point on the same replay is measured there too (the curve,
+    * not just the point — r13 verdict ask #5). PRODUCTION sizing sets K
+    * from the dedup horizon the pipeline owes (e.g. "near-dups within a
+    * day" at hourly triggers ⇒ K = 24) — state stays O(window) regardless
+    * of stream life, which is the whole point of the bound.
+    */
+  private[graft] val TtlWindowBatches = 2
+
   /** Band-store partition bucket: hash of the (band, bh) key. */
   private[graft] def bandBucket(band: Column, bh: Column): Column =
     pmod(hash(band, bh), lit(StoreBuckets))
@@ -1730,9 +1746,10 @@ object StreamingQueries {
         .select(col("doc_id"), lit(1).as("held"))
       // the batch comparison sets, recomputed through the BATCH pipeline's
       // own pair generator (not the stream's store) — an engine bug cannot
-      // vouch for itself
+      // vouch for itself. verifiedPairs is the family-shared plan-keyed
+      // cache (r13 ask #3): no per-run checkpoint copy here
       val pairs = DedupQueries.verifiedPairs(docs)
-        .select(col("a_id"), col("b_id")).localCheckpoint()
+        .select(col("a_id"), col("b_id"))
       val removable = pairs.select(col("b_id").as("doc_id")).distinct()
         .withColumn("removable", lit(1))
       val dup = pairs.select(col("a_id").as("doc_id"))
@@ -1757,11 +1774,11 @@ object StreamingQueries {
             .otherwise(expr("(10000 * n_common) div n_removable"))
             .as("recall_bp"))
         .localCheckpoint() // eager: pins the O(langs) aggregate...
-      // ...so the run-local pairs + held checkpoints can be freed NOW
-      // (r13 ADVICE: they pinned a fresh corpus-scale RDD per bench/verify
-      // pass for JVM life). The tiny result residue is reference-dropped by
-      // the caller and reclaimed by the ContextCleaner at GC.
-      GraftSqlBridge.unpersistLocalCheckpoint(pairs)
+      // ...so the run-local held checkpoint can be freed NOW (r13 ADVICE:
+      // it pinned a fresh RDD per bench/verify pass for JVM life; the
+      // pairs side is the shared verifiedPairs cache, not a per-run copy).
+      // The tiny result residue is reference-dropped by the caller and
+      // reclaimed by the ContextCleaner at GC.
       GraftSqlBridge.unpersistLocalCheckpoint(held)
       result.orderBy(col("lang"))
     },
@@ -1826,7 +1843,7 @@ object StreamingQueries {
 
   /** RETENTION-BOUNDED (TTL) VERIFIED STREAMING DEDUP — the state-bound
     * the unbounded store cannot give a 100 TB stream: signatures older
-    * than [[streamNeardupTtl]]'s K = 2 batches EXPIRE, so store size is
+    * than K = [[TtlWindowBatches]] batches EXPIRE, so store size is
     * O(window), not O(stream life). Expiry is PHYSICAL and O(1) per
     * batch: the store's bid (batch id) is the OUTERMOST hive partition,
     * so the window floor is one more partition filter on every read
@@ -1846,18 +1863,24 @@ object StreamingQueries {
     * partner x covers y iff slice(y) − slice(x) ≤ 2 with the arrival
     * tie-break on equal slices.
     */
-  val streamNeardupTtl = QueryDef(
-    "stream_neardup_ttl",
-    (spark, dir) => {
+  /** The TTL query body at an arbitrary window K (and replay slice count):
+    * the registry entry pins K = [[TtlWindowBatches]]; `tools.TtlCurve`
+    * sweeps other K values over the SAME replay to turn the
+    * recall-vs-state trade into a curve (r13 verdict ask #5).
+    */
+  private[graft] def ttlMetrics(spark: SparkSession, dir: String,
+      name: String, k: Int, slices: Int = 6): DataFrame = {
       val docs = graft.Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
-      val held = neardupStoreRun(spark, "stream_neardup_ttl", docs,
-          stageDocModSlices(docs, 6), retainBatches = Some(2))
+      val held = neardupStoreRun(spark, name, docs,
+          stageDocModSlices(docs, slices), retainBatches = Some(k))
         .select(col("doc_id"), lit(1).as("held"))
+      // family-shared verifiedPairs cache — see stream_neardup_unordered
       val pairs = DedupQueries.verifiedPairs(docs)
-        .select(col("a_id"), col("b_id")).localCheckpoint()
-      val earlierA = (col("a_id") % 6 < col("b_id") % 6) ||
-        (col("a_id") % 6 === col("b_id") % 6 && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+      val sl = lit(slices)
+      val earlierA = (col("a_id") % sl < col("b_id") % sl) ||
+        (col("a_id") % sl === col("b_id") % sl && col("a_id") < col("b_id"))
       val heldFull = pairs
         .select(when(earlierA, col("b_id")).otherwise(col("a_id"))
           .as("doc_id"))
@@ -1875,12 +1898,17 @@ object StreamingQueries {
           when(col("n_held_full") === 0, lit(10000L))
             .otherwise(expr("(10000 * n_held) div n_held_full"))
             .as("recall_bp"))
-        .localCheckpoint() // eager — then free the run-local inputs (see
-      // stream_neardup_unordered: same r13-ADVICE residue class)
-      GraftSqlBridge.unpersistLocalCheckpoint(pairs)
+        .localCheckpoint() // eager — then free the run-local held frame
+      // (see stream_neardup_unordered: same r13-ADVICE residue class;
+      // pairs is the shared cache, not per-run)
       GraftSqlBridge.unpersistLocalCheckpoint(held)
       result.orderBy(col("lang"))
-    },
+  }
+
+  val streamNeardupTtl = QueryDef(
+    "stream_neardup_ttl",
+    (spark, dir) =>
+      ttlMetrics(spark, dir, "stream_neardup_ttl", TtlWindowBatches),
     Some {
       import DedupQueries.{tokHashSql, minColsSql, bandSelectsSql,
         matchTermsSql, VerifyMin}
@@ -1917,7 +1945,7 @@ object StreamingQueries {
          |    AS doc_id
          |  FROM pairs
          |  WHERE CASE WHEN earlier_a THEN b_id % 6 - a_id % 6
-         |             ELSE a_id % 6 - b_id % 6 END <= 2),
+         |             ELSE a_id % 6 - b_id % 6 END <= $TtlWindowBatches),
          |flags AS (
          |  SELECT d.doc_id, d.lang,
          |    CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS held,
