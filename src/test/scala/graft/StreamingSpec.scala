@@ -556,6 +556,60 @@ class StreamingSpec extends AnyFunSuite {
       s"held set diverged from the window rule: extra=${held -- expected}, missed=${expected -- held}")
   }
 
+  test("late replay: event-bucket window rule per doc; lateness genuinely costs docs") {
+    import org.apache.spark.sql.functions._
+    // stream_neardup_late's engine contract, per DOC like the ttl gate
+    // (its own n_late_escaped = n_held_ontime - n_held output is an
+    // arithmetic identity — only an independently computed event-rule set
+    // can catch a window bug): the held set must be exactly {later arrival
+    // of every verified pair with a same-batch OR within-event-window
+    // earlier partner}; it must be a strict SUBSET of the arrival-time
+    // window rule's set (lateness only shrinks witness windows, and on
+    // this fixture it must actually cost at least one doc or the axis is
+    // vacuous); and recall vs the unbounded policy must hold the floor.
+    val S = graft.ops.StreamingQueries
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val k = S.TtlWindowBatches
+    val slip = S.LateSlipBatches
+    val lateBid: Long => org.apache.spark.sql.Column = b =>
+      if (b >= slip) when(col("doc_id") % 7 >= 4, lit(b - slip))
+        .otherwise(lit(b))
+      else lit(b)
+    val held = S.neardupStoreRun(spark, "spec_late6", docs,
+        S.stageDocModSlices(docs, 6), retainBatches = Some(k),
+        eventBid = Some(lateBid))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(S.lastBatchCounts("spec_late6") >= 4,
+      "6-slice replay ran fewer than 4 data batches — window not exercised")
+    val pairs = graft.ops.DedupQueries.verifiedPairs(docs)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def late(x: Long): Boolean = x % 7 >= 4 && x % 6 >= slip
+    def eb(x: Long): Long = if (late(x)) x % 6 - slip else x % 6
+    def earlierA(a: Long, b: Long): Boolean =
+      a % 6 < b % 6 || (a % 6 == b % 6 && a < b)
+    def split(a: Long, b: Long): (Long, Long) =
+      if (earlierA(a, b)) (a, b) else (b, a)
+    val expectedLate = pairs.collect { case (a, b)
+        if { val (e, l) = split(a, b)
+             e % 6 == l % 6 || eb(e) >= l % 6 - k } =>
+      split(a, b)._2 }.toSet
+    val expectedOntime = pairs.collect { case (a, b)
+        if { val (e, l) = split(a, b); l % 6 - e % 6 <= k } =>
+      split(a, b)._2 }.toSet
+    val fullHeld = pairs.map(p => split(p._1, p._2)._2).toSet
+    assert(expectedLate.subsetOf(expectedOntime),
+      "event rule held a doc the arrival rule would not — rule broken")
+    assert((expectedOntime -- expectedLate).nonEmpty,
+      "lateness cost no docs — the late axis is vacuous on this fixture")
+    assert(held === expectedLate,
+      s"held set diverged from the event-bucket rule: extra=${held -- expectedLate}, missed=${expectedLate -- held}")
+    assert(fullHeld.nonEmpty &&
+      10000 * expectedLate.size / fullHeld.size >= 9000,
+      s"late recall ${10000 * expectedLate.size / fullHeld.size} bp below the 90% floor")
+  }
+
   test("engine-wired compaction: 6-slice replay fires the pressure trigger, held set intact") {
     import org.apache.spark.sql.functions._
     // the 3-slice registry replays never reach the file-pressure
