@@ -1261,7 +1261,9 @@ object StreamingQueries {
     * (doc_id + one array column) and feeds a fused candidate join — a
     * doc-bucket pruning variant was measured and the candidate-set
     * materialization it needs (to learn the buckets) cost far more than
-    * the scan it saved; the band store is where pruning pays.
+    * the scan it saved; the band store is where pruning pays. File-count
+    * growth (one per batch) is reclaimed by [[maybeCompactStoreSigs]] on
+    * the unbounded layout; retention layouts are bounded by expiry.
     */
   private[graft] def writeStoreSigs(sigs: DataFrame, dir: String,
       bid: Option[Column] = None): Unit = bid match {
@@ -1343,7 +1345,12 @@ object StreamingQueries {
     if (root.isDirectory) walk(root) else 0
   }
 
-  private[graft] def compactStoreBands(sp: SparkSession, dir: String): Unit = {
+  /** The crash-safe rewrite-then-swap shared by band and sig compaction:
+    * `rewrite` writes the compacted copy to the path it is given, then the
+    * live dir swaps with it via two renames. Returns true iff a rewrite
+    * ran and was swapped in.
+    */
+  private def swapCompact(dir: String)(rewrite: String => Unit): Boolean = {
     val live = new java.io.File(dir)
     val retired = new java.io.File(s"$dir.old")
     val fresh = s"$dir.compact"
@@ -1366,16 +1373,69 @@ object StreamingQueries {
       graft.Tables.deleteTree(fresh)
     }
     if (hasParquetData(live)) {
-      compactionsRun.incrementAndGet()
-      sp.read.parquet(dir).repartition(col("w"), col("pb"))
-        .write.mode("overwrite").partitionBy("w", "pb").parquet(fresh)
-      if (live.renameTo(retired) && new java.io.File(fresh).renameTo(live))
+      rewrite(fresh)
+      if (live.renameTo(retired) && new java.io.File(fresh).renameTo(live)) {
         graft.Tables.deleteTree(retired.toString)
-      else {
+        true
+      } else {
         // a failed swap must leave the live store untouched: undo the
         // first rename if it happened, drop the orphaned rewrite
         retired.renameTo(live)
         graft.Tables.deleteTree(fresh)
+        false
+      }
+    } else false
+  }
+
+  private[graft] def compactStoreBands(sp: SparkSession, dir: String): Unit =
+    if (swapCompact(dir) { fresh =>
+      sp.read.parquet(dir).repartition(col("w"), col("pb"))
+        .write.mode("overwrite").partitionBy("w", "pb").parquet(fresh)
+    }) { compactionsRun.incrementAndGet(); () }
+
+  /** Sig-table maintenance for the UNBOUNDED store (r14 endurance finding:
+    * the flat sig table gains exactly one file per batch and had no
+    * maintenance, so listing cost and scan-task fan-out grew with stream
+    * LIFE — the same small-files class the band compactor already handles,
+    * observed directly on the 24-slice endurance axis while every 3–6
+    * batch bench replay stayed blind to it). Trigger is GEOMETRIC, not
+    * pressure-per-dir (the sig table is flat, so "files per dir" IS total
+    * files): rewrite when the file count reaches
+    * max([[SigCompactMinFiles]], 2 × files after the last rewrite) — the
+    * LSM amortization, total rewrite work O(N log N) over stream life and
+    * amortized O(batch) per batch, vs O(N) per batch for a fixed cadence.
+    * The post-rewrite count persists in a `.lastcompact` marker next to
+    * the dir (crash-stale marker ⇒ at worst one early/late rewrite, never
+    * wrong data). Registry replays (3–6 batches) never reach
+    * [[SigCompactMinFiles]], so the bench pays only the listing probe —
+    * the measured-blind-cadence lesson, applied here from the start.
+    */
+  private[graft] val SigCompactMinFiles = 8
+
+  /** Spec observability: total sig-table compactions run in this JVM. */
+  private[graft] val sigCompactionsRun =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private[graft] def maybeCompactStoreSigs(sp: SparkSession,
+      dir: String): Unit = {
+    val marker = new java.io.File(s"$dir.lastcompact")
+    val lastN = if (marker.exists)
+      scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toInt)
+        .getOrElse(0)
+    else 0
+    if (countParquetFiles(dir) >= math.max(SigCompactMinFiles, 2 * lastN)) {
+      val swapped = swapCompact(dir) { fresh =>
+        // repartition on the id keeps the rewrite AQE-sized at corpus
+        // scale (terminal write — the coalesce-to-few risk is the point)
+        sp.read.parquet(dir).repartition(col("doc_id"))
+          .write.mode("overwrite").parquet(fresh)
+      }
+      if (swapped) {
+        sigCompactionsRun.incrementAndGet()
+        java.nio.file.Files.write(marker.toPath,
+          countParquetFiles(dir).toString.getBytes)
+        ()
       }
     }
   }
@@ -1553,9 +1613,13 @@ object StreamingQueries {
             // retention the file count is already bounded by the window
             // (>= one dir drop per batch), and the rewrite would flatten
             // the bid partitioning the expiry relies on
-            if (retainBatches.isEmpty &&
-                maxBucketFiles(bandsDir) >= CompactBucketFiles)
-              compactStoreBands(sp, bandsDir)
+            if (retainBatches.isEmpty) {
+              if (maxBucketFiles(bandsDir) >= CompactBucketFiles)
+                compactStoreBands(sp, bandsDir)
+              // sig-table small-files maintenance (geometric trigger; a
+              // retention store never needs it — expiry bounds its files)
+              maybeCompactStoreSigs(sp, sigsDir)
+            }
             val sigs = enrich(batch.repartition(col("doc_id")))
               .localCheckpoint() // batch-sized; consumed by every branch
             val batchBands = bandsOf(sigs)

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Many-batch ENDURANCE axis for the neardup store family (r13 verdict top
+  * ask): every bench replay is 3–6 micro-batches — long enough to verify
+  * semantics, far too short to see whether the per-batch cost and store
+  * file count actually hold their claimed bounds (flat O(window) under
+  * TTL; sawtooth bounded by the compaction pressure trigger when
+  * unbounded). This tool replays the documents corpus as N interleaved
+  * slices through [[graft.ops.StreamingQueries.neardupStoreRun]] in either
+  * config and prints the per-batch wall / store-file-count / maintenance
+  * trajectories the claims are graded on.
+  *
+  * Usage: runMain graft.tools.StoreEndurance <sfDir> <slices> <ttl|compact> [k]
+  */
+object StoreEndurance {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val slices = args(1).toInt
+    val mode = args(2)
+    val k = if (args.length > 3) args(3).toInt
+            else graft.ops.StreamingQueries.TtlWindowBatches
+    require(mode == "ttl" || mode == "compact", s"unknown mode $mode")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val S = graft.ops.StreamingQueries
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // short warm replay first: JIT + page-fault bring-up otherwise lands
+    // entirely on the first batches and fakes a warmup trend
+    S.neardupStoreRun(spark, s"endure_warm", docs,
+      S.stageDocModSlices(docs, 3),
+      retainBatches = if (mode == "ttl") Some(k) else None).count()
+    val stats = scala.collection.mutable.ArrayBuffer.empty[S.BatchStats]
+    val t0 = System.nanoTime()
+    val held = S.neardupStoreRun(spark, s"endure_${mode}_$slices", docs,
+      S.stageDocModSlices(docs, slices),
+      retainBatches = if (mode == "ttl") Some(k) else None,
+      onBatch = Some(stats += _)).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[endure] mode=$mode slices=$slices k=$k sf=$sfDir total=$wall%.1f s held=$held")
+    println("[endure] batch wallMs bandFiles sigFiles compactions drops")
+    var prevC = stats.headOption.map(_.compactions).getOrElse(0L)
+    var prevD = stats.headOption.map(_.drops).getOrElse(0L)
+    // deltas vs the run's own first batch: the counters are JVM-global
+    stats.foreach { s =>
+      println(s"[endure] ${s.batchId} ${s.wallMs} ${s.bandFiles} " +
+        s"${s.sigFiles} ${s.compactions - prevC} ${s.drops - prevD}")
+    }
+    // quartile summary: the plateau/bound claim in one line per quarter
+    val q = math.max(1, stats.size / 4)
+    stats.grouped(q).zipWithIndex.foreach { case (g, i) =>
+      val mw = g.map(_.wallMs).sum / g.size
+      println(s"[endure] quarter=$i meanWallMs=$mw " +
+        s"maxBandFiles=${g.map(_.bandFiles).max} " +
+        s"maxSigFiles=${g.map(_.sigFiles).max}")
+    }
+    spark.stop()
+  }
+}

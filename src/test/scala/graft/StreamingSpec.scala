@@ -680,6 +680,104 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.Tables.deleteTree(dir)
   }
 
+  test("sig-table compaction: geometric trigger collapses files, rows identical, marker gates recompaction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the r14 endurance finding's fix: the flat sig table gained one file
+    // per batch with no maintenance. The geometric compactor must (a) not
+    // fire below SigCompactMinFiles, (b) collapse the files without
+    // adding/dropping/mutating a row, (c) record the post-rewrite count in
+    // the marker so the NEXT fire waits for 2× growth instead of running
+    // a full-table rewrite every batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndv-sigc")
+      .toString + "/sigs"
+    try {
+      val S = graft.ops.StreamingQueries
+      def mkSigs(lo: Int) = (lo until lo + 16)
+        .map(i => (i.toLong, "en", Array.fill(4)(i.toLong)))
+        .toDF("doc_id", "lang", "sig")
+        .coalesce(1) // one file per append, like a replay micro-batch
+      def rows() = spark.read.parquet(dir)
+        .select($"doc_id", $"lang", $"sig")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getSeq[Long](2))).toSet
+      def files() = S.countParquetFiles(dir)
+      (0 until S.SigCompactMinFiles - 1)
+        .foreach(i => S.writeStoreSigs(mkSigs(i * 16), dir))
+      S.maybeCompactStoreSigs(spark, dir)
+      assert(files() === S.SigCompactMinFiles - 1,
+        "compactor fired below the minimum file pressure")
+      S.writeStoreSigs(mkSigs(256), dir)
+      val before = rows()
+      S.maybeCompactStoreSigs(spark, dir)
+      assert(files() < S.SigCompactMinFiles, s"files not collapsed: ${files()}")
+      assert(rows() === before, "sig compaction changed the table's rows")
+      val compacted = files()
+      // marker gate: another immediate pass must NOT rewrite again
+      S.maybeCompactStoreSigs(spark, dir)
+      assert(files() === compacted,
+        "compactor re-fired without 2x growth — marker not honored")
+      assert(rows() === before)
+    } finally graft.Tables.deleteTree(
+      new java.io.File(dir).getParent)
+  }
+
+  test("endurance: 24-batch replays hold the store bounds (TTL flat, compaction sawtooth)") {
+    import org.apache.spark.sql.functions._
+    // the r13 verdict's top ask: the O(window)/bounded-file claims had
+    // only ever been observed over 3-6 batches — indistinguishable from
+    // warmup. Replay 24 interleaved slices through BOTH configs and gate
+    // the file-count trajectories (full per-batch wall tables live in
+    // BASELINE.md via tools.StoreEndurance; wall is not gated here — CI
+    // hosts drift, file counts do not).
+    val S = graft.ops.StreamingQueries
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val k = S.TtlWindowBatches
+    def run(mode: String): Seq[S.BatchStats] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[S.BatchStats]
+      S.neardupStoreRun(spark, s"spec_endure_$mode", docs,
+        S.stageDocModSlices(docs, 24),
+        retainBatches = if (mode == "ttl") Some(k) else None,
+        onBatch = Some(buf += _)).count()
+      buf.toSeq
+    }
+    val ttl = run("ttl")
+    assert(ttl.size === 24, s"expected 24 batches, saw ${ttl.size}")
+    val warm = ttl.drop(k + 1)
+    // TTL: the window bounds the store regardless of stream life — at most
+    // k+1 live bids, each holding at most one file per (w, pb) dir / one
+    // sig file (measured steady state: 2 bids x ~32 dirs after the
+    // post-batch drop)
+    assert(warm.map(_.bandFiles).max <= (k + 1) * 2 * S.StoreBuckets,
+      s"TTL band files exceed the window bound: ${warm.map(_.bandFiles).max}")
+    assert(warm.map(_.sigFiles).max <= k + 1,
+      s"TTL sig files exceed the window bound: ${warm.map(_.sigFiles).max}")
+    // plateau, not growth: the last third is no higher than the first
+    // post-warmup third
+    assert(ttl.takeRight(8).map(_.bandFiles).max <=
+      warm.take(8).map(_.bandFiles).max,
+      "TTL band file count still growing in the last third of the replay")
+    // physical expiry genuinely ran ~every post-warmup batch (2 stores)
+    assert(ttl.last.drops - ttl.head.drops >= 2L * (24 - k - 2),
+      s"too few physical bid drops: ${ttl.last.drops - ttl.head.drops}")
+    val comp = run("compact")
+    assert(comp.size === 24)
+    // compaction: sawtooth bounded — a bucket dir accumulates at most
+    // CompactBucketFiles before the pressure trigger rewrites it to one
+    assert(comp.map(_.bandFiles).max <=
+      2 * S.StoreBuckets * (S.CompactBucketFiles + 1),
+      s"compaction band files exceed the pressure bound: ${comp.map(_.bandFiles).max}")
+    assert(comp.last.compactions - comp.head.compactions >= 2L,
+      "band compaction fired fewer than 2 times over 24 batches")
+    // sig table: geometric compactor holds the flat table at or below the
+    // pressure floor (+1 for the append landing after a trigger check)
+    assert(comp.map(_.sigFiles).max <= S.SigCompactMinFiles + 1,
+      s"sig files exceed the geometric bound: ${comp.map(_.sigFiles).max}")
+    assert(comp.map(_.sigFiles).last < comp.map(_.sigFiles).max,
+      "sig compaction never brought the file count back down")
+  }
+
   test("store readers tolerate a marker-only dir (zero-row batch wrote only _SUCCESS)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
