@@ -1093,8 +1093,7 @@ object StreamingQueries {
   private def stageDocRangeSlices(docs: DataFrame, n: Int): String = {
     val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
     val step = maxId / n + 1
-    stageDocSlices(docs, n,
-      i => col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+    stageDocSlices(docs, n, expr(s"doc_id div $step"))
   }
 
   /** Stage documents as n INTERLEAVED slices (`doc_id % n`), one parquet
@@ -1107,26 +1106,43 @@ object StreamingQueries {
     * engine's same-batch candidate rule.
     */
   private[graft] def stageDocModSlices(docs: DataFrame, n: Int): String =
-    stageDocSlices(docs, n, i => col("doc_id") % n === lit(i))
+    stageDocSlices(docs, n, col("doc_id") % n)
 
-  /** Shared slice writer: one single-file parquet per slice predicate,
-    * strictly increasing mtimes so `maxFilesPerTrigger=1` replays slice i
-    * as micro-batch i (file source processes oldest-first).
+  /** Shared slice writer: one single-file parquet per slice, strictly
+    * increasing mtimes so `maxFilesPerTrigger=1` replays slice i as
+    * micro-batch i (file source processes oldest-first). ONE Spark job for
+    * all n slices (r13 ask #3 wall-clock stewardship: the per-slice
+    * filter+coalesce(1) loop paid n scan+commit rounds per replay — ~2 s
+    * of pure staging per stream at n = 6): hive-partition on the slice
+    * index with an explicit repartition(n, sl) — REPARTITION_BY_NUM, so
+    * AQE cannot coalesce it — which lands every slice in exactly one task
+    * ⇒ exactly one file per slice dir; `partitionBy` keeps `sl` out of the
+    * data files, so the staged schema is unchanged. Within-file row order
+    * is shuffle-arbitrary, exactly as the old coalesce(1) scan order was —
+    * arrival order within a batch is defined by VALUE (the id tiebreak),
+    * never file order.
     */
   private def stageDocSlices(docs: DataFrame, n: Int,
-      slicePred: Int => Column): String = {
+      sliceIdx: Column): String = {
     val stage = Files.createTempDirectory("graft-docslice-stage")
     val incoming = Files.createTempDirectory("graft-docslice-in")
     val baseMs = System.currentTimeMillis() - 60000L
+    docs.withColumn("sl", sliceIdx)
+      .repartition(n, col("sl"))
+      .write.mode("overwrite").partitionBy("sl").parquet(stage.toString)
     for (i <- 0 until n) {
-      val sliceDir = stage.resolve(s"s$i").toString
-      docs.filter(slicePred(i))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(sliceDir)
-      val part = new java.io.File(sliceDir).listFiles()
+      val sliceDir = new java.io.File(s"$stage/sl=$i")
+      // an empty slice writes NO dir under partitionBy (unlike the old
+      // coalesce(1) path, which staged a zero-row file) — and a missing
+      // slice file would silently shift every later batch's bid mapping,
+      // breaking the arrival-rule oracles; fail loudly instead. Every
+      // fixture slicing is dense (contiguous ids mod n / range steps), so
+      // this is an invariant check, not a live path.
+      val part = Option(sliceDir.listFiles()).getOrElse(Array.empty)
         .find(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file in $sliceDir"))
+        .getOrElse(sys.error(
+          s"slice $i is empty — bid mapping would shift; use a dense slicing"))
       val dst = incoming.resolve(s"slice-$i.parquet")
       java.nio.file.Files.move(part.toPath, dst)
       dst.toFile.setLastModified(baseMs + i * 2000L)
