@@ -1126,6 +1126,9 @@ $trajectory),
       // invocation-local, so no concurrent reader can hold it
       org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(prev)
     }
+    // the edges checkpoint is loop-local too (review pass: the final ranks
+    // derive only from the last stepped checkpoint) — free it on exit
+    org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(edges)
     (ranks, rounds, l1)
   }
 

@@ -1101,9 +1101,10 @@ object StreamingQueries {
     * replay: consecutive ids land in different micro-batches, so for most
     * near-dup pairs the arrival order inverts or splits the id order —
     * exactly the production condition (time-ordered stream, id-agnostic)
-    * that range slicing cannot exercise. Each slice is still written
-    * id-ascending, so within-batch arrival = id order, matching the
-    * engine's same-batch candidate rule.
+    * that range slicing cannot exercise. Within-batch arrival is DEFINED
+    * as id order (the engine's same-batch candidate rule and every oracle
+    * tie-break on the id VALUE); physical row order inside a slice file is
+    * shuffle-arbitrary and deliberately not load-bearing.
     */
   private[graft] def stageDocModSlices(docs: DataFrame, n: Int): String =
     stageDocSlices(docs, n, col("doc_id") % n)
@@ -1201,8 +1202,9 @@ object StreamingQueries {
     * CANDIDATE RULE (the arrival-semantics core): a stored document
     * arrived strictly EARLIER than anything in the current batch, so
     * store-side candidates pair UNCONDITIONALLY — arrival order, not id
-    * order. Same-batch candidates pair by id order, which IS within-batch
-    * arrival because both stagers write each slice id-ascending. Under
+    * order. Same-batch candidates pair by id order — the DEFINITION of
+    * within-batch arrival (a tie-break on the id value; physical file
+    * order is shuffle-arbitrary and never consulted). Under
     * range slicing the two rules coincide with "smaller id first"
     * (stored ⇒ smaller id), which is what makes the ordered query's held
     * set equal the batch removable set; under interleaved slicing the
@@ -1299,8 +1301,7 @@ object StreamingQueries {
     * their explicit schemas for hive partition discovery).
     */
   private def hasParquetData(f: java.io.File): Boolean =
-    Option(f.listFiles()).getOrElse(Array.empty).exists(k =>
-      (k.isDirectory && hasParquetData(k)) || k.getName.endsWith(".parquet"))
+    countParquetFiles(f.toString) > 0
 
   /** Compact the band store: rewrite the accumulated per-batch files into
     * one file per (w, pb) bucket, preserving rows exactly. The maintenance
@@ -1540,9 +1541,13 @@ object StreamingQueries {
     * bounded under compaction).
     */
   private[graft] final case class BatchStats(batchId: Long, wallMs: Long,
-    bandFiles: Int, sigFiles: Int, compactions: Long, drops: Long)
+    bandFiles: Int, sigFiles: Int, compactions: Long, sigCompactions: Long,
+    drops: Long)
 
-  /** Total parquet data files under a store tree (listing only). */
+  /** Total parquet data files under a store tree (listing only) — the
+    * shared walker behind [[hasParquetData]] and the endurance probe
+    * ([[maxBucketFiles]] keeps its own walk: per-dir MAX, not a sum).
+    */
   private[graft] def countParquetFiles(dir: String): Int = {
     def walk(f: java.io.File): Int = {
       val kids = Option(f.listFiles()).getOrElse(Array.empty)
@@ -1725,7 +1730,8 @@ object StreamingQueries {
             onBatch.foreach(f => f(BatchStats(batchId,
               (System.nanoTime() - tBatch0) / 1000000L,
               countParquetFiles(bandsDir), countParquetFiles(sigsDir),
-              compactionsRun.get(), retentionDrops.get())))
+              compactionsRun.get(), sigCompactionsRun.get(),
+              retentionDrops.get())))
             } finally {
               sp.conf.set("spark.sql.shuffle.partitions", streamPartitions)
               sp.conf.set("spark.sql.adaptive.enabled", streamAqe)
@@ -1866,8 +1872,12 @@ object StreamingQueries {
       // the batch comparison sets, recomputed through the BATCH pipeline's
       // own pair generator (not the stream's store) — an engine bug cannot
       // vouch for itself. verifiedPairs is the family-shared plan-keyed
-      // cache (r13 ask #3): no per-run checkpoint copy here
-      val pairs = DedupQueries.verifiedPairs(docs)
+      // cache (r13 ask #3): no per-run checkpoint copy here, and the RAW
+      // load frame (not the projected `docs` var) keeps the call
+      // plan-identical to dedup_minhash_lsh's so all four consumers hit
+      // ONE cache entry (review pass: a projected input builds a second)
+      val pairs = DedupQueries.verifiedPairs(
+          graft.Tables.load(spark, dir, "documents"))
         .select(col("a_id"), col("b_id"))
       val removable = pairs.select(col("b_id").as("doc_id")).distinct()
         .withColumn("removable", lit(1))
@@ -1995,7 +2005,9 @@ object StreamingQueries {
           stageDocModSlices(docs, slices), retainBatches = Some(k))
         .select(col("doc_id"), lit(1).as("held"))
       // family-shared verifiedPairs cache — see stream_neardup_unordered
-      val pairs = DedupQueries.verifiedPairs(docs)
+      // (raw load frame for the one-entry plan key)
+      val pairs = DedupQueries.verifiedPairs(
+          graft.Tables.load(spark, dir, "documents"))
         .select(col("a_id"), col("b_id"))
       val sl = lit(slices)
       val earlierA = (col("a_id") % sl < col("b_id") % sl) ||
@@ -2156,9 +2168,12 @@ object StreamingQueries {
       // comparison sets (family-shared verifiedPairs cache)
       def slice(c: Column): Column = c % 6
       def isLate(c: Column): Column = c % 7 >= 4 && c % 6 >= LateSlipBatches
-      def eb(c: Column): Column =
-        when(isLate(c), c % 6 - LateSlipBatches).otherwise(c % 6)
-      val pairs = DedupQueries.verifiedPairs(docs)
+      // family-shared verifiedPairs cache; the RAW load frame (not the
+      // projected `docs` var) keeps this call plan-identical to
+      // dedup_minhash_lsh's, so all four consumers hit ONE cache entry
+      // (review pass: a projected input builds a second entry)
+      val pairs = DedupQueries.verifiedPairs(
+          graft.Tables.load(spark, dir, "documents"))
         .select(col("a_id"), col("b_id"))
       val a = col("a_id"); val b = col("b_id")
       val earlierA = (slice(a) < slice(b)) ||
@@ -2166,7 +2181,10 @@ object StreamingQueries {
       val laterId = when(earlierA, b).otherwise(a)
       val sliceLater = when(earlierA, slice(b)).otherwise(slice(a))
       val sliceEarlier = when(earlierA, slice(a)).otherwise(slice(b))
-      val ebEarlier = when(earlierA, eb(a)).otherwise(eb(b))
+      // the event-rule (held_late) set is deliberately NOT restated here:
+      // n_held comes from the ENGINE, the oracle + StreamingSpec each
+      // derive the rule independently — a Spark-side restatement would
+      // share this file's arithmetic and gate nothing
       val heldFull = pairs.select(laterId.as("doc_id"))
         .distinct().withColumn("full", lit(1))
       val heldOntime = pairs

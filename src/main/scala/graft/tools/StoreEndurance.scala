@@ -48,13 +48,15 @@ object StoreEndurance {
       onBatch = Some(stats += _)).count()
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"[endure] mode=$mode slices=$slices k=$k sf=$sfDir total=$wall%.1f s held=$held")
-    println("[endure] batch wallMs bandFiles sigFiles compactions drops")
-    var prevC = stats.headOption.map(_.compactions).getOrElse(0L)
-    var prevD = stats.headOption.map(_.drops).getOrElse(0L)
+    println("[endure] batch wallMs bandFiles sigFiles compactions sigCompactions drops")
+    val prevC = stats.headOption.map(_.compactions).getOrElse(0L)
+    val prevS = stats.headOption.map(_.sigCompactions).getOrElse(0L)
+    val prevD = stats.headOption.map(_.drops).getOrElse(0L)
     // deltas vs the run's own first batch: the counters are JVM-global
     stats.foreach { s =>
       println(s"[endure] ${s.batchId} ${s.wallMs} ${s.bandFiles} " +
-        s"${s.sigFiles} ${s.compactions - prevC} ${s.drops - prevD}")
+        s"${s.sigFiles} ${s.compactions - prevC} " +
+        s"${s.sigCompactions - prevS} ${s.drops - prevD}")
     }
     // quartile summary: the plateau/bound claim in one line per quarter
     val q = math.max(1, stats.size / 4)

@@ -776,6 +776,8 @@ class StreamingSpec extends AnyFunSuite {
       s"sig files exceed the geometric bound: ${comp.map(_.sigFiles).max}")
     assert(comp.map(_.sigFiles).last < comp.map(_.sigFiles).max,
       "sig compaction never brought the file count back down")
+    assert(comp.last.sigCompactions - comp.head.sigCompactions >= 1L,
+      "the geometric sig compactor never fired over 24 batches")
   }
 
   test("store readers tolerate a marker-only dir (zero-row batch wrote only _SUCCESS)") {
