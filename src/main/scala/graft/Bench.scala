@@ -62,16 +62,18 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // Cross-query sharing that keeps per-query numbers honest to read
-    // (r13 verdict ask #3): the neardup family (dedup_minhash_lsh +
-    // stream_neardup_{verified,unordered,ttl,late}) shares TWO plan-keyed
+    // (r13 verdict ask #3): dedup_minhash_lsh and the three COMPARISON
+    // passes (stream_neardup_{unordered,ttl,late}) share TWO plan-keyed
     // caches from DedupQueries.verifiedPairs — the corpus minhash
-    // signatures and the VERIFIED pair set. Whichever family member runs
+    // signatures and the VERIFIED pair set. Whichever of those FOUR runs
     // first in the warm pass pays the build; every timed pass reads both
-    // warm. So a stream query's time = staging + replay (the engine's own
-    // per-batch signature/band/verify work is NOT shared — it recomputes
-    // on arrival inside foreachBatch) + a warm-cache comparison join. The
-    // honest cold cost of the comparison frames lives in the
-    // dedup_minhash_lsh TimeQuery row, same convention as the BPE memo.
+    // warm. So those stream queries' time = staging + replay (the engine's
+    // own per-batch signature/band/verify work is NOT shared — it
+    // recomputes on arrival inside foreachBatch) + a warm-cache comparison
+    // join. stream_neardup_verified is NOT a sharer: its oracle needs no
+    // comparison join, so its time is pure staging + replay. The honest
+    // cold cost of the comparison frames lives in the dedup_minhash_lsh
+    // TimeQuery row, same convention as the BPE memo.
     // headline total = batch queries only: each streaming query pays a fixed
     // multi-second micro-batch bootstrap (checkpoint dir, query start/stop)
     // that measures Structured Streaming's setup cost, not engine throughput;

@@ -1139,11 +1139,21 @@ object StreamingQueries {
       // breaking the arrival-rule oracles; fail loudly instead. Every
       // fixture slicing is dense (contiguous ids mod n / range steps), so
       // this is an invariant check, not a live path.
-      val part = Option(sliceDir.listFiles()).getOrElse(Array.empty)
-        .find(f => f.getName.startsWith("part-") &&
+      val parts = Option(sliceDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(
-          s"slice $i is empty — bid mapping would shift; use a dense slicing"))
+      val part = parts.toSeq match {
+        case Seq(only) => only
+        case Seq() => sys.error(
+          s"slice $i is empty — bid mapping would shift; use a dense slicing")
+        // as loud as the empty case (review pass): moving only the first
+        // file would silently DROP the rest from the replay (e.g. under a
+        // maxRecordsPerFile rollover), and the skeleton delete below would
+        // destroy the evidence
+        case many => sys.error(
+          s"slice $i wrote ${many.size} part files — one-file-per-slice " +
+          "broken (maxRecordsPerFile rollover?); replay would lose rows")
+      }
       val dst = incoming.resolve(s"slice-$i.parquet")
       java.nio.file.Files.move(part.toPath, dst)
       dst.toFile.setLastModified(baseMs + i * 2000L)
@@ -1301,7 +1311,15 @@ object StreamingQueries {
     * their explicit schemas for hive partition discovery).
     */
   private def hasParquetData(f: java.io.File): Boolean =
-    countParquetFiles(f.toString) > 0
+    // short-circuits at the first data file (review pass: this probe runs
+    // 3+ times per micro-batch — a full count is waste on the hot path);
+    // shares isParquet with the counting walkers
+    Option(f.listFiles()).getOrElse(Array.empty).exists(k =>
+      (k.isDirectory && hasParquetData(k)) || isParquet(k))
+
+  /** THE parquet-data-file predicate every store walker filters on. */
+  private def isParquet(f: java.io.File): Boolean =
+    f.getName.endsWith(".parquet")
 
   /** Compact the band store: rewrite the accumulated per-batch files into
     * one file per (w, pb) bucket, preserving rows exactly. The maintenance
@@ -1354,7 +1372,7 @@ object StreamingQueries {
   private[graft] def maxBucketFiles(dir: String): Int = {
     def walk(f: java.io.File): Int = {
       val kids = Option(f.listFiles()).getOrElse(Array.empty)
-      val here = kids.count(_.getName.endsWith(".parquet"))
+      val here = kids.count(isParquet)
       val below = kids.filter(_.isDirectory).map(walk)
       (here +: below.toSeq).max
     }
@@ -1551,7 +1569,7 @@ object StreamingQueries {
   private[graft] def countParquetFiles(dir: String): Int = {
     def walk(f: java.io.File): Int = {
       val kids = Option(f.listFiles()).getOrElse(Array.empty)
-      kids.count(_.getName.endsWith(".parquet")) +
+      kids.count(isParquet) +
         kids.filter(_.isDirectory).map(walk).sum
     }
     walk(new java.io.File(dir))
