@@ -573,10 +573,7 @@ object StreamingQueries {
       val sliceDir = stage.resolve(s"s$i").toString
       ev.filter(col("event_id") % n === lit(i)).coalesce(1)
         .write.mode("overwrite").parquet(sliceDir)
-      val part = new java.io.File(sliceDir).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file in $sliceDir"))
+      val part = theOnlyPartFile(new java.io.File(sliceDir))
       val dst = incoming.resolve(s"slice-$i.parquet")
       java.nio.file.Files.move(part.toPath, dst)
       dst.toFile.setLastModified(baseMs + i * 2000L)
@@ -1139,21 +1136,7 @@ object StreamingQueries {
       // breaking the arrival-rule oracles; fail loudly instead. Every
       // fixture slicing is dense (contiguous ids mod n / range steps), so
       // this is an invariant check, not a live path.
-      val parts = Option(sliceDir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet"))
-      val part = parts.toSeq match {
-        case Seq(only) => only
-        case Seq() => sys.error(
-          s"slice $i is empty — bid mapping would shift; use a dense slicing")
-        // as loud as the empty case (review pass): moving only the first
-        // file would silently DROP the rest from the replay (e.g. under a
-        // maxRecordsPerFile rollover), and the skeleton delete below would
-        // destroy the evidence
-        case many => sys.error(
-          s"slice $i wrote ${many.size} part files — one-file-per-slice " +
-          "broken (maxRecordsPerFile rollover?); replay would lose rows")
-      }
+      val part = theOnlyPartFile(sliceDir)
       val dst = incoming.resolve(s"slice-$i.parquet")
       java.nio.file.Files.move(part.toPath, dst)
       dst.toFile.setLastModified(baseMs + i * 2000L)
@@ -1315,11 +1298,27 @@ object StreamingQueries {
     // 3+ times per micro-batch — a full count is waste on the hot path);
     // shares isParquet with the counting walkers
     Option(f.listFiles()).getOrElse(Array.empty).exists(k =>
-      (k.isDirectory && hasParquetData(k)) || isParquet(k))
+      isParquet(k) || (k.isDirectory && hasParquetData(k)))
 
   /** THE parquet-data-file predicate every store walker filters on. */
-  private def isParquet(f: java.io.File): Boolean =
+  private[graft] def isParquet(f: java.io.File): Boolean =
     f.getName.endsWith(".parquet")
+
+  /** The SINGLE part file a one-file slice write must have produced —
+    * loud on both invariant breaks (third review pass: moving only the
+    * FIRST of several part files silently drops rows from a replay, and
+    * the staging-skeleton delete then destroys the evidence; the empty
+    * case would silently shift every later batch's bid mapping).
+    */
+  private[graft] def theOnlyPartFile(dir: java.io.File): java.io.File =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && isParquet(f)).toSeq match {
+      case Seq(only) => only
+      case Seq() => sys.error(s"no part file in $dir — empty slice write")
+      case many => sys.error(
+        s"$dir holds ${many.size} part files — one-file-per-slice broken " +
+        "(maxRecordsPerFile rollover?); moving one would lose rows")
+    }
 
   /** Compact the band store: rewrite the accumulated per-batch files into
     * one file per (w, pb) bucket, preserving rows exactly. The maintenance
@@ -1764,7 +1763,7 @@ object StreamingQueries {
         // schema-inference errors instead of returning empty
         val files = Option(new java.io.File(heldDir).listFiles())
           .getOrElse(Array.empty)
-          .filter(_.getName.endsWith(".parquet"))
+          .filter(isParquet)
         if (files.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

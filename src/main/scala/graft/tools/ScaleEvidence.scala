@@ -192,9 +192,8 @@ object ScaleEvidence {
         val tmp = s"$streamDir/_coalesced"
         spark.read.parquet(s"$outDir/$table.parquet")
           .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file in $tmp"))
+        val part = graft.ops.StreamingQueries.theOnlyPartFile(
+          new java.io.File(tmp))
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(s"$streamDir/$table.parquet"))
       }
