@@ -73,7 +73,10 @@ object Bench {
     // join. stream_neardup_verified is NOT a sharer: its oracle needs no
     // comparison join, so its time is pure staging + replay. The honest
     // cold cost of the comparison frames lives in the dedup_minhash_lsh
-    // TimeQuery row, same convention as the BPE memo.
+    // TimeQuery row, same convention as the BPE memo. The embedding twin
+    // (dedup_embedding_lsh + stream_embdup_verified's spec) shares
+    // VectorQueries.embVerifiedPairs the same way — the registry query
+    // itself runs pure staging + replay, like stream_neardup_verified.
     // headline total = batch queries only: each streaming query pays a fixed
     // multi-second micro-batch bootstrap (checkpoint dir, query start/stop)
     // that measures Structured Streaming's setup cost, not engine throughput;

@@ -2307,11 +2307,169 @@ object StreamingQueries {
     },
     notes = "event-time late arrivals under retention: store windowed on EVENT buckets, a deterministic doc fraction arrives 3 batches after its cohort (already expired); the silent-miss cost is accounted per language (n_late_escaped vs the arrival-time TTL rule, n_escaped vs unbounded); hash-exact event-bucket-rule oracle")
 
+  /** STREAMING SEMANTIC (EMBEDDING) DEDUP — the modality the neardup store
+    * family did not cover: every stream_neardup_* gate is text/minhash;
+    * this is the same verified incremental-dedup shape over the
+    * `embeddings` table. Vectors arrive as 3 INTERLEAVED micro-batches
+    * (`vec_id % 3` — the unordered-arrival condition); each batch runs
+    * (foreachBatch) against an ACCUMULATED store of sign-LSH band keys +
+    * raw vectors:
+    *
+    *   candidates: 2×8-bit sign-LSH bands (the `dedup_embedding_lsh`
+    *     rule, [[graft.functions.VectorFunctions.signLsh]]) — store-side
+    *     pairs UNCONDITIONAL (stored = arrived earlier), same-batch pairs
+    *     by id (= within-batch arrival);
+    *   verify: EXACT cosine ≥ 1000 bp on the raw vectors — no
+    *     approximation between candidate and decision.
+    *
+    * Held set = arrival-rule keeper over the batch query's own verified
+    * pair set, so the oracle replays the deterministic arrival rule over
+    * the SHARED pair CTEs ([[VectorQueries.duckEmbPairsCtes]]) — hash-
+    * exact. Store reads are partition-pruned exactly like the text store
+    * (band table hive-partitioned by `pb = hash(band,bv) % StoreBuckets`,
+    * static isin on the batch's touched buckets); the vector table stays
+    * flat like the sig table (same measured trade). Retention/compaction
+    * axes live on the text engine — this store is per-run and 3 batches,
+    * so neither trigger can fire; the scale posture (per-batch cost
+    * O(batch bands + matched slices), never O(store) pair work) is the
+    * text engine's, inherited shape-for-shape.
+    */
+  private[graft] def embdupStoreRun(spark: SparkSession, name: String,
+      emb: DataFrame, incoming: String): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine, signLsh, toDoubleArray}
+    val storeDir = Files.createTempDirectory("graft-emb-store").toString
+    val bandsDir = s"$storeDir/bands"
+    val vecsDir = s"$storeDir/vecs"
+    val heldDir = Files.createTempDirectory("graft-emb-held").toString
+    val ckpt = Files.createTempDirectory("graft-emb-ck").toString
+    val batchPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    def readBands(sp: SparkSession, pbs: Seq[Int]): DataFrame =
+      if (!hasParquetData(new java.io.File(bandsDir)))
+        sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("band",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("bv",
+              org.apache.spark.sql.types.LongType))))
+      else sp.read.parquet(bandsDir).filter(inBuckets(col("pb"), pbs))
+        .select(col("vec_id"), col("band"), col("bv"))
+    def readVecs(sp: SparkSession): DataFrame =
+      if (!hasParquetData(new java.io.File(vecsDir)))
+        sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)))))
+      else sp.read.parquet(vecsDir).select(col("vec_id"), col("v"))
+    try {
+      val held = runSink(spark, name) {
+        val stream = spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(incoming)
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sp = batch.sparkSession
+            val streamPartitions = sp.conf.get("spark.sql.shuffle.partitions")
+            val streamAqe = sp.conf.get("spark.sql.adaptive.enabled")
+            sp.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+            sp.conf.set("spark.sql.adaptive.enabled", "true")
+            try {
+            val vs = batch
+              .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+              .withColumn("sig", signLsh(col("v"), 16))
+              .localCheckpoint() // batch-sized; 4 consumers
+            val bb = vs.select(col("vec_id"), lit(0).as("band"),
+                (col("sig") % 256).as("bv"))
+              .unionByName(vs.select(col("vec_id"), lit(1).as("band"),
+                floor(col("sig") / 256).cast("long").as("bv")))
+              .withColumn("pb", pmod(hash(col("band"), col("bv")),
+                lit(StoreBuckets)))
+              .localCheckpoint() // batch-sized; 3 consumers
+            // O(1)-result driver scalar → static partition filter (the
+            // text engine's guaranteed-pruning discipline)
+            val pbs = bb.select(col("pb")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            val candCross = readBands(sp, pbs)
+              .select(col("band"), col("bv"), col("vec_id").as("a_id"))
+              .join(broadcast(bb.select(col("band"), col("bv"),
+                col("vec_id").as("b_id"))), Seq("band", "bv"))
+            val candSame = bb
+              .select(col("band"), col("bv"), col("vec_id").as("a_id"))
+              .join(broadcast(bb.select(col("band"), col("bv"),
+                col("vec_id").as("b_id"))), Seq("band", "bv"))
+              .filter(col("a_id") < col("b_id"))
+            val cand = candCross.unionByName(candSame)
+              .select(col("a_id"), col("b_id")).distinct()
+            cand
+              .join(readVecs(sp).unionByName(
+                  vs.select(col("vec_id"), col("v")))
+                .select(col("vec_id").as("a_id"), col("v").as("av")),
+                Seq("a_id"))
+              .join(vs.select(col("vec_id").as("b_id"), col("v").as("bv2")),
+                Seq("b_id"))
+              .filter(graft.Tables.basisPoints(
+                cosine(col("av"), col("bv2"))) >= 1000)
+              .select(col("b_id").as("vec_id")).distinct()
+              .write.mode("append").parquet(heldDir)
+            // append AFTER the reads: held vectors still witness later
+            // arrivals (the removable-set closure, as in the text engine)
+            bb.repartition(col("pb"))
+              .write.mode("append").partitionBy("pb").parquet(bandsDir)
+            vs.select(col("vec_id"), col("v"))
+              .write.mode("append").parquet(vecsDir)
+            } finally {
+              sp.conf.set("spark.sql.shuffle.partitions", streamPartitions)
+              sp.conf.set("spark.sql.adaptive.enabled", streamAqe)
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      } {
+        val files = Option(new java.io.File(heldDir).listFiles())
+          .getOrElse(Array.empty).filter(isParquet)
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("vec_id",
+                org.apache.spark.sql.types.LongType))))
+        else spark.read.parquet(heldDir)
+      }
+      held.localCheckpoint() // pin before the scaffolding deletes below
+    } finally {
+      Seq(incoming, storeDir, heldDir, ckpt).foreach(graft.Tables.deleteTree)
+    }
+  }
+
+  val streamEmbdupVerified = QueryDef(
+    "stream_embdup_verified",
+    (spark, dir) => {
+      val emb = graft.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      embdupStoreRun(spark, "stream_embdup_verified", emb,
+        stageDocSlices(emb, 3, col("vec_id") % 3)).orderBy(col("vec_id"))
+    },
+    Some {
+      s"""WITH ${VectorQueries.duckEmbPairsCtes},
+         |held AS (
+         |  SELECT DISTINCT CASE
+         |      WHEN a_id % 3 < b_id % 3
+         |        OR (a_id % 3 = b_id % 3 AND a_id < b_id)
+         |      THEN b_id ELSE a_id END AS vec_id
+         |  FROM vf)
+         |SELECT vec_id FROM held ORDER BY vec_id""".stripMargin
+    },
+    notes = "streaming SEMANTIC dedup: embeddings replay as interleaved micro-batches against an accumulated sign-LSH band + vector store; candidates by the batch dedup_embedding_lsh banding, verified by exact cosine >= 1000 bp; held set = arrival-rule keeper over the shared verified pair set, hash-exact oracle")
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
     streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMvAgg,
     streamMarkov, streamSpendMilestones, streamIdleFlush, streamWarmStart,
     snapshotChanges, streamSynthSource, streamSliding, streamNeardupGate,
     streamNeardupVerified, streamNeardupUnordered, streamNeardupTtl,
-    streamNeardupLate)
+    streamNeardupLate, streamEmbdupVerified)
 }

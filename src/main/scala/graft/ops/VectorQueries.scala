@@ -127,6 +127,61 @@ object VectorQueries {
       SELECT qid, rn, vec_id, sim_bp FROM r WHERE rn <= 10
       ORDER BY qid, rn"""))
 
+  /** All VERIFIED embedding near-dup pairs (a_id < b_id): 2×8-bit sign-LSH
+    * band candidates confirmed by exact cosine ≥ 1000 bp — extracted from
+    * `dedup_embedding_lsh` so the streaming semantic gate's comparison set
+    * (`stream_embdup_verified` and its spec) can never drift from the
+    * batch query: an engine bug cannot vouch for itself. Cached plan-keyed
+    * (the [[DedupQueries.verifiedPairs]] convention — tiny verified set,
+    * one entry per fixture, every consumer hits it warm; call with the
+    * same (spark, dir) so the plan keys match).
+    */
+  private[graft] def embVerifiedPairs(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = vecs(spark, dir)
+    val sig = e.select(col("vec_id"), col("v"), signLsh(col("v"), 16).as("sig"))
+    val bands = sig.select(col("vec_id"), col("v"), lit(0).as("band"),
+        (col("sig") % 256).as("bv"))
+      .unionAll(sig.select(col("vec_id"), col("v"), lit(1).as("band"),
+        floor(col("sig") / 256).cast("long").as("bv")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.v").as("av"), col("b.v").as("bv2"))
+      .distinct()
+    cand
+      .select(col("a_id"), col("b_id"),
+        basisPoints(cosine(col("av"), col("bv2"))).as("sim_bp"))
+      .filter(col("sim_bp") >= 1000)
+      .select(col("a_id"), col("b_id"))
+      .cache()
+  }
+
+  /** The DuckDB CTE chain ending in `vf(a_id, b_id)` — the oracle twin of
+    * [[embVerifiedPairs]], shared by `dedup_embedding_lsh` and the
+    * streaming semantic gate so the pair rule is stated once per engine.
+    */
+  private[graft] lazy val duckEmbPairsCtes: String = {
+    val bitTerms = (0 until 16).map { p =>
+      s"""(CASE WHEN list_dot_product(v, list_transform(range(0, len(v)),
+         | j -> CAST(((${5 * p} + 7 * j + 3) % 11) - 5 AS DOUBLE))) > 0
+         | THEN ${1L << p} ELSE 0 END)""".stripMargin.replace("\n", " ")
+    }.mkString(" + ")
+    s"""e AS ($DuckVecs),
+       |sig AS (SELECT vec_id, v, CAST($bitTerms AS BIGINT) AS sig FROM e),
+       |bands AS (SELECT vec_id, v, 0 AS band, sig % 256 AS bv FROM sig
+       |          UNION ALL
+       |          SELECT vec_id, v, 1 AS band, CAST(floor(sig / 256) AS BIGINT) AS bv FROM sig),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+       |                a.v AS av, b.v AS bv2
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+       |                                  AND a.vec_id < b.vec_id),
+       |verified AS (SELECT a_id, b_id, ${duckSim("av", "bv2")} AS sim_bp FROM cand),
+       |vf AS (SELECT a_id, b_id FROM verified WHERE sim_bp >= 1000)""".stripMargin
+  }
+
   /** Embedding near-duplicate detection via sign-LSH banding: 16-bit
     * signature split into two 8-bit bands; same (band, value) → candidate
     * pair; candidates verified by exact cosine; summarized per vector
@@ -137,21 +192,7 @@ object VectorQueries {
     "dedup_embedding_lsh",
     (spark, dir) => {
       val e = vecs(spark, dir)
-      val sig = e.select(col("vec_id"), col("v"), signLsh(col("v"), 16).as("sig"))
-      val bands = sig.select(col("vec_id"), col("v"), lit(0).as("band"),
-          (col("sig") % 256).as("bv"))
-        .unionAll(sig.select(col("vec_id"), col("v"), lit(1).as("band"),
-          floor(col("sig") / 256).cast("long").as("bv")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          col("a.v").as("av"), col("b.v").as("bv2"))
-        .distinct()
-      val verified = cand
-        .select(col("a_id"), col("b_id"),
-          basisPoints(cosine(col("av"), col("bv2"))).as("sim_bp"))
-        .filter(col("sim_bp") >= 1000)
+      val verified = embVerifiedPairs(spark, dir)
       val partners = verified.select(col("a_id").as("vec_id"), col("b_id").as("partner"))
         .unionAll(verified.select(col("b_id").as("vec_id"), col("a_id").as("partner")))
         .groupBy(col("vec_id"))
@@ -162,24 +203,9 @@ object VectorQueries {
           least(col("vec_id"), coalesce(col("min_partner"), col("vec_id"))).as("canonical_id"))
         .orderBy(col("vec_id"))
     },
-    { // oracle: same signature arithmetic, generated per bit
-      val bitTerms = (0 until 16).map { p =>
-        s"""(CASE WHEN list_dot_product(v, list_transform(range(0, len(v)),
-           | j -> CAST(((${5 * p} + 7 * j + 3) % 11) - 5 AS DOUBLE))) > 0
-           | THEN ${1L << p} ELSE 0 END)""".stripMargin.replace("\n", " ")
-      }.mkString(" + ")
-      Some(s"""
-      WITH e AS ($DuckVecs),
-           sig AS (SELECT vec_id, v, CAST($bitTerms AS BIGINT) AS sig FROM e),
-           bands AS (SELECT vec_id, v, 0 AS band, sig % 256 AS bv FROM sig
-                     UNION ALL
-                     SELECT vec_id, v, 1 AS band, CAST(floor(sig / 256) AS BIGINT) AS bv FROM sig),
-           cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
-                           a.v AS av, b.v AS bv2
-                    FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-                                             AND a.vec_id < b.vec_id),
-           verified AS (SELECT a_id, b_id, ${duckSim("av", "bv2")} AS sim_bp FROM cand),
-           vf AS (SELECT * FROM verified WHERE sim_bp >= 1000),
+    // oracle: the shared pair chain (stated once per engine) + summary
+    Some(s"""
+      WITH $duckEmbPairsCtes,
            partners AS (SELECT vec_id, COUNT(*) AS n_near, MIN(partner) AS min_partner
                         FROM (SELECT a_id AS vec_id, b_id AS partner FROM vf
                               UNION ALL
@@ -189,8 +215,7 @@ object VectorQueries {
              COALESCE(n_near, 0) AS n_near,
              LEAST(e.vec_id, COALESCE(min_partner, e.vec_id)) AS canonical_id
       FROM e LEFT JOIN partners ON e.vec_id = partners.vec_id
-      ORDER BY e.vec_id""")
-    })
+      ORDER BY e.vec_id"""))
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
     * embedding space (deterministic coarse quantizer — the first k vectors

@@ -185,8 +185,9 @@ object ScaleEvidence {
     // queries don't have) from file-count effects.
     val streamDir = s"$outDir/stream1"
     // (documents too: stream_neardup_gate streams documents and batch-reads
-    // them for its attrition rollup from the same dir)
-    for (table <- Seq("events", "documents")) {
+    // them for its attrition rollup from the same dir; embeddings for the
+    // semantic gate stream_embdup_verified)
+    for (table <- Seq("events", "documents", "embeddings")) {
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$streamDir/$table.parquet"))) {
         val tmp = s"$streamDir/_coalesced"

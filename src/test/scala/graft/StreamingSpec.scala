@@ -680,6 +680,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.Tables.deleteTree(dir)
   }
 
+  test("embedding dedup stream: held set == arrival rule over the batch verified pairs") {
+    import org.apache.spark.sql.functions._
+    // the semantic gate's contract, per VECTOR: the streamed held set must
+    // equal the arrival-rule keeper over the BATCH pipeline's own verified
+    // pair set (embVerifiedPairs, extracted from dedup_embedding_lsh — an
+    // engine bug cannot vouch for itself), the replay must be genuinely
+    // incremental, and the interleave must actually invert id order
+    // somewhere or the arrival semantics are untested
+    val sfDir = "/root/testdata/sf0.001"
+    def scaffolding(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.listFiles()).getOrElse(Array.empty).map(_.getName)
+        .filter(n => n.startsWith("graft-emb-") ||
+          n.startsWith("graft-docslice-")).toSet
+    }
+    val dirsBefore = scaffolding()
+    val held = graft.ops.StreamingQueries.streamEmbdupVerified
+      .fn(spark, sfDir)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val leftover = scaffolding() -- dirsBefore
+    assert(leftover.isEmpty, s"embdup stream leaked temp scaffolding: $leftover")
+    assert(graft.ops.StreamingQueries
+      .lastBatchCounts("stream_embdup_verified") >= 2,
+      "embdup gate ran as a single batch — incremental claim not exercised")
+    val pairs = graft.ops.VectorQueries.embVerifiedPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no embedding near-dups — vacuous")
+    def earlierA(a: Long, b: Long): Boolean =
+      a % 3 < b % 3 || (a % 3 == b % 3 && a < b)
+    val expected = pairs.map { case (a, b) =>
+      if (earlierA(a, b)) b else a }.toSet
+    val removable = pairs.map(_._2).toSet // the id-order policy's set
+    assert(expected !== removable,
+      "interleave never inverted id order — arrival semantics untested")
+    assert(held === expected,
+      s"held set diverged from the arrival rule: extra=${held -- expected}, missed=${expected -- held}")
+  }
+
   test("sig-table compaction: geometric trigger collapses files, rows identical, marker gates recompaction") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
