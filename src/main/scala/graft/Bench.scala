@@ -74,9 +74,11 @@ object Bench {
     // comparison join, so its time is pure staging + replay. The honest
     // cold cost of the comparison frames lives in the dedup_minhash_lsh
     // TimeQuery row, same convention as the BPE memo. The embedding twin
-    // (dedup_embedding_lsh + stream_embdup_verified's spec) shares
-    // VectorQueries.embVerifiedPairs the same way — the registry query
-    // itself runs pure staging + replay, like stream_neardup_verified.
+    // has NO bench-time cache: VectorQueries.embVerifiedPairs is shared
+    // code, not a shared cache (its only bench-time consumer is
+    // dedup_embedding_lsh itself — caching would just deflate that
+    // tracked number), and stream_embdup_verified runs pure staging +
+    // replay, like stream_neardup_verified.
     // headline total = batch queries only: each streaming query pays a fixed
     // multi-second micro-batch bootstrap (checkpoint dir, query start/stop)
     // that measures Structured Streaming's setup cost, not engine throughput;

@@ -1474,57 +1474,63 @@ object StreamingQueries {
     }
   }
 
+  /** Store read with the empty-dir guard stated ONCE (review pass: the
+    * probe + hand-spelled-empty-schema + read-and-project shape was copied
+    * four times across the two engines): a store holding no parquet data
+    * yields an empty frame with the reader's output schema; otherwise
+    * `whenData` projects the raw (partition-discovered) read — filters on
+    * partition columns must live inside it, since the empty frame carries
+    * only the OUTPUT columns.
+    */
+  private def readOrEmpty(sp: SparkSession, dir: String,
+      empty: org.apache.spark.sql.types.StructType)(
+      whenData: DataFrame => DataFrame): DataFrame =
+    if (!hasParquetData(new java.io.File(dir)))
+      sp.createDataFrame(
+        sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    else whenData(sp.read.parquet(dir))
+
+  private def longField(n: String) = org.apache.spark.sql.types.StructField(
+    n, org.apache.spark.sql.types.LongType)
+
   /** Partition-pruned band-store read: only width `w`'s buckets in `pbs`
     * are scanned (both are hive partition columns, so the filter lands in
     * the scan's PartitionFilters — files in other buckets are never
     * opened; StreamingSpec gates the plan shape and touched-file count).
     */
   private[graft] def readStoreBands(sp: SparkSession, dir: String,
-      w: Int, pbs: Seq[Int], minBid: Option[Long] = None): DataFrame = {
-    if (!hasParquetData(new java.io.File(dir)))
-      sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("lang",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("band",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("bh",
-            org.apache.spark.sql.types.LongType))))
-    else {
-      val base = sp.read.parquet(dir)
-        .filter(col("w") === w && inBuckets(col("pb"), pbs))
+      w: Int, pbs: Seq[Int], minBid: Option[Long] = None): DataFrame =
+    readOrEmpty(sp, dir, org.apache.spark.sql.types.StructType(Seq(
+      longField("doc_id"),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      longField("bh")))) { df =>
+      val base = df.filter(col("w") === w && inBuckets(col("pb"), pbs))
       // retention window: bid is the OUTERMOST partition dir, so this is
       // partition pruning too — expired batches are never even listed in
       // the scan (and their dirs get physically dropped by the engine)
       minBid.fold(base)(m => base.filter(col("bid") >= m))
         .select(col("doc_id"), col("lang"), col("band"), col("bh"))
     }
-  }
 
   /** Sig-store read (whole table, column-pruned by the consumer; windowed
     * by bid under retention — the candidate join already bounds which
     * a-ids can match, so the bid filter here is a space/scan measure).
     */
   private[graft] def readStoreSigs(sp: SparkSession, dir: String,
-      minBid: Option[Long] = None): DataFrame = {
-    if (!hasParquetData(new java.io.File(dir)))
-      sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("lang",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("sig",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.LongType)))))
-    else {
-      val base = sp.read.parquet(dir)
-      minBid.fold(base)(m => base.filter(col("bid") >= m))
+      minBid: Option[Long] = None): DataFrame =
+    readOrEmpty(sp, dir, org.apache.spark.sql.types.StructType(Seq(
+      longField("doc_id"),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))))) { df =>
+      minBid.fold(df)(m => df.filter(col("bid") >= m))
         .select(col("doc_id"), col("lang"), col("sig"))
     }
-  }
 
   /** Spec observability: total expired bid partitions dropped in this JVM. */
   private[graft] val retentionDrops = new java.util.concurrent.atomic.AtomicLong
@@ -2344,29 +2350,24 @@ object StreamingQueries {
     val ckpt = Files.createTempDirectory("graft-emb-ck").toString
     val batchPartitions = spark.conf.get("spark.sql.shuffle.partitions")
     def readBands(sp: SparkSession, pbs: Seq[Int]): DataFrame =
-      if (!hasParquetData(new java.io.File(bandsDir)))
-        sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("vec_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("band",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("bv",
-              org.apache.spark.sql.types.LongType))))
-      else sp.read.parquet(bandsDir).filter(inBuckets(col("pb"), pbs))
-        .select(col("vec_id"), col("band"), col("bv"))
+      readOrEmpty(sp, bandsDir, org.apache.spark.sql.types.StructType(Seq(
+        longField("vec_id"),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType),
+        longField("bv")))) { df =>
+        df.filter(inBuckets(col("pb"), pbs))
+          .select(col("vec_id"), col("band"), col("bv"))
+      }
     def readVecs(sp: SparkSession): DataFrame =
-      if (!hasParquetData(new java.io.File(vecsDir)))
-        sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("vec_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("v",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.DoubleType)))))
-      else sp.read.parquet(vecsDir).select(col("vec_id"), col("v"))
-    try {
-      val held = runSink(spark, name) {
+      readOrEmpty(sp, vecsDir, org.apache.spark.sql.types.StructType(Seq(
+        longField("vec_id"),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))) {
+        _.select(col("vec_id"), col("v"))
+      }
+    pinThenClean(incoming, storeDir, heldDir, ckpt) {
+      runSink(spark, name) {
         val stream = spark.readStream.schema(emb.schema)
           .option("maxFilesPerTrigger", "1").parquet(incoming)
         stream.writeStream
@@ -2381,10 +2382,13 @@ object StreamingQueries {
               .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
               .withColumn("sig", signLsh(col("v"), 16))
               .localCheckpoint() // batch-sized; 4 consumers
-            val bb = vs.select(col("vec_id"), lit(0).as("band"),
-                (col("sig") % 256).as("bv"))
-              .unionByName(vs.select(col("vec_id"), lit(1).as("band"),
-                floor(col("sig") / 256).cast("long").as("bv")))
+            // banding rule stated once engine-wide (VectorQueries
+            // .embBandPairs) — a one-site band-width change cannot split
+            // the streamed candidate set from the batch/oracle pair set
+            val bb = VectorQueries.embBandPairs(col("sig")).map {
+                case (b, bv) => vs.select(col("vec_id"),
+                  lit(b).as("band"), bv.as("bv"))
+              }.reduce(_ unionByName _)
               .withColumn("pb", pmod(hash(col("band"), col("bv")),
                 lit(StoreBuckets)))
               .localCheckpoint() // batch-sized; 3 consumers
@@ -2439,9 +2443,6 @@ object StreamingQueries {
                 org.apache.spark.sql.types.LongType))))
         else spark.read.parquet(heldDir)
       }
-      held.localCheckpoint() // pin before the scaffolding deletes below
-    } finally {
-      Seq(incoming, storeDir, heldDir, ckpt).foreach(graft.Tables.deleteTree)
     }
   }
 

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -127,24 +128,36 @@ object VectorQueries {
       SELECT qid, rn, vec_id, sim_bp FROM r WHERE rn <= 10
       ORDER BY qid, rn"""))
 
+  /** THE 2×8-bit sign-LSH banding rule as (band index, band value)
+    * columns over a 16-bit `sig` column — stated ONCE Spark-side (review
+    * pass: the rule lived in both the batch pairs and the streaming
+    * engine; a one-site band-width change would silently split them). The
+    * SQL twin lives inside [[duckEmbPairsCtes]].
+    */
+  private[graft] def embBandPairs(sig: Column): Seq[(Int, Column)] = Seq(
+    0 -> (sig % 256),
+    1 -> floor(sig / 256).cast("long"))
+
   /** All VERIFIED embedding near-dup pairs (a_id < b_id): 2×8-bit sign-LSH
     * band candidates confirmed by exact cosine ≥ 1000 bp — extracted from
     * `dedup_embedding_lsh` so the streaming semantic gate's comparison set
-    * (`stream_embdup_verified` and its spec) can never drift from the
-    * batch query: an engine bug cannot vouch for itself. Cached plan-keyed
-    * (the [[DedupQueries.verifiedPairs]] convention — tiny verified set,
-    * one entry per fixture, every consumer hits it warm; call with the
-    * same (spark, dir) so the plan keys match).
+    * (its spec) can never drift from the batch query: an engine bug cannot
+    * vouch for itself. Deliberately NOT cached (unlike
+    * [[DedupQueries.verifiedPairs]], review pass): the only bench-time
+    * consumer is `dedup_embedding_lsh` itself, so a plan-keyed cache would
+    * buy no sharing and silently convert that query's timed passes into
+    * warm-cache reads — deflating a long-tracked bench number and
+    * poisoning round-over-round drift adjudication. The spec recomputes at
+    * sf0.001, a ~1 s cost.
     */
   private[graft] def embVerifiedPairs(
       spark: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     val e = vecs(spark, dir)
     val sig = e.select(col("vec_id"), col("v"), signLsh(col("v"), 16).as("sig"))
-    val bands = sig.select(col("vec_id"), col("v"), lit(0).as("band"),
-        (col("sig") % 256).as("bv"))
-      .unionAll(sig.select(col("vec_id"), col("v"), lit(1).as("band"),
-        floor(col("sig") / 256).cast("long").as("bv")))
+    val bands = embBandPairs(col("sig")).map { case (b, bv) =>
+      sig.select(col("vec_id"), col("v"), lit(b).as("band"), bv.as("bv"))
+    }.reduce(_ unionAll _)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -156,7 +169,6 @@ object VectorQueries {
         basisPoints(cosine(col("av"), col("bv2"))).as("sim_bp"))
       .filter(col("sim_bp") >= 1000)
       .select(col("a_id"), col("b_id"))
-      .cache()
   }
 
   /** The DuckDB CTE chain ending in `vf(a_id, b_id)` — the oracle twin of
