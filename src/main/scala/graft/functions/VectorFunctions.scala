@@ -36,12 +36,25 @@ object VectorFunctions {
     dot(a, b) / sqrt(normSq(a) * normSq(b))
 
   /** Deterministic pseudo-random hyperplane weight for LSH: integer formula
-    * `((5·plane + 7·dim + 3) mod 11) − 5` ∈ [−5, 5] — reproducible in any
-    * engine, no RNG (scripts must stay replayable), cheap to inline in
-    * codegen.
+    * `(((5·plane + 7·dim + 3·plane·dim + 3) mod 67) mod 11) − 5` ∈ [−5, 5]
+    * — reproducible in any engine, no RNG (scripts must stay replayable),
+    * cheap to inline in codegen.
+    *
+    * The plane·dim cross term and the mod-67 outer ring are load-bearing
+    * (EmbBandAB finding): the original `((5p + 7j + 3) mod 11) − 5` is
+    * PERIODIC IN p WITH PERIOD 11 — planes 11+ are verbatim copies of
+    * planes 0–10, so every sign-LSH band beyond the first 11 bits tested
+    * the SAME hyperplane set: the 2×8 registry banding paid 2× candidate
+    * volume for a second band that added ~zero recall, and all wider
+    * configs collapsed to "agree on 11 planes" (measured: 12x4's extra
+    * bands found exactly 0 new pairs at exactly 2× volume). mod 67 > the
+    * 62-bit signature cap keeps every plane distinct; the inner cross
+    * term breaks the p-translation symmetry; the outer mod 11 keeps the
+    * weight range (67 = 6·11 + 1, so the distribution skew is one part
+    * in 67 — noise).
     */
   def planeWeight(plane: Int, dim: Column): Column =
-    (lit(5 * plane) + lit(7) * dim + lit(3)) % 11 - lit(5)
+    ((lit(5 * plane) + lit(7) * dim + lit(3 * plane) * dim + lit(3)) % 67) % 11 - lit(5)
 
   /** `nBits`-bit sign-LSH signature of a double-array embedding: bit i is the
     * sign of the dot product with pseudo-hyperplane i. Same-bucket vectors

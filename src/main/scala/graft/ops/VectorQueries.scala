@@ -128,18 +128,39 @@ object VectorQueries {
       SELECT qid, rn, vec_id, sim_bp FROM r WHERE rn <= 10
       ORDER BY qid, rn"""))
 
-  /** THE 2×8-bit sign-LSH banding rule as (band index, band value)
-    * columns over a 16-bit `sig` column — stated ONCE Spark-side (review
-    * pass: the rule lived in both the batch pairs and the streaming
-    * engine; a one-site band-width change would silently split them). The
-    * SQL twin lives inside [[duckEmbPairsCtes]].
+  /** THE sign-LSH banding rule (registry default 2×8 bit over a 16-bit
+    * `sig`) as (band index, band value) columns — stated ONCE Spark-side
+    * (review pass: the rule lived in both the batch pairs and the
+    * streaming engine; a one-site band-width change would silently split
+    * them). The SQL twin lives inside [[duckEmbPairsCtes]].
+    *
+    * `bitsPerBand` and `nBands` are the PRODUCTION SCALE KNOBS, the
+    * standard LSH (b, r) pair: bucket occupancy — and so candidate-pair
+    * volume — rises with corpus size at fixed width, so a growing corpus
+    * widens bands (≈ +log₂(growth) bits holds occupancy flat — the
+    * [[DedupQueries.simhashBands]] bitsPerBand / [[DedupQueries
+    * .autoBandBits]] precedent), and band COUNT buys back the recall that
+    * widening costs (each extra band is one more independent chance to
+    * collide, at volume linear in bands). The registry pins (8, 2) so the
+    * DuckDB twin stays a fixed-text oracle; both knobs' cost/recall
+    * trades are measured at 10×/100× by `tools.EmbBandAB` (BASELINE.md).
     */
-  private[graft] def embBandPairs(sig: Column): Seq[(Int, Column)] = Seq(
-    0 -> (sig % 256),
-    1 -> floor(sig / 256).cast("long"))
+  private[graft] def embBandPairs(
+      sig: Column, bitsPerBand: Int = 8,
+      nBands: Int = 2): Seq[(Int, Column)] = {
+    require(bitsPerBand * nBands <= 62,
+      s"sig is one long: $nBands bands x $bitsPerBand bits overflow")
+    // bit ops, not floor(sig / 2^k): double division is only exact below
+    // 53 sig bits, and the band value feeds the store's hash partitioning
+    (0 until nBands).map { b =>
+      b -> shiftrightunsigned(sig, b * bitsPerBand)
+        .bitwiseAND(lit((1L << bitsPerBand) - 1))
+    }
+  }
 
-  /** All VERIFIED embedding near-dup pairs (a_id < b_id): 2×8-bit sign-LSH
-    * band candidates confirmed by exact cosine ≥ 1000 bp — extracted from
+  /** All VERIFIED embedding near-dup pairs (a_id < b_id): sign-LSH band
+    * candidates (2 bands × `bitsPerBand` bits, registry default 8)
+    * confirmed by exact cosine ≥ 1000 bp — extracted from
     * `dedup_embedding_lsh` so the streaming semantic gate's comparison set
     * (its spec) can never drift from the batch query: an engine bug cannot
     * vouch for itself. Deliberately NOT cached (unlike
@@ -150,21 +171,54 @@ object VectorQueries {
     * poisoning round-over-round drift adjudication. The spec recomputes at
     * sf0.001, a ~1 s cost.
     */
-  private[graft] def embVerifiedPairs(
-      spark: org.apache.spark.sql.SparkSession, dir: String)
+  /** Distinct band-candidate pairs (a_id < b_id, ids ONLY) at the given
+    * width — the volume the bitsPerBand knob controls; split out of
+    * [[embVerifiedPairs]] so `tools.EmbBandAB` can count the candidate
+    * stage the verify stage then prunes.
+    *
+    * The dedup `distinct` runs on the NARROW id pair, and the raw vectors
+    * join back afterwards (EmbBandAB finding): the earlier shape carried
+    * both 64-dim vectors through the pair distinct, which at 100× corpus
+    * is a ~156 M-row × ~1 KB wide-row exchange (≈ 150 GB shuffled for a
+    * dedup whose key is 16 bytes) — invisible at the 2 000-vec registry
+    * scale, fatal at the scale the knob exists for.
+    */
+  private[graft] def embBandCandidates(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      bitsPerBand: Int = 8, nBands: Int = 2)
       : org.apache.spark.sql.DataFrame = {
     val e = vecs(spark, dir)
-    val sig = e.select(col("vec_id"), col("v"), signLsh(col("v"), 16).as("sig"))
-    val bands = embBandPairs(col("sig")).map { case (b, bv) =>
-      sig.select(col("vec_id"), col("v"), lit(b).as("band"), bv.as("bv"))
-    }.reduce(_ unionAll _)
-    val cand = bands.as("a").join(bands.as("b"),
+    val sig = e.select(col("vec_id"),
+      signLsh(col("v"), nBands * bitsPerBand).as("sig"))
+    val bands = embBandPairs(col("sig"), bitsPerBand, nBands)
+      .map { case (b, bv) =>
+        sig.select(col("vec_id"), lit(b).as("band"), bv.as("bv"))
+      }.reduce(_ unionAll _)
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.v").as("av"), col("b.v").as("bv2"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    cand
+  }
+
+  private[graft] def embVerifiedPairs(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      bitsPerBand: Int = 8, nBands: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    val e = vecs(spark, dir)
+    // SHUFFLE_HASH on the vector side (EmbBandAB finding): past the
+    // broadcast threshold (200 k vecs at 100× = 110 MB) the default
+    // degrades to sort-merge, which SORTS the candidate×vector
+    // intermediate — ~80 GB of carried arrays after the first join; the
+    // first 100× run GC-thrashed exactly there. Hash join streams the
+    // pair side (build = vecs/partition, a few MB at any corpus size);
+    // at registry scale the only cost vs auto-broadcast is shuffling a
+    // few-MB pair frame.
+    val av = e.select(col("vec_id").as("a_id"), col("v").as("av"))
+    val bv = e.select(col("vec_id").as("b_id"), col("v").as("bv2"))
+    embBandCandidates(spark, dir, bitsPerBand, nBands)
+      .join(av.hint("SHUFFLE_HASH"), Seq("a_id"))
+      .join(bv.hint("SHUFFLE_HASH"), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         basisPoints(cosine(col("av"), col("bv2"))).as("sim_bp"))
       .filter(col("sim_bp") >= 1000)
@@ -178,7 +232,7 @@ object VectorQueries {
   private[graft] lazy val duckEmbPairsCtes: String = {
     val bitTerms = (0 until 16).map { p =>
       s"""(CASE WHEN list_dot_product(v, list_transform(range(0, len(v)),
-         | j -> CAST(((${5 * p} + 7 * j + 3) % 11) - 5 AS DOUBLE))) > 0
+         | j -> CAST((((${5 * p} + 7 * j + ${3 * p} * j + 3) % 67) % 11) - 5 AS DOUBLE))) > 0
          | THEN ${1L << p} ELSE 0 END)""".stripMargin.replace("\n", " ")
     }.mkString(" + ")
     s"""e AS ($DuckVecs),

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions.{cosine, toDoubleArray}
+import graft.ops.VectorQueries
+
+/** Pins the embedding band-width knob ([[VectorQueries.embBandPairs]]
+  * bitsPerBand — the production scale lever measured at 100× by
+  * `tools.EmbBandAB`): at ANY width the verified pair set must stay an
+  * exact subset of the all-pairs cosine truth (the verify stage is exact,
+  * so widening bands may only LOSE pairs, never invent them), and widening
+  * must actually shrink the candidate stage (the entire point of the
+  * knob). All at sf0.001 — 500 vecs, where all-pairs truth is affordable.
+  */
+class EmbBandSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    import spark.implicits._
+    df.select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+  }
+
+  private lazy val truth: Set[(Long, Long)] = {
+    val v = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    pairSet(v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(Tables.basisPoints(cosine(col("a.v"), col("b.v"))) >= 1000)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id")))
+  }
+
+  test("verified pairs are an exact subset of all-pairs truth at both widths") {
+    for (bits <- Seq(8, 12)) {
+      val got = pairSet(VectorQueries.embVerifiedPairs(spark, sfDir, bits))
+      assert(got.nonEmpty, s"bits=$bits found no pairs — gate is vacuous")
+      val ghost = got -- truth
+      assert(ghost.isEmpty,
+        s"bits=$bits verified ${ghost.size} pairs NOT in the exact truth " +
+          s"(e.g. ${ghost.take(3)}) — verify stage is no longer exact cosine")
+    }
+  }
+
+  test("widening bands shrinks the candidate stage") {
+    val c8 = VectorQueries.embBandCandidates(spark, sfDir, 8).count()
+    val c12 = VectorQueries.embBandCandidates(spark, sfDir, 12).count()
+    assert(c12 < c8,
+      s"12-bit candidates ($c12) not below 8-bit ($c8) — knob is inert")
+  }
+
+  test("extra bands only ADD pairs: 12x4 is a superset of 12x2") {
+    // provable, not just likely: signLsh's plane p depends only on (p, j),
+    // so a 48-bit sig's low 24 bits equal the 24-bit sig, and 12x4's
+    // bands 0-1 are exactly 12x2's bands — extra bands union in more
+    // collision chances (the recall-buyback knob EmbBandAB measures)
+    val two = pairSet(VectorQueries.embVerifiedPairs(spark, sfDir, 12, 2))
+    val four = pairSet(VectorQueries.embVerifiedPairs(spark, sfDir, 12, 4))
+    val lost = two -- four
+    assert(lost.isEmpty,
+      s"12x4 dropped ${lost.size} pairs 12x2 found (e.g. ${lost.take(3)})")
+    assert(four.size > two.size,
+      s"4 bands found nothing beyond 2 (${four.size}) — buyback knob inert")
+    assert((four -- truth).isEmpty, "12x4 verified pairs outside exact truth")
+  }
+}
