@@ -190,10 +190,10 @@ object VectorQueries {
     val e = vecs(spark, dir)
     val sig = e.select(col("vec_id"),
       signLsh(col("v"), nBands * bitsPerBand).as("sig"))
-    val bands = embBandPairs(col("sig"), bitsPerBand, nBands)
-      .map { case (b, bv) =>
-        sig.select(col("vec_id"), lit(b).as("band"), bv.as("bv"))
-      }.reduce(_ unionAll _)
+    val bands = sig.select(col("vec_id"),
+      posexplode(array(
+        embBandPairs(col("sig"), bitsPerBand, nBands).map(_._2): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -201,28 +201,43 @@ object VectorQueries {
       .distinct()
   }
 
+  /** VERIFY-THEN-DISTINCT (EmbBandAB finding, two dead ends deep): the
+    * candidate×vector intermediate must never be exchanged. Attaching
+    * vectors AFTER a distinct on id pairs needs a join per side, and ANY
+    * join strategy repartitions the pair frame — by then it carries a
+    * 64-dim array per side, ~160 GB of exchange at 100× (sort-merge
+    * additionally sorts it: GC-thrashed; shuffled-hash still spilled the
+    * disk). Instead the band self-join CARRIES the vectors (its inputs
+    * are corpus-sized, ~220 MB at 100×), the exact-cosine filter runs
+    * in-stream on the join output with no shuffle at all, and the
+    * distinct runs on the VERIFIED id pairs — the small side (≤ nBands×
+    * duplicate cosine evals for pairs colliding in several bands, a few
+    * cheap flops against an exchange that scales with candidate volume).
+    * Set-equal to distinct-then-verify: verification is deterministic
+    * per pair.
+    */
   private[graft] def embVerifiedPairs(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       bitsPerBand: Int = 8, nBands: Int = 2)
       : org.apache.spark.sql.DataFrame = {
     val e = vecs(spark, dir)
-    // SHUFFLE_HASH on the vector side (EmbBandAB finding): past the
-    // broadcast threshold (200 k vecs at 100× = 110 MB) the default
-    // degrades to sort-merge, which SORTS the candidate×vector
-    // intermediate — ~80 GB of carried arrays after the first join; the
-    // first 100× run GC-thrashed exactly there. Hash join streams the
-    // pair side (build = vecs/partition, a few MB at any corpus size);
-    // at registry scale the only cost vs auto-broadcast is shuffling a
-    // few-MB pair frame.
-    val av = e.select(col("vec_id").as("a_id"), col("v").as("av"))
-    val bv = e.select(col("vec_id").as("b_id"), col("v").as("bv2"))
-    embBandCandidates(spark, dir, bitsPerBand, nBands)
-      .join(av.hint("SHUFFLE_HASH"), Seq("a_id"))
-      .join(bv.hint("SHUFFLE_HASH"), Seq("b_id"))
-      .select(col("a_id"), col("b_id"),
-        basisPoints(cosine(col("av"), col("bv2"))).as("sim_bp"))
-      .filter(col("sim_bp") >= 1000)
-      .select(col("a_id"), col("b_id"))
+    // ONE corpus scan, ONE signature eval, bands by posexplode — the
+    // per-band unionAll re-scanned the corpus and re-evaluated the
+    // 64-dim×nBits signLsh HOF once per band (measured: the 12x4 arm's
+    // 48-plane signature paid 4×, making it slower at 100× than 8x2 at
+    // 5.6× the candidate volume)
+    val sig = e.select(col("vec_id"), col("v"),
+      signLsh(col("v"), nBands * bitsPerBand).as("sig"))
+    val bands = sig.select(col("vec_id"), col("v"),
+      posexplode(array(
+        embBandPairs(col("sig"), bitsPerBand, nBands).map(_._2): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(basisPoints(cosine(col("a.v"), col("b.v"))) >= 1000)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
   }
 
   /** The DuckDB CTE chain ending in `vf(a_id, b_id)` — the oracle twin of
