@@ -36,7 +36,7 @@ object VectorFunctions {
     dot(a, b) / sqrt(normSq(a) * normSq(b))
 
   /** Deterministic pseudo-random hyperplane weight for LSH: integer formula
-    * `(((5·plane + 7·dim + 3·plane·dim + 3) mod 67) mod 11) − 5` ∈ [−5, 5]
+    * `(((5·plane + 7·dim + 7·plane·dim + 3) mod 67) mod 11) − 5` ∈ [−5, 5]
     * — reproducible in any engine, no RNG (scripts must stay replayable),
     * cheap to inline in codegen.
     *
@@ -51,10 +51,14 @@ object VectorFunctions {
     * 62-bit signature cap keeps every plane distinct; the inner cross
     * term breaks the p-translation symmetry; the outer mod 11 keeps the
     * weight range (67 = 6·11 + 1, so the distribution skew is one part
-    * in 67 — noise).
+    * in 67 — noise). The cross coefficient must be 7, not 3 (review
+    * finding): the dim coefficient is (7 + c·p) mod 67, which vanishes
+    * for exactly one plane p ≡ −7·c⁻¹ (mod 67) — a constant-weight
+    * degenerate plane; c = 3 put it at p = 20 (inside every ≥21-bit
+    * signature), c = 7 puts it at p = 66, outside the 62-bit cap.
     */
   def planeWeight(plane: Int, dim: Column): Column =
-    ((lit(5 * plane) + lit(7) * dim + lit(3 * plane) * dim + lit(3)) % 67) % 11 - lit(5)
+    ((lit(5 * plane) + lit(7) * dim + lit(7 * plane) * dim + lit(3)) % 67) % 11 - lit(5)
 
   /** `nBits`-bit sign-LSH signature of a double-array embedding: bit i is the
     * sign of the dot product with pseudo-hyperplane i. Same-bucket vectors

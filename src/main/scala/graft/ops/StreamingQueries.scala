@@ -2405,14 +2405,31 @@ object StreamingQueries {
               .join(broadcast(bb.select(col("band"), col("bv"),
                 col("vec_id").as("b_id"))), Seq("band", "bv"))
               .filter(col("a_id") < col("b_id"))
+            // NO pair distinct and NO wide exchange (the batch engine's
+            // verify-then-distinct lesson, EmbBandAB/ScaleEvidence: the
+            // old shape — distinct the id pairs, then join the store
+            // vecs — re-exchanges the candidate volume once it carries a
+            // 64-dim array, and measured 251 s/100× on the decorrelated
+            // corpus. Here the stream gives one more lever than batch:
+            // the b side is always BATCH-sized (bounded by the trigger),
+            // so bv2 rides an explicit broadcast; av attaches via a
+            // shuffled-hash join whose BUILD side is the store vecs
+            // (a few MB per partition at any corpus) and whose streamed
+            // side is the NARROW id pair; verification filters in the
+            // same stage, and the only distinct left is the held
+            // vec-id set, bounded by the corpus. Duplicate band
+            // collisions just re-verify (≤ bands× cheap cosine evals) —
+            // they cannot duplicate held ids past the final distinct.
             val cand = candCross.unionByName(candSame)
-              .select(col("a_id"), col("b_id")).distinct()
+              .select(col("a_id"), col("b_id"))
             cand
               .join(readVecs(sp).unionByName(
                   vs.select(col("vec_id"), col("v")))
-                .select(col("vec_id").as("a_id"), col("v").as("av")),
+                .select(col("vec_id").as("a_id"), col("v").as("av"))
+                .hint("SHUFFLE_HASH"),
                 Seq("a_id"))
-              .join(vs.select(col("vec_id").as("b_id"), col("v").as("bv2")),
+              .join(broadcast(
+                vs.select(col("vec_id").as("b_id"), col("v").as("bv2"))),
                 Seq("b_id"))
               .filter(graft.Tables.basisPoints(
                 cosine(col("av"), col("bv2"))) >= 1000)

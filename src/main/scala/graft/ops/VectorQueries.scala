@@ -158,42 +158,40 @@ object VectorQueries {
     }
   }
 
-  /** All VERIFIED embedding near-dup pairs (a_id < b_id): sign-LSH band
-    * candidates (2 bands × `bitsPerBand` bits, registry default 8)
-    * confirmed by exact cosine ≥ 1000 bp — extracted from
-    * `dedup_embedding_lsh` so the streaming semantic gate's comparison set
-    * (its spec) can never drift from the batch query: an engine bug cannot
-    * vouch for itself. Deliberately NOT cached (unlike
-    * [[DedupQueries.verifiedPairs]], review pass): the only bench-time
-    * consumer is `dedup_embedding_lsh` itself, so a plan-keyed cache would
-    * buy no sharing and silently convert that query's timed passes into
-    * warm-cache reads — deflating a long-tracked bench number and
-    * poisoning round-over-round drift adjudication. The spec recomputes at
-    * sf0.001, a ~1 s cost.
+  /** One (vec_id[, v], band, bv) row per vector per band: ONE corpus
+    * scan, ONE signature eval, bands by posexplode — a per-band unionAll
+    * re-scans the corpus and re-evaluates the 64-dim×nBits signLsh HOF
+    * once per band (measured: the 12x4 arm's 48-plane signature paid 4×,
+    * making it slower at 100× than 8x2 at 5.6× the candidate volume).
+    * Shared by [[embBandCandidates]] and [[embVerifiedPairs]] so the
+    * band-row construction — like the band RULE in [[embBandPairs]] —
+    * is stated once (`carryV` is the only difference: the verify path
+    * needs the vectors in-stream, the counting path must stay narrow).
     */
+  private def embBandRows(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      bitsPerBand: Int, nBands: Int, carryV: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val e = vecs(spark, dir)
+    val keep = if (carryV) Seq(col("vec_id"), col("v")) else Seq(col("vec_id"))
+    val sig = e.select((keep :+
+      signLsh(col("v"), nBands * bitsPerBand).as("sig")): _*)
+    sig.select((keep :+ posexplode(array(
+        embBandPairs(col("sig"), bitsPerBand, nBands).map(_._2): _*))): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+  }
+
   /** Distinct band-candidate pairs (a_id < b_id, ids ONLY) at the given
-    * width — the volume the bitsPerBand knob controls; split out of
-    * [[embVerifiedPairs]] so `tools.EmbBandAB` can count the candidate
-    * stage the verify stage then prunes.
-    *
-    * The dedup `distinct` runs on the NARROW id pair, and the raw vectors
-    * join back afterwards (EmbBandAB finding): the earlier shape carried
-    * both 64-dim vectors through the pair distinct, which at 100× corpus
-    * is a ~156 M-row × ~1 KB wide-row exchange (≈ 150 GB shuffled for a
-    * dedup whose key is 16 bytes) — invisible at the 2 000-vec registry
-    * scale, fatal at the scale the knob exists for.
+    * (width, bands) — the volume the knobs control, split out so
+    * `EmbBandSpec` can gate the candidate stage the verify stage then
+    * prunes (tools.EmbBandAB counts volume analytically from bucket
+    * occupancy instead — no pair join at all).
     */
   private[graft] def embBandCandidates(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       bitsPerBand: Int = 8, nBands: Int = 2)
       : org.apache.spark.sql.DataFrame = {
-    val e = vecs(spark, dir)
-    val sig = e.select(col("vec_id"),
-      signLsh(col("v"), nBands * bitsPerBand).as("sig"))
-    val bands = sig.select(col("vec_id"),
-      posexplode(array(
-        embBandPairs(col("sig"), bitsPerBand, nBands).map(_._2): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val bands = embBandRows(spark, dir, bitsPerBand, nBands, carryV = false)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -201,7 +199,19 @@ object VectorQueries {
       .distinct()
   }
 
-  /** VERIFY-THEN-DISTINCT (EmbBandAB finding, two dead ends deep): the
+  /** All VERIFIED embedding near-dup pairs (a_id < b_id): sign-LSH band
+    * candidates (registry: 2 bands × 8 bits) confirmed by exact cosine
+    * ≥ 1000 bp — extracted from `dedup_embedding_lsh` so the streaming
+    * semantic gate's comparison set (its spec) can never drift from the
+    * batch query: an engine bug cannot vouch for itself. Deliberately NOT
+    * cached (unlike [[DedupQueries.verifiedPairs]], review pass): the
+    * only bench-time consumer is `dedup_embedding_lsh` itself, so a
+    * plan-keyed cache would buy no sharing and silently convert that
+    * query's timed passes into warm-cache reads — deflating a
+    * long-tracked bench number and poisoning round-over-round drift
+    * adjudication. The spec recomputes at sf0.001, a ~1 s cost.
+    *
+    * VERIFY-THEN-DISTINCT (EmbBandAB finding, two dead ends deep): the
     * candidate×vector intermediate must never be exchanged. Attaching
     * vectors AFTER a distinct on id pairs needs a join per side, and ANY
     * join strategy repartitions the pair frame — by then it carries a
@@ -220,18 +230,7 @@ object VectorQueries {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       bitsPerBand: Int = 8, nBands: Int = 2)
       : org.apache.spark.sql.DataFrame = {
-    val e = vecs(spark, dir)
-    // ONE corpus scan, ONE signature eval, bands by posexplode — the
-    // per-band unionAll re-scanned the corpus and re-evaluated the
-    // 64-dim×nBits signLsh HOF once per band (measured: the 12x4 arm's
-    // 48-plane signature paid 4×, making it slower at 100× than 8x2 at
-    // 5.6× the candidate volume)
-    val sig = e.select(col("vec_id"), col("v"),
-      signLsh(col("v"), nBands * bitsPerBand).as("sig"))
-    val bands = sig.select(col("vec_id"), col("v"),
-      posexplode(array(
-        embBandPairs(col("sig"), bitsPerBand, nBands).map(_._2): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val bands = embBandRows(spark, dir, bitsPerBand, nBands, carryV = true)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -247,7 +246,7 @@ object VectorQueries {
   private[graft] lazy val duckEmbPairsCtes: String = {
     val bitTerms = (0 until 16).map { p =>
       s"""(CASE WHEN list_dot_product(v, list_transform(range(0, len(v)),
-         | j -> CAST((((${5 * p} + 7 * j + ${3 * p} * j + 3) % 67) % 11) - 5 AS DOUBLE))) > 0
+         | j -> CAST((((${5 * p} + 7 * j + ${7 * p} * j + 3) % 67) % 11) - 5 AS DOUBLE))) > 0
          | THEN ${1L << p} ELSE 0 END)""".stripMargin.replace("\n", " ")
     }.mkString(" + ")
     s"""e AS ($DuckVecs),

@@ -53,12 +53,14 @@ object EmbBandAB {
     */
   private def candidateVolume(spark: SparkSession, dir: String,
       bits: Int, nBands: Int): Long = {
+    // one scan, one signature eval, bands by posexplode — the same
+    // per-band-unionAll waste the engine's band-row builder removed
     val sig = vecs(spark, dir).select(col("vec_id"),
       signLsh(col("v"), nBands * bits).as("sig"))
-    val bands = graft.ops.VectorQueries.embBandPairs(col("sig"), bits, nBands)
-      .map { case (b, bv) =>
-        sig.select(lit(b).as("band"), bv.as("bv")) }
-      .reduce(_ unionAll _)
+    val bands = sig.select(posexplode(array(
+        graft.ops.VectorQueries.embBandPairs(col("sig"), bits, nBands)
+          .map(_._2): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
     bands.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
       .agg(sum(expr("n * (n - 1) div 2")).as("pairs"))
       .collect()(0).getLong(0)
@@ -99,7 +101,7 @@ object EmbBandAB {
     def ensureScaled(factor: Int): String = {
       val dir = s"$outRoot/f$factor"
       val markerPath = java.nio.file.Paths.get(s"$dir/_FACTOR")
-      val markerWant = s"$factor emb"
+      val markerWant = s"$factor emb2"
       val markerOk = java.nio.file.Files.exists(markerPath) &&
         java.nio.file.Files.readString(markerPath).trim == markerWant
       if (!markerOk) {

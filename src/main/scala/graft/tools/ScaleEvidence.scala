@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *    every token with the replica id (`tok` → `tok§r<k>`). Token-level
   *    sketches (MinHash, SimHash, containment) see identical within-replica
   *    geometry and unrelated cross-replica hashes.
-  *  - embeddings: each replica circularly rotates the vector by `k`
-  *    positions — norms and within-replica pairwise cosines are preserved
-  *    bit-exactly, cross-replica correlations are scrambled.
+  *  - embeddings: replica k circularly rotates the vector by k mod dim
+  *    positions and applies a sign pattern keyed by k div dim — norms and
+  *    within-replica pairwise cosines are preserved bit-exactly,
+  *    cross-replica correlations are scrambled (rotation alone repeats
+  *    verbatim past factor = dim; see scaleEmbeddings).
   *  - ids are offset by `k * 10_000_000` so blocking keys never collide by id.
   *
   * Usage: runMain graft.tools.ScaleEvidence [baseSfDir] [scaledDir] [query ...]
@@ -50,13 +52,37 @@ object ScaleEvidence {
     val e = graft.Tables.load(spark, baseDir, "embeddings")
     val reps = spark.range(factor).select(col("id").as("replica"))
     val dim = size(col("embedding"))
+    // rotation alone collapses once factor > dim (review finding): the
+    // rotation is replica MOD dim, so with 64-dim vectors replica 64 was
+    // a byte-identical CLONE of replica 0 — at 100× that made 36% of the
+    // corpus exact duplicates of earlier replicas, inflating every
+    // 100×-embeddings number. Replica k now composes rotation (k mod dim)
+    // with a sign pattern keyed by group g = k div dim: coordinate j
+    // (1-based) flips iff (g·j) mod 5 ∈ {1,2} (g = 0 → no flip, so
+    // replicas below dim are unchanged). Both vectors of a within-replica pair
+    // get the same flips, so s_j² = 1 preserves every within-replica dot
+    // product and norm bit-exactly; across groups the patterns differ,
+    // so cross-replica correlations stay scrambled. First true repeat
+    // moves from factor = dim to factor = 5·dim (= 320 at 64 dims),
+    // guarded loudly below.
+    val dimVal = e.select(size(col("embedding"))).head.getInt(0)
+    require(factor <= 5 * dimVal,
+      s"factor $factor exceeds 5*dim = ${5 * dimVal}: replica " +
+        "(rotation, sign-group) combinations repeat and the corpus " +
+        "silently contains exact clones again — add a third decorrelator")
+    val rot = col("replica") % dim
+    val grp = floor(col("replica") / dim).cast("long")
+    val rotated = concat(
+      slice(col("embedding"), rot + 1, dim - rot),
+      slice(col("embedding"), lit(1), rot))
+    val signed = zip_with(rotated, sequence(lit(1), dim),
+      (x, j) => when((grp * j) % 5 === 1 || (grp * j) % 5 === 2, -x)
+        .otherwise(x))
     e.crossJoin(broadcast(reps))
       .select(
         (col("vec_id") + col("replica") * IdOffset).as("vec_id"),
-        when(col("replica") === 0, col("embedding")).otherwise(concat(
-          slice(col("embedding"), (col("replica") % dim) + 1,
-            dim - (col("replica") % dim)),
-          slice(col("embedding"), lit(1), col("replica") % dim))).as("embedding"),
+        when(col("replica") === 0, col("embedding"))
+          .otherwise(signed).as("embedding"),
         col("label"))
   }
 
@@ -147,11 +173,10 @@ object ScaleEvidence {
     // The marker is written only after ALL tables land, and a mismatch (or
     // absence on a partially-built dir) regenerates everything.
     val markerPath = java.nio.file.Paths.get(s"$outDir/_FACTOR")
-    // "v2": the marker also versions the TABLE SET — a pre-graph-axis dir
-    // has the right factor but no orders/lineitem/part, and an
-    // existence-only factor check would hand graph queries a missing-file
-    // error instead of regenerating
-    val markerWant = s"$factor v2"
+    // "v3": the marker also versions the TABLE SET and the generator
+    // itself — v2 dirs predate the sign-pattern decorrelator, so their
+    // embeddings contain exact clones at factor > 64 and must regenerate
+    val markerWant = s"$factor v3"
     val markerOk = java.nio.file.Files.exists(markerPath) &&
       java.nio.file.Files.readString(markerPath).trim == markerWant
     if (!markerOk) {
