@@ -2380,7 +2380,11 @@ object StreamingQueries {
             try {
             val vs = batch
               .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-              .withColumn("sig", signLsh(col("v"), 16))
+              // width derived from the SAME knobs as the banding rule
+              // (second review pass: a hardcoded 16 here would desync
+              // from a one-site knob change in VectorQueries)
+              .withColumn("sig", signLsh(col("v"),
+                VectorQueries.EmbBands * VectorQueries.EmbBitsPerBand))
               .localCheckpoint() // batch-sized; 4 consumers
             // banding rule stated once engine-wide (VectorQueries
             // .embBandPairs) — a one-site band-width change cannot split

@@ -145,9 +145,21 @@ object VectorQueries {
     * DuckDB twin stays a fixed-text oracle; both knobs' cost/recall
     * trades are measured at 10×/100× by `tools.EmbBandAB` (BASELINE.md).
     */
+  /** THE registry banding config — one site for both engines AND the
+    * sig width: the streaming gate once hardcoded signLsh(v, 16) next to
+    * a comment claiming the rule was one-site (second review pass); a
+    * default-knob change would have split the stream's 16-bit sig from
+    * the batch/oracle 2·bits-bit sig, leaving band 1's shift-mask
+    * reading zero-padded garbage bits. Deriving the width as
+    * EmbBands * EmbBitsPerBand everywhere makes the knob move batch,
+    * stream, and oracle together.
+    */
+  private[graft] val EmbBitsPerBand = 8
+  private[graft] val EmbBands = 2
+
   private[graft] def embBandPairs(
-      sig: Column, bitsPerBand: Int = 8,
-      nBands: Int = 2): Seq[(Int, Column)] = {
+      sig: Column, bitsPerBand: Int = EmbBitsPerBand,
+      nBands: Int = EmbBands): Seq[(Int, Column)] = {
     require(bitsPerBand * nBands <= 62,
       s"sig is one long: $nBands bands x $bitsPerBand bits overflow")
     // bit ops, not floor(sig / 2^k): double division is only exact below
@@ -168,7 +180,7 @@ object VectorQueries {
     * is stated once (`carryV` is the only difference: the verify path
     * needs the vectors in-stream, the counting path must stay narrow).
     */
-  private def embBandRows(
+  private[graft] def embBandRows(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       bitsPerBand: Int, nBands: Int, carryV: Boolean)
       : org.apache.spark.sql.DataFrame = {
@@ -189,7 +201,7 @@ object VectorQueries {
     */
   private[graft] def embBandCandidates(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      bitsPerBand: Int = 8, nBands: Int = 2)
+      bitsPerBand: Int = EmbBitsPerBand, nBands: Int = EmbBands)
       : org.apache.spark.sql.DataFrame = {
     val bands = embBandRows(spark, dir, bitsPerBand, nBands, carryV = false)
     bands.as("a").join(bands.as("b"),
@@ -228,7 +240,7 @@ object VectorQueries {
     */
   private[graft] def embVerifiedPairs(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      bitsPerBand: Int = 8, nBands: Int = 2)
+      bitsPerBand: Int = EmbBitsPerBand, nBands: Int = EmbBands)
       : org.apache.spark.sql.DataFrame = {
     val bands = embBandRows(spark, dir, bitsPerBand, nBands, carryV = true)
     bands.as("a").join(bands.as("b"),
@@ -244,16 +256,16 @@ object VectorQueries {
     * streaming semantic gate so the pair rule is stated once per engine.
     */
   private[graft] lazy val duckEmbPairsCtes: String = {
-    val bitTerms = (0 until 16).map { p =>
+    val bitTerms = (0 until EmbBands * EmbBitsPerBand).map { p =>
       s"""(CASE WHEN list_dot_product(v, list_transform(range(0, len(v)),
          | j -> CAST((((${5 * p} + 7 * j + ${7 * p} * j + 3) % 67) % 11) - 5 AS DOUBLE))) > 0
          | THEN ${1L << p} ELSE 0 END)""".stripMargin.replace("\n", " ")
     }.mkString(" + ")
     s"""e AS ($DuckVecs),
        |sig AS (SELECT vec_id, v, CAST($bitTerms AS BIGINT) AS sig FROM e),
-       |bands AS (SELECT vec_id, v, 0 AS band, sig % 256 AS bv FROM sig
-       |          UNION ALL
-       |          SELECT vec_id, v, 1 AS band, CAST(floor(sig / 256) AS BIGINT) AS bv FROM sig),
+       |bands AS (${(0 until EmbBands).map(b =>
+              s"SELECT vec_id, v, $b AS band, CAST(floor(sig / ${1L << (b * EmbBitsPerBand)}) AS BIGINT) % ${1L << EmbBitsPerBand} AS bv FROM sig")
+              .mkString("\n       |          UNION ALL\n       |          ")}),
        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
        |                a.v AS av, b.v AS bv2
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv

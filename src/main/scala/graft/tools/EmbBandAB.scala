@@ -16,8 +16,10 @@ import graft.functions.VectorFunctions.{cosine, signLsh, toDoubleArray}
   * EMBEDDING engine so the claim stands on its own numbers.
   *
   * Per (width, factor) on organically-grown corpora
-  * ([[ScaleEvidence.scaleEmbeddings]] — rotations preserve within-replica
-  * cosines, scramble cross-replica ones) it reports:
+  * ([[ScaleEvidence.scaleEmbeddings]] — per-replica stride coordinate
+  * permutations: within-replica cosines preserved bit-exactly,
+  * cross-replica correlations scrambled, factor capped at dim²/2 by a
+  * loud require) it reports:
   *   - PRE-DISTINCT candidate volume Σ_buckets n(n−1)/2, computed
   *     ANALYTICALLY from bucket occupancy (one aggregate, no pair join) —
   *     the compute the knob controls, measurable even where materializing
@@ -52,19 +54,16 @@ object EmbBandAB {
     * join would feed distinct, from occupancy alone.
     */
   private def candidateVolume(spark: SparkSession, dir: String,
-      bits: Int, nBands: Int): Long = {
-    // one scan, one signature eval, bands by posexplode — the same
-    // per-band-unionAll waste the engine's band-row builder removed
-    val sig = vecs(spark, dir).select(col("vec_id"),
-      signLsh(col("v"), nBands * bits).as("sig"))
-    val bands = sig.select(posexplode(array(
-        graft.ops.VectorQueries.embBandPairs(col("sig"), bits, nBands)
-          .map(_._2): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-    bands.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
+      bits: Int, nBands: Int): Long =
+    // the ENGINE's band-row builder (stated once; second review pass
+    // caught this tool carrying its own copy of the scaffolding — the
+    // volume numbers must come from the same construction the engine
+    // joins on)
+    graft.ops.VectorQueries
+      .embBandRows(spark, dir, bits, nBands, carryV = false)
+      .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
       .agg(sum(expr("n * (n - 1) div 2")).as("pairs"))
       .collect()(0).getLong(0)
-  }
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -101,7 +100,7 @@ object EmbBandAB {
     def ensureScaled(factor: Int): String = {
       val dir = s"$outRoot/f$factor"
       val markerPath = java.nio.file.Paths.get(s"$dir/_FACTOR")
-      val markerWant = s"$factor emb2"
+      val markerWant = s"$factor emb3"
       val markerOk = java.nio.file.Files.exists(markerPath) &&
         java.nio.file.Files.readString(markerPath).trim == markerWant
       if (!markerOk) {

@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   *    every token with the replica id (`tok` → `tok§r<k>`). Token-level
   *    sketches (MinHash, SimHash, containment) see identical within-replica
   *    geometry and unrelated cross-replica hashes.
-  *  - embeddings: replica k circularly rotates the vector by k mod dim
-  *    positions and applies a sign pattern keyed by k div dim — norms and
+  *  - embeddings: replica k applies a stride coordinate permutation
+  *    (multiplier 2·(k div dim)+1, offset k mod dim) — norms and
   *    within-replica pairwise cosines are preserved bit-exactly,
   *    cross-replica correlations are scrambled (rotation alone repeats
   *    verbatim past factor = dim; see scaleEmbeddings).
@@ -56,33 +56,37 @@ object ScaleEvidence {
     // rotation is replica MOD dim, so with 64-dim vectors replica 64 was
     // a byte-identical CLONE of replica 0 — at 100× that made 36% of the
     // corpus exact duplicates of earlier replicas, inflating every
-    // 100×-embeddings number. Replica k now composes rotation (k mod dim)
-    // with a sign pattern keyed by group g = k div dim: coordinate j
-    // (1-based) flips iff (g·j) mod 5 ∈ {1,2} (g = 0 → no flip, so
-    // replicas below dim are unchanged). Both vectors of a within-replica pair
-    // get the same flips, so s_j² = 1 preserves every within-replica dot
-    // product and norm bit-exactly; across groups the patterns differ,
-    // so cross-replica correlations stay scrambled. First true repeat
-    // moves from factor = dim to factor = 5·dim (= 320 at 64 dims),
-    // guarded loudly below.
-    val dimVal = e.select(size(col("embedding"))).head.getInt(0)
-    require(factor <= 5 * dimVal,
-      s"factor $factor exceeds 5*dim = ${5 * dimVal}: replica " +
-        "(rotation, sign-group) combinations repeat and the corpus " +
-        "silently contains exact clones again — add a third decorrelator")
-    val rot = col("replica") % dim
-    val grp = floor(col("replica") / dim).cast("long")
-    val rotated = concat(
-      slice(col("embedding"), rot + 1, dim - rot),
-      slice(col("embedding"), lit(1), rot))
-    val signed = zip_with(rotated, sequence(lit(1), dim),
-      (x, j) => when((grp * j) % 5 === 1 || (grp * j) % 5 === 2, -x)
-        .otherwise(x))
+    // 100×-embeddings number. A first fix (per-group SIGN patterns) left
+    // same-rotation cross-group pairs at a structured cosine ≈ Σx_j²ε_j
+    // (~0.19 for a 26/64 flip pattern — above the 1000 bp rule; second
+    // review pass). Replica k now applies a STRIDE PERMUTATION
+    // j → (a·j + b) mod dim with multiplier a = 2·(k div dim) + 1 (odd,
+    // so coprime to the power-of-two dim = a true permutation) and
+    // offset b = k mod dim. Any coordinate permutation preserves every
+    // within-replica dot product and norm bit-exactly; the composite of
+    // two distinct stride permutations is itself a stride permutation,
+    // decorrelating cross-replica pairs exactly the way the rotations
+    // (the a = 1 group) already demonstrably do. g = 0 IS the pure
+    // rotation, so replicas below dim are byte-identical to the old
+    // generator; first true repeat moves to factor = dim²/2 (2 048 at
+    // 64 dims), guarded loudly below.
+    val dimVal = e.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$baseDir/embeddings is empty — cannot derive dim"))
+    require(factor <= dimVal * dimVal / 2,
+      s"factor $factor exceeds dim^2/2 = ${dimVal * dimVal / 2}: replica " +
+        "(stride, offset) permutations repeat and the corpus silently " +
+        "contains exact clones again — add a third decorrelator")
+    val stride = floor(col("replica") / dim).cast("int") * 2 + 1
+    val off = (col("replica") % dim).cast("int")
+    val permuted = transform(sequence(lit(0), dim - 1),
+      j => element_at(col("embedding"), (stride * j + off) % dim + 1))
     e.crossJoin(broadcast(reps))
       .select(
         (col("vec_id") + col("replica") * IdOffset).as("vec_id"),
         when(col("replica") === 0, col("embedding"))
-          .otherwise(signed).as("embedding"),
+          .otherwise(permuted).as("embedding"),
         col("label"))
   }
 
@@ -173,10 +177,10 @@ object ScaleEvidence {
     // The marker is written only after ALL tables land, and a mismatch (or
     // absence on a partially-built dir) regenerates everything.
     val markerPath = java.nio.file.Paths.get(s"$outDir/_FACTOR")
-    // "v3": the marker also versions the TABLE SET and the generator
-    // itself — v2 dirs predate the sign-pattern decorrelator, so their
-    // embeddings contain exact clones at factor > 64 and must regenerate
-    val markerWant = s"$factor v3"
+    // "v4": the marker also versions the TABLE SET and the generator
+    // itself — v2 dirs predate the embeddings decorrelator (exact clones
+    // at factor > 64), v3 the stride-permutation form of it
+    val markerWant = s"$factor v4"
     val markerOk = java.nio.file.Files.exists(markerPath) &&
       java.nio.file.Files.readString(markerPath).trim == markerWant
     if (!markerOk) {
