@@ -2321,8 +2321,9 @@ object StreamingQueries {
     * (foreachBatch) against an ACCUMULATED store of sign-LSH band keys +
     * raw vectors:
     *
-    *   candidates: 2×8-bit sign-LSH bands (the `dedup_embedding_lsh`
-    *     rule, [[graft.functions.VectorFunctions.signLsh]]) — store-side
+    *   candidates: 2-band sign-LSH, width auto-sized from corpus count
+    *     (the `dedup_embedding_lsh` rule, [[VectorQueries.autoEmbBits]] +
+    *     [[graft.functions.VectorFunctions.signLsh]]) — store-side
     *     pairs UNCONDITIONAL (stored = arrived earlier), same-batch pairs
     *     by id (= within-batch arrival);
     *   verify: EXACT cosine ≥ 1000 bp on the raw vectors — no
@@ -2343,6 +2344,16 @@ object StreamingQueries {
   private[graft] def embdupStoreRun(spark: SparkSession, name: String,
       emb: DataFrame, incoming: String): DataFrame = {
     import graft.functions.VectorFunctions.{cosine, signLsh, toDoubleArray}
+    // band width auto-sized ONCE per run from the corpus this replay will
+    // process ([[VectorQueries.autoEmbBits]] — the same ladder the batch
+    // query and the DuckDB twin derive, so all three stay in lockstep).
+    // Pinned at stream start deliberately: band values are STORE KEYS, so
+    // a mid-stream width change would strand every previously written
+    // band row under dead keys. A production open-ended stream re-bands
+    // at a width threshold by rebuilding the band table from the stored
+    // vectors — a compaction-class rewrite of an O(corpus) narrow table,
+    // not a per-batch cost.
+    val embBits = VectorQueries.autoEmbBits(emb.count())
     val storeDir = Files.createTempDirectory("graft-emb-store").toString
     val bandsDir = s"$storeDir/bands"
     val vecsDir = s"$storeDir/vecs"
@@ -2384,12 +2395,12 @@ object StreamingQueries {
               // (second review pass: a hardcoded 16 here would desync
               // from a one-site knob change in VectorQueries)
               .withColumn("sig", signLsh(col("v"),
-                VectorQueries.EmbBands * VectorQueries.EmbBitsPerBand))
+                VectorQueries.EmbBands * embBits))
               .localCheckpoint() // batch-sized; 4 consumers
             // banding rule stated once engine-wide (VectorQueries
             // .embBandPairs) — a one-site band-width change cannot split
             // the streamed candidate set from the batch/oracle pair set
-            val bb = VectorQueries.embBandPairs(col("sig")).map {
+            val bb = VectorQueries.embBandPairs(col("sig"), embBits).map {
                 case (b, bv) => vs.select(col("vec_id"),
                   lit(b).as("band"), bv.as("bv"))
               }.reduce(_ unionByName _)

@@ -128,11 +128,12 @@ object VectorQueries {
       SELECT qid, rn, vec_id, sim_bp FROM r WHERE rn <= 10
       ORDER BY qid, rn"""))
 
-  /** THE sign-LSH banding rule (registry default 2×8 bit over a 16-bit
-    * `sig`) as (band index, band value) columns — stated ONCE Spark-side
-    * (review pass: the rule lived in both the batch pairs and the
-    * streaming engine; a one-site band-width change would silently split
-    * them). The SQL twin lives inside [[duckEmbPairsCtes]].
+  /** THE sign-LSH banding rule (registry: [[EmbBands]] bands of
+    * [[autoEmbBits]]-derived width over a 2·bits-bit `sig`) as (band
+    * index, band value) columns — stated ONCE Spark-side (review pass:
+    * the rule lived in both the batch pairs and the streaming engine; a
+    * one-site band-width change would silently split them). The SQL twin
+    * lives inside [[duckEmbPairsCtes]].
     *
     * `bitsPerBand` and `nBands` are the PRODUCTION SCALE KNOBS, the
     * standard LSH (b, r) pair: bucket occupancy — and so candidate-pair
@@ -141,9 +142,11 @@ object VectorQueries {
     * [[DedupQueries.simhashBands]] bitsPerBand / [[DedupQueries
     * .autoBandBits]] precedent), and band COUNT buys back the recall that
     * widening costs (each extra band is one more independent chance to
-    * collide, at volume linear in bands). The registry pins (8, 2) so the
-    * DuckDB twin stays a fixed-text oracle; both knobs' cost/recall
-    * trades are measured at 10×/100× by `tools.EmbBandAB` (BASELINE.md).
+    * collide, at volume linear in bands). Since r15 the WIDTH knob is
+    * wired to the corpus count (the r14 verdict's top ask — EmbBandAB
+    * measured the static 8×2 arm quadratic at 100×); both knobs'
+    * cost/recall trades are measured at 10×/100× by `tools.EmbBandAB`
+    * (BASELINE.md).
     */
   /** THE registry banding config — one site for both engines AND the
     * sig width: the streaming gate once hardcoded signLsh(v, 16) next to
@@ -151,14 +154,42 @@ object VectorQueries {
     * default-knob change would have split the stream's 16-bit sig from
     * the batch/oracle 2·bits-bit sig, leaving band 1's shift-mask
     * reading zero-padded garbage bits. Deriving the width as
-    * EmbBands * EmbBitsPerBand everywhere makes the knob move batch,
+    * EmbBands * bitsPerBand everywhere makes the knob move batch,
     * stream, and oracle together.
+    *
+    * The WIDTH is no longer a static 8: it AUTO-SIZES from the corpus
+    * count ([[autoEmbBits]]) — the `DedupQueries.autoBandBits` /
+    * `dedup_semantic` auto-k precedent, promoted to the embedding family
+    * after `tools.EmbBandAB` measured the fixed 8×2 arm's candidate
+    * volume growing ~quadratically with corpus (178.7 M pre-distinct
+    * pairs at 100×, 0.10×/row stream wall) while +4 width bits cut it
+    * ~15×. Registry queries derive bits from one count job (parquet
+    * metadata only — count(*) never scans data pages); the DuckDB twin
+    * derives the SAME ladder from COUNT(*) in a scalar `w` CTE, so both
+    * engines' geometry moves in lockstep at every scale factor.
     */
-  private[graft] val EmbBitsPerBand = 8
   private[graft] val EmbBands = 2
+  private[graft] val EmbMinBits = 8
+  private[graft] val EmbMaxBits = 14
+
+  /** Band width from corpus count: the smallest b in [EmbMinBits,
+    * EmbMaxBits] with 2^b ≥ n — i.e. clamp(⌈log₂ n⌉, 8, 14), stated as an
+    * integer ladder so the DuckDB twin (integer CASE thresholds, see
+    * [[duckEmbPairsCtes]]) is exact-mirror arithmetic, not a float log2
+    * whose rounding could split the engines at a power-of-two boundary.
+    * Keeps expected bucket occupancy per band ≤ ~1 until the 14-bit
+    * clamp (beyond 16 K vectors occupancy grows again — there the band
+    * COUNT knob, and ultimately segment-partitioned banding, take over;
+    * EmbBandAB measures both knobs' trades).
+    */
+  private[graft] def autoEmbBits(nVecs: Long): Int = {
+    var b = EmbMinBits
+    while (b < EmbMaxBits && (1L << b) < nVecs) b += 1
+    b
+  }
 
   private[graft] def embBandPairs(
-      sig: Column, bitsPerBand: Int = EmbBitsPerBand,
+      sig: Column, bitsPerBand: Int,
       nBands: Int = EmbBands): Seq[(Int, Column)] = {
     require(bitsPerBand * nBands <= 62,
       s"sig is one long: $nBands bands x $bitsPerBand bits overflow")
@@ -201,7 +232,7 @@ object VectorQueries {
     */
   private[graft] def embBandCandidates(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      bitsPerBand: Int = EmbBitsPerBand, nBands: Int = EmbBands)
+      bitsPerBand: Int, nBands: Int = EmbBands)
       : org.apache.spark.sql.DataFrame = {
     val bands = embBandRows(spark, dir, bitsPerBand, nBands, carryV = false)
     bands.as("a").join(bands.as("b"),
@@ -240,7 +271,7 @@ object VectorQueries {
     */
   private[graft] def embVerifiedPairs(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      bitsPerBand: Int = EmbBitsPerBand, nBands: Int = EmbBands)
+      bitsPerBand: Int, nBands: Int = EmbBands)
       : org.apache.spark.sql.DataFrame = {
     val bands = embBandRows(spark, dir, bitsPerBand, nBands, carryV = true)
     bands.as("a").join(bands.as("b"),
@@ -254,18 +285,32 @@ object VectorQueries {
   /** The DuckDB CTE chain ending in `vf(a_id, b_id)` — the oracle twin of
     * [[embVerifiedPairs]], shared by `dedup_embedding_lsh` and the
     * streaming semantic gate so the pair rule is stated once per engine.
+    *
+    * The band width comes from the scalar `w` CTE — the exact integer
+    * ladder of [[autoEmbBits]] over the same COUNT(*). The signature is
+    * generated at the MAX width (2·EmbMaxBits planes) with every plane
+    * gated by `p < 2·bits`, so one SQL string serves every derived width;
+    * the band split uses `>>`/`&` (the `dedup_containment` twin's bit
+    * ops), NOT floor division — DuckDB `/` on integers is double
+    * division, inexact past 53 sig bits (ADVICE r14), and now also
+    * unable to consume the scalar `bits`.
     */
   private[graft] lazy val duckEmbPairsCtes: String = {
-    val bitTerms = (0 until EmbBands * EmbBitsPerBand).map { p =>
-      s"""(CASE WHEN list_dot_product(v, list_transform(range(0, len(v)),
+    val bitTerms = (0 until EmbBands * EmbMaxBits).map { p =>
+      s"""(CASE WHEN $p < ${EmbBands} * bits AND list_dot_product(v, list_transform(range(0, len(v)),
          | j -> CAST((((${5 * p} + 7 * j + ${7 * p} * j + 3) % 67) % 11) - 5 AS DOUBLE))) > 0
          | THEN ${1L << p} ELSE 0 END)""".stripMargin.replace("\n", " ")
     }.mkString(" + ")
+    val ladder = (EmbMinBits until EmbMaxBits)
+      .map(b => s"WHEN COUNT(*) <= ${1L << b} THEN $b")
+      .mkString(" ")
     s"""e AS ($DuckVecs),
-       |sig AS (SELECT vec_id, v, CAST($bitTerms AS BIGINT) AS sig FROM e),
-       |bands AS (${(0 until EmbBands).map(b =>
-              s"SELECT vec_id, v, $b AS band, CAST(floor(sig / ${1L << (b * EmbBitsPerBand)}) AS BIGINT) % ${1L << EmbBitsPerBand} AS bv FROM sig")
-              .mkString("\n       |          UNION ALL\n       |          ")}),
+       |w AS (SELECT CASE $ladder ELSE $EmbMaxBits END AS bits FROM e),
+       |sig AS (SELECT vec_id, v, CAST($bitTerms AS BIGINT) AS sig FROM e, w),
+       |bands AS (SELECT vec_id, v, band,
+       |                 (sig >> (band * bits)) & ((1::BIGINT << bits) - 1) AS bv
+       |          FROM sig, w,
+       |               (SELECT unnest([${(0 until EmbBands).mkString(", ")}]) AS band) bs),
        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
        |                a.v AS av, b.v AS bv2
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
@@ -274,17 +319,22 @@ object VectorQueries {
        |vf AS (SELECT a_id, b_id FROM verified WHERE sim_bp >= 1000)""".stripMargin
   }
 
-  /** Embedding near-duplicate detection via sign-LSH banding: 16-bit
-    * signature split into two 8-bit bands; same (band, value) → candidate
-    * pair; candidates verified by exact cosine; summarized per vector
-    * (partner count + canonical min-id), so output stays O(N) even when the
-    * corpus is homogeneous.
+  /** Embedding near-duplicate detection via sign-LSH banding: a
+    * 2·bits-bit signature split into two bands, width auto-sized from the
+    * corpus count ([[autoEmbBits]] — one metadata-only count job, the
+    * oracle's scalar `w` CTE derives the same ladder); same (band, value)
+    * → candidate pair; candidates verified by exact cosine; summarized
+    * per vector (partner count + canonical min-id), so output stays O(N)
+    * even when the corpus is homogeneous.
     */
   val dedupEmbeddingLsh = QueryDef(
     "dedup_embedding_lsh",
     (spark, dir) => {
       val e = vecs(spark, dir)
-      val verified = embVerifiedPairs(spark, dir)
+      // literal bits, not a broadcast scalar: the width shapes the PLAN
+      // (signature expression + band split), same discipline as
+      // dedup_semantic's literal k
+      val verified = embVerifiedPairs(spark, dir, autoEmbBits(e.count()))
       val partners = verified.select(col("a_id").as("vec_id"), col("b_id").as("partner"))
         .unionAll(verified.select(col("b_id").as("vec_id"), col("a_id").as("partner")))
         .groupBy(col("vec_id"))

@@ -78,6 +78,14 @@ object ScaleEvidence {
       s"factor $factor exceeds dim^2/2 = ${dimVal * dimVal / 2}: replica " +
         "(stride, offset) permutations repeat and the corpus silently " +
         "contains exact clones again — add a third decorrelator")
+    // the odd-multiplier-is-coprime argument holds ONLY for power-of-two
+    // dims: at e.g. dim = 96, stride 3 shares factor 3 and j → (3j+b) mod 96
+    // is NOT a permutation — coordinates repeat/drop and the preserved-norm
+    // invariant the whole methodology rests on silently breaks (ADVICE r14)
+    require((dimVal & (dimVal - 1)) == 0,
+      s"dim $dimVal is not a power of two: odd stride multipliers are not " +
+        "guaranteed coprime to it, so the coordinate map is not a " +
+        "permutation — pick a coprime-checked stride family first")
     val stride = floor(col("replica") / dim).cast("int") * 2 + 1
     val off = (col("replica") % dim).cast("int")
     val permuted = transform(sequence(lit(0), dim - 1),

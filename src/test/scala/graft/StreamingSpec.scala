@@ -704,7 +704,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.ops.StreamingQueries
       .lastBatchCounts("stream_embdup_verified") >= 2,
       "embdup gate ran as a single batch — incremental claim not exercised")
-    val pairs = graft.ops.VectorQueries.embVerifiedPairs(spark, sfDir)
+    // the REGISTRY width: auto-derived from the corpus count, exactly as
+    // both the batch query and the stream derive it
+    val pairs = graft.ops.VectorQueries.embVerifiedPairs(spark, sfDir,
+        graft.ops.VectorQueries.autoEmbBits(
+          graft.Tables.load(spark, sfDir, "embeddings").count()))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty, "fixture has no embedding near-dups — vacuous")
     def earlierA(a: Long, b: Long): Boolean =
