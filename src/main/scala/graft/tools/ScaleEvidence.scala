@@ -98,6 +98,62 @@ object ScaleEvidence {
         col("label"))
   }
 
+  /** PLANTED-DUPLICATE-CLUSTER embedding corpus — ground truth by
+    * construction, for measuring banding RECALL where the organic fixtures
+    * cannot: the sf* embeddings' pair cosines top out at ~0.60, so recall
+    * against their ≥1000 bp "truth" says nothing about production dedup
+    * (r14 verdict). Here every cluster is a deterministic integer base
+    * direction plus per-member perturbations at 1/8 amplitude, putting
+    * within-cluster cosines at ~0.97–0.99 (the genuine-duplicate regime)
+    * while cross-cluster cosines stay in the random ±0.3 band.
+    *
+    * Determinism (scripts must stay replayable, no RNG): base weight
+    * b(c,j) = ((((11c+13j+17cj+5) mod 101) + ((19c+29j+23cj+7) mod 103))
+    * mod 11) − 5 and perturbation p(c,m,j) = ((((7c+23m+29j+31mj+19cj+1)
+    * mod 103) + ((13c+17m+11j+37mj+41cj+3) mod 107)) mod 11) − 5 — the
+    * [[graft.functions.VectorFunctions.planeWeight]] construction under
+    * DIFFERENT moduli (101/103/107, not 67), so the corpus cannot be
+    * accidentally aligned with the LSH plane family it exists to measure.
+    * TWO moduli per weight, not one: a single-modulus formula is periodic
+    * in c with period = the modulus, so clusters c and c+101 would get
+    * IDENTICAL base vectors — exact cross-cluster clones, the same
+    * contamination class the r14 scaleEmbeddings rotation bug planted
+    * (measured before the fix: the 256-cluster corpus' ≥9000 bp truth was
+    * 2.9× its within-cluster pair count). The mixed period is
+    * lcm(101,103) = 10 403 clusters. Member vector v[j] = b + p/8; all
+    * values are eighth-integers, bit-exact in FLOAT (the fixture schema)
+    * and DOUBLE both.
+    *
+    * Truth is still MEASURED, not assumed: callers compute exact all-pairs
+    * cosine on the planted corpus (affordable at these sizes) and take
+    * ≥ 9000 bp as the duplicate set — construction guarantees within-
+    * cluster pairs dominate it, but accidental cross-cluster hits (or an
+    * anti-aligned perturbation pair dipping below) are adjudicated by the
+    * measurement, never by the generator's intent.
+    */
+  def plantedEmbeddings(spark: SparkSession, nClusters: Int,
+      perCluster: Int, dim: Int = 64): DataFrame = {
+    spark.range(nClusters.toLong * perCluster)
+      .select(col("id").as("vec_id"),
+        expr(s"id div $perCluster").as("c"), // integral div, not double /
+        (col("id") % perCluster).as("m"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), j => {
+          val base = (((lit(11) * col("c") + lit(13) * j +
+              lit(17) * col("c") * j + lit(5)) % 101 +
+            (lit(19) * col("c") + lit(29) * j +
+              lit(23) * col("c") * j + lit(7)) % 103)
+            % 11 - 5).cast("double")
+          val pert = (((lit(7) * col("c") + lit(23) * col("m") + lit(29) * j +
+              lit(31) * col("m") * j + lit(19) * col("c") * j + lit(1)) % 103 +
+            (lit(13) * col("c") + lit(17) * col("m") + lit(11) * j +
+              lit(37) * col("m") * j + lit(41) * col("c") * j + lit(3)) % 107)
+            % 11 - 5).cast("double")
+          (base + pert / 8.0).cast("float")
+        }).as("embedding"),
+        col("c").cast("int").as("label"))
+  }
+
   /** FACTOR× events: replicas are disjoint user populations (user and event
     * ids offset per replica), so every per-user window/session/sequence has
     * the base corpus' exact shape — the corpus just has FACTOR× more users,

@@ -49,6 +49,48 @@ class EmbBandSpec extends AnyFunSuite {
       s"12-bit candidates ($c12) not below 8-bit ($c8) — knob is inert")
   }
 
+  test("registry arm holds a recall floor on planted 0.9+ duplicate clusters") {
+    // The r14 verdict's evidence gap: the organic fixture's top pair
+    // cosine is 0.60, so recall measured there (~2-4%) says nothing about
+    // production dedup. This gate runs the REGISTRY configuration (auto
+    // width over the corpus count, exactly what dedup_embedding_lsh and
+    // the streaming gate derive) against a planted corpus whose duplicate
+    // structure is known by construction and VERIFIED by measurement:
+    // a broken plane family (the r14 period-11 bug class) or a banding
+    // rule split craters this to near-random single digits.
+    val k = 64; val per = 8
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-emb-planted").toString
+    try {
+      graft.tools.ScaleEvidence.plantedEmbeddings(spark, k, per)
+        .repartition(2).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      val v = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      val n = v.count()
+      val truth = pairSet(v.as("a")
+        .join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .filter(Tables.basisPoints(cosine(col("a.v"), col("b.v"))) >= 9000)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id")))
+      // generator cleanliness: the measured duplicate truth must be
+      // EXACTLY the within-cluster pairs — any excess is cross-cluster
+      // clone contamination (the single-modulus periodicity bug this
+      // generator's two-moduli mixing exists to prevent)
+      assert(truth.size === k * per * (per - 1) / 2,
+        s"planted truth ${truth.size} != within-cluster ${k * per * (per - 1) / 2} " +
+          "— generator leaked cross-cluster structure")
+      val bits = VectorQueries.autoEmbBits(n)
+      val found = pairSet(VectorQueries.embVerifiedPairs(spark, dir, bits))
+        .intersect(truth)
+      val recall = found.size.toDouble / truth.size
+      // measured 0.795 at auto(9)x2 on this exact corpus (EmbBandAB r15);
+      // floor at 0.6 leaves host-independent margin while still failing
+      // loudly on any structural break
+      assert(recall >= 0.6,
+        f"registry-arm recall $recall%.3f below 0.6 floor on planted clusters")
+    } finally graft.Tables.deleteTree(dir)
+  }
+
   test("extra bands only ADD pairs: 12x4 is a superset of 12x2") {
     // provable, not just likely: signLsh's plane p depends only on (p, j),
     // so a 48-bit sig's low 24 bits equal the 24-bit sig, and 12x4's
