@@ -591,6 +591,168 @@ object RankingQueries {
       ORDER BY decile"""),
     notes = "DSIR importance resampling: target-vs-raw hashed n-gram ratios learned in one pass, broadcast O(B) weights, histogram-bounded deciles")
 
+  /** TRAINED model-based quality filter — the missing third of the quality
+    * triad (r14 verdict): [[textQualityScore]] scores with a FROZEN
+    * stand-in weight vector (the plumbing), [[textDsirSelect]] learns
+    * importance weights against a *language* target; this one TRAINS a
+    * linear quality classifier the fastText/DCLM way — weak supervision:
+    *
+    *   1. label every document with the heuristic `text_quality` "natural"
+    *      rule (≥30 tokens, distinct-ratio ≥ 2500 bp, stopword ratio in
+    *      [200, 2500] bp) — the proxy-label trick production pipelines use
+    *      (train on Wikipedia-vs-CommonCrawl, score everything);
+    *   2. learn per-feature weights from that label in ONE corpus pass:
+    *      w_f = Laplace-smoothed LIFT of the feature's share among good
+    *      docs vs the whole pool (the [[textKeywords]] class-lift
+    *      construction under [[textDsirSelect]]'s exact-integer bp scheme,
+    *      capped at 10× — a naive-Bayes log-odds analog kept additive);
+    *   3. score every document as its mean feature weight and audit the
+    *      keep/drop decision by decile — n_docs, n_good (label agreement),
+    *      and the per-decile good-RATE, the enrichment curve a curator
+    *      reads before trusting the filter (gated monotone in
+    *      TextRulesSpec).
+    *
+    * Features are hashed unigrams+bigrams (the [[textDsirSelect]]
+    * construction, B = 256 buckets): bigrams matter because quality is
+    * phrasal — "of the" is a good-doc feature even where "of" alone is
+    * neutral. Every number is BIGINT basis points; both engines make
+    * bit-identical train AND score decisions.
+    *
+    * Scale: label + featurize ride ONE corpus scan (the label is a
+    * row-local expression over the token array — no second pass, no join
+    * back); bucket stats collapse map-side to B rows; the weight table is
+    * O(B) broadcast; scoring is one more pass; deciles ride the integer
+    * score histogram (≤ 10⁵+1 rows), never a corpus sort — the same
+    * shuffle budget as text_dsir_select, measured flat at 100× there.
+    */
+  val textQualityClassifier = QueryDef(
+    "text_quality_classifier",
+    (spark, dir) => {
+      import graft.functions.RollingHash
+      val stop = Seq("the", "a", "and", "of", "in")
+      val t = split(col("text"), " ")
+      val labeled = graft.Tables.spreadIfNarrow(load(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), t.as("t"),
+          size(t).cast("long").as("n_tok"),
+          size(array_distinct(t)).cast("long").as("n_dis"),
+          size(filter(t, x => x.isin(stop: _*))).cast("long").as("n_stop"))
+        .select(col("doc_id"), col("t"),
+          (col("n_tok") >= 30 &&
+            expr("(n_dis * 10000) div n_tok") >= 2500 &&
+            expr("(n_stop * 10000) div n_tok").between(200, 2500)).as("good"))
+      val feats = labeled
+        .select(col("doc_id"), col("good"), explode(expr(
+          """concat(t, transform(slice(t, 1, size(t) - 1),
+               (x, i) -> concat(x, ' ', element_at(t, i + 2))))""")).as("f"))
+        .select(col("doc_id"), col("good"),
+          (RollingHash(col("f")) % 1048573 % 256).as("b"))
+      val stats = feats.groupBy(col("b"))
+        .agg(sum(when(col("good"), 1L).otherwise(0L)).as("g_f"),
+          count(lit(1)).as("r_f"))
+      val totals = stats.agg(sum(col("g_f")).as("n_g"), sum(col("r_f")).as("n_r"))
+      val weights = stats.crossJoin(broadcast(totals))
+        .select(col("b"),
+          least(lit(100000L), expr(
+            """(10000L * ((1000000L * (g_f + 1)) div (n_g + 256)))
+               div greatest(1L, (1000000L * (r_f + 1)) div (n_r + 256))"""))
+            .as("w_bp"))
+      val scored = feats.join(broadcast(weights), "b")
+        .groupBy(col("doc_id"), col("good"))
+        .agg(count(lit(1)).as("n_f"), sum(col("w_bp")).as("sw"))
+        .select(col("doc_id"), col("good"), expr("sw div n_f").as("score_bp"))
+      val hist = scored.groupBy(col("score_bp"))
+        .agg(count(lit(1)).as("nd"),
+          sum(when(col("good"), 1L).otherwise(0L)).as("ng"))
+      val wOrd = Window.orderBy(col("score_bp"))
+      hist
+        .withColumn("c_lt", coalesce(sum(col("nd")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_all", sum(col("nd")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("score_bp"), col("nd"), col("ng"),
+          expr("(c_lt * 10) div n_all").as("decile"))
+        .groupBy(col("decile"))
+        .agg(sum(col("nd")).as("n_docs"), sum(col("ng")).as("n_good_docs"),
+          min(col("score_bp")).as("min_score_bp"),
+          max(col("score_bp")).as("max_score_bp"))
+        .select(col("decile"), (col("decile") >= 2).as("keep"), col("n_docs"),
+          col("n_good_docs"),
+          expr("(n_good_docs * 10000) div n_docs").as("good_rate_bp"),
+          col("min_score_bp"), col("max_score_bp"))
+        .orderBy(col("decile"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      labeled AS (
+        SELECT doc_id, t,
+               len(t) >= 30
+               AND (CAST(len(list_distinct(t)) AS BIGINT) * 10000)
+                   // CAST(len(t) AS BIGINT) >= 2500
+               AND (CAST(len(list_filter(t,
+                     x -> list_contains(['the','a','and','of','in'], x)))
+                     AS BIGINT) * 10000) // CAST(len(t) AS BIGINT)
+                   BETWEEN 200 AND 2500 AS good
+        FROM base),
+      feats AS (
+        SELECT doc_id, good,
+               unnest(list_concat(t,
+                 list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+                 AS f
+        FROM labeled),
+      bk AS (
+        SELECT doc_id, good,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(list_filter(string_split(f, ''), c -> c <> ''),
+                                  c -> CAST(unicode(c) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 100000000000000000) % 1048573 % 256 AS b
+        FROM feats),
+      stats AS (
+        SELECT b, SUM(CASE WHEN good THEN 1 ELSE 0 END) AS g_f, COUNT(*) AS r_f
+        FROM bk GROUP BY b),
+      totals AS (
+        SELECT CAST(SUM(g_f) AS BIGINT) AS n_g, CAST(SUM(r_f) AS BIGINT) AS n_r
+        FROM stats),
+      weights AS (
+        SELECT b,
+               LEAST(100000,
+                 (10000 * ((1000000 * (g_f + 1)) // (n_g + 256)))
+                 // GREATEST(1, (1000000 * (r_f + 1)) // (n_r + 256))) AS w_bp
+        FROM stats CROSS JOIN totals),
+      scored AS (
+        SELECT doc_id, good,
+               CAST(SUM(w_bp) // COUNT(*) AS BIGINT) AS score_bp
+        FROM bk JOIN weights USING (b)
+        GROUP BY doc_id, good),
+      hist AS (
+        SELECT score_bp, COUNT(*) AS nd,
+               SUM(CASE WHEN good THEN 1 ELSE 0 END) AS ng
+        FROM scored GROUP BY score_bp),
+      cum AS (
+        SELECT score_bp, nd, ng,
+               COALESCE(SUM(nd) OVER (ORDER BY score_bp
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt,
+               SUM(nd) OVER () AS n_all
+        FROM hist),
+      dec AS (
+        SELECT score_bp, nd, ng,
+               CAST((c_lt * 10) // n_all AS BIGINT) AS decile
+        FROM cum)
+      SELECT decile, decile >= 2 AS keep,
+             CAST(SUM(nd) AS BIGINT) AS n_docs,
+             CAST(SUM(ng) AS BIGINT) AS n_good_docs,
+             (CAST(SUM(ng) AS BIGINT) * 10000) // CAST(SUM(nd) AS BIGINT)
+               AS good_rate_bp,
+             MIN(score_bp) AS min_score_bp,
+             MAX(score_bp) AS max_score_bp
+      FROM dec
+      GROUP BY decile
+      ORDER BY decile"""),
+    notes = "weak-supervision quality classifier: heuristic proxy label, class-lift weights over hashed unigram+bigram features learned in one pass, broadcast O(B) weights, per-decile enrichment audit")
+
   val all: Seq[QueryDef] = Seq(textTfidf, textBm25, textHashEmbed, textKeywords,
-    topkSketch, textPostings, textQualityScore, textDsirSelect)
+    topkSketch, textPostings, textQualityScore, textDsirSelect,
+    textQualityClassifier)
 }

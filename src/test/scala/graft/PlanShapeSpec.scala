@@ -48,7 +48,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "text_bpe_encode" -> "broadcast 1-row total-chars aggregate over the checkpointed symbol table",
     "graph_kcore" -> "broadcast 1-row edge-count aggregate per peel round (3 rows total)",
     "graph_kcore_converge" -> "broadcast 1-row edge-count aggregate over the converged core",
-    "text_dsir_select" -> "broadcast 1-row feature-total aggregate (DSIR share denominators)")
+    "text_dsir_select" -> "broadcast 1-row feature-total aggregate (DSIR share denominators)",
+    "text_quality_classifier" -> "broadcast 1-row class-total aggregate (lift denominators)")
   // dedup_eval's 1-row sample-modulus BNLJ runs eagerly inside its
   // localCheckpoint, so it never appears in the gated (post-checkpoint) plan.
 
@@ -123,7 +124,8 @@ class PlanShapeSpec extends AnyFunSuite {
     * stats). A silent fall-back to SortMergeJoin would shuffle the whole
     * corpus pass and not fail any correctness gate — pin the join strategy.
     */
-  for (name <- Seq("text_dsir_select", "vector_outliers")) {
+  for (name <- Seq("text_dsir_select", "vector_outliers",
+      "text_quality_classifier")) {
     test(s"$name: the bounded side joins via BroadcastHashJoin") {
       val plan = planOf(name)
       assert(plan.contains("BroadcastHashJoin"),

@@ -70,4 +70,34 @@ class TextRulesSpec extends AnyFunSuite {
     val lm = ops.TextQueries2.textBigramLm.fn(spark, dir).collect()
     assert(lm.nonEmpty)
   }
+
+  test("text_quality_classifier: decile enrichment is monotone in the aggregate") {
+    // The trained filter's fitness-for-purpose gate (r14 verdict): a
+    // classifier whose score does NOT concentrate label-good docs in the
+    // top deciles is hash-matching garbage — the oracle can't see that,
+    // only the enrichment curve can. Gated in the aggregate (keep-side
+    // rates strictly above every drop-side rate, keep ≥ 2× drop overall)
+    // rather than per-adjacent-decile: neighboring deciles differ by a
+    // handful of docs at sf0.001 and flip rank on noise (measured:
+    // 8979 → 8545 between deciles 3 and 4), but a real break — weights
+    // learned from the wrong label, a feature-hash split between train
+    // and score — flattens the whole curve, which this does catch.
+    val rows = ops.RankingQueries.textQualityClassifier
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 10, s"expected 10 deciles, got ${rows.length}")
+    val byDecile = rows.map(r => (r.getLong(0),
+      (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val dropRates = (0L to 1L).map(d => byDecile(d)._4)
+    val keepRates = (2L to 9L).map(d => byDecile(d)._4)
+    assert(keepRates.min > dropRates.max,
+      s"a keep decile's good-rate (${keepRates.min}) does not exceed the " +
+        s"worst drop decile (${dropRates.max}) — enrichment broken")
+    def rate(ds: Seq[Long]): Double = {
+      val (n, g) = ds.foldLeft((0L, 0L)) { case ((n, g), d) =>
+        (n + byDecile(d)._2, g + byDecile(d)._3) }
+      g.toDouble / n
+    }
+    assert(rate(2L to 9L) >= 2 * rate(0L to 1L),
+      s"keep-side enrichment ${rate(2L to 9L)} not 2x drop-side ${rate(0L to 1L)}")
+  }
 }
