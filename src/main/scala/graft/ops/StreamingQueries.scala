@@ -1106,6 +1106,11 @@ object StreamingQueries {
   private[graft] def stageDocModSlices(docs: DataFrame, n: Int): String =
     stageDocSlices(docs, n, col("doc_id") % n)
 
+  /** Embeddings variant of [[stageDocModSlices]] (vec_id-keyed) — the
+    * embdup endurance replay's stager. */
+  private[graft] def stageVecModSlices(vecs: DataFrame, n: Int): String =
+    stageDocSlices(vecs, n, col("vec_id") % n)
+
   /** Shared slice writer: one single-file parquet per slice, strictly
     * increasing mtimes so `maxFilesPerTrigger=1` replays slice i as
     * micro-batch i (file source processes oldest-first). ONE Spark job for
@@ -2335,14 +2340,23 @@ object StreamingQueries {
     * exact. Store reads are partition-pruned exactly like the text store
     * (band table hive-partitioned by `pb = hash(band,bv) % StoreBuckets`,
     * static isin on the batch's touched buckets); the vector table stays
-    * flat like the sig table (same measured trade). Retention/compaction
-    * axes live on the text engine — this store is per-run and 3 batches,
-    * so neither trigger can fire; the scale posture (per-batch cost
-    * O(batch bands + matched slices), never O(store) pair work) is the
-    * text engine's, inherited shape-for-shape.
+    * flat like the sig table (same measured trade). RETENTION is the text
+    * engine's rule verbatim (r14 verdict ask #4): `retainBatches = k`
+    * switches both tables to the bid-outermost layout, reads carry the
+    * `bid >= batch - k` floor (partition-pruned; the filter, not the
+    * delete, is the correctness boundary), and expired bid dirs drop O(1)
+    * per batch — exercised by `tools.StoreEndurance embttl` on a
+    * many-batch replay (trajectory in BASELINE.md). The registry entry
+    * stays unbounded over its 3-batch replay (its oracle is the full
+    * arrival-rule pair set); the per-batch cost posture (O(batch bands +
+    * matched slices), never O(store) pair work) is the text engine's,
+    * inherited shape-for-shape.
     */
   private[graft] def embdupStoreRun(spark: SparkSession, name: String,
-      emb: DataFrame, incoming: String): DataFrame = {
+      emb: DataFrame, incoming: String,
+      retainBatches: Option[Int] = None,
+      onBatch: Option[BatchStats => Unit] = None,
+      bitsOverride: Option[Int] = None): DataFrame = {
     import graft.functions.VectorFunctions.{cosine, signLsh, toDoubleArray}
     // band width auto-sized ONCE per run from the corpus this replay will
     // process ([[VectorQueries.autoEmbBits]] — the same ladder the batch
@@ -2352,44 +2366,79 @@ object StreamingQueries {
     // band row under dead keys. A production open-ended stream re-bands
     // at a width threshold by rebuilding the band table from the stored
     // vectors — a compaction-class rewrite of an O(corpus) narrow table,
-    // not a per-batch cost.
-    val embBits = VectorQueries.autoEmbBits(emb.count())
+    // not a per-batch cost. bitsOverride is the measurement hook ONLY
+    // (StoreEndurance A/Bs the knob in-stream); registry runs derive.
+    val embBits = bitsOverride.getOrElse(
+      VectorQueries.autoEmbBits(emb.count()))
     val storeDir = Files.createTempDirectory("graft-emb-store").toString
     val bandsDir = s"$storeDir/bands"
     val vecsDir = s"$storeDir/vecs"
     val heldDir = Files.createTempDirectory("graft-emb-held").toString
     val ckpt = Files.createTempDirectory("graft-emb-ck").toString
     val batchPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    def readBands(sp: SparkSession, pbs: Seq[Int]): DataFrame =
+    def readBands(sp: SparkSession, pbs: Seq[Int],
+        minBid: Option[Long]): DataFrame =
       readOrEmpty(sp, bandsDir, org.apache.spark.sql.types.StructType(Seq(
         longField("vec_id"),
         org.apache.spark.sql.types.StructField("band",
           org.apache.spark.sql.types.IntegerType),
         longField("bv")))) { df =>
-        df.filter(inBuckets(col("pb"), pbs))
+        val base = df.filter(inBuckets(col("pb"), pbs))
+        // retention window: bid is the OUTERMOST partition dir — the text
+        // store's discipline verbatim (partition-pruned filter is the
+        // correctness boundary; the dir drop is purely space reclaim)
+        minBid.fold(base)(m => base.filter(col("bid") >= m))
           .select(col("vec_id"), col("band"), col("bv"))
       }
-    def readVecs(sp: SparkSession): DataFrame =
+    def readVecs(sp: SparkSession, minBid: Option[Long]): DataFrame =
       readOrEmpty(sp, vecsDir, org.apache.spark.sql.types.StructType(Seq(
         longField("vec_id"),
         org.apache.spark.sql.types.StructField("v",
           org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType))))) {
-        _.select(col("vec_id"), col("v"))
+            org.apache.spark.sql.types.DoubleType))))) { df =>
+        minBid.fold(df)(m => df.filter(col("bid") >= m))
+          .select(col("vec_id"), col("v"))
       }
     pinThenClean(incoming, storeDir, heldDir, ckpt) {
       runSink(spark, name) {
         val stream = spark.readStream.schema(emb.schema)
           .option("maxFilesPerTrigger", "1").parquet(incoming)
         stream.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val sp = batch.sparkSession
+            val tBatch0 = System.nanoTime()
+            // retention window floor (the text engine's rule verbatim):
+            // batch b may only witness bids >= b - k
+            val minBid = retainBatches.map(k => batchId - k)
             val streamPartitions = sp.conf.get("spark.sql.shuffle.partitions")
             val streamAqe = sp.conf.get("spark.sql.adaptive.enabled")
             sp.conf.set("spark.sql.shuffle.partitions", batchPartitions)
             sp.conf.set("spark.sql.adaptive.enabled", "true")
             try {
-            val vs = batch
+            // SPREAD BEFORE THE SIGNATURE EVAL (r15 scale finding): the
+            // staged slice is ONE parquet file, so the batch scan is one
+            // partition — and everything up to the first exchange runs in
+            // ONE TASK. At 100× that single task evaluates the 2·bits-
+            // plane HOF signature over 66 k vectors: measured ~23 s/batch
+            // FLAT across batches (store-size-independent — the giveaway
+            // that banding volume wasn't the cost), masking the band
+            // knob entirely. The text engine has this discipline in its
+            // enrich (batch.repartition(doc_id)). Sized to the batch —
+            // ~4 k rows/task, one metadata-only count job — because both
+            // fixed alternatives lose: a flat 32-way spread costs ~3 s of
+            // many-task overhead per sf0.1 replay (measured 5.2 → 8.6 s),
+            // and AQE's size-based coalescing is exactly wrong for this
+            // stage (HOF compute per byte is enormous — a ~35 MB exchange
+            // coalesces back to 1-2 partitions), so the explicit
+            // numPartitions form (REPARTITION_BY_NUM) pins the fan-out.
+            val nBatchParts = math.max(1L, math.min(batchPartitions.toLong,
+              (batch.count() + 4095) / 4096)).toInt
+            // nBatchParts == 1 skips the exchange outright: a 1-partition
+            // repartition still pays a full shuffle round trip per batch
+            // (~0.3 s/batch at sf0.1) for a plan identical to the input
+            val spread = if (nBatchParts > 1)
+              batch.repartition(nBatchParts, col("vec_id")) else batch
+            val vs = spread
               .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
               // width derived from the SAME knobs as the banding rule
               // (second review pass: a hardcoded 16 here would desync
@@ -2411,7 +2460,7 @@ object StreamingQueries {
             // text engine's guaranteed-pruning discipline)
             val pbs = bb.select(col("pb")).distinct()
               .collect().map(_.getInt(0)).toSeq
-            val candCross = readBands(sp, pbs)
+            val candCross = readBands(sp, pbs, minBid)
               .select(col("band"), col("bv"), col("vec_id").as("a_id"))
               .join(broadcast(bb.select(col("band"), col("bv"),
                 col("vec_id").as("b_id"))), Seq("band", "bv"))
@@ -2438,7 +2487,7 @@ object StreamingQueries {
             val cand = candCross.unionByName(candSame)
               .select(col("a_id"), col("b_id"))
             cand
-              .join(readVecs(sp).unionByName(
+              .join(readVecs(sp, minBid).unionByName(
                   vs.select(col("vec_id"), col("v")))
                 .select(col("vec_id").as("a_id"), col("v").as("av"))
                 .hint("SHUFFLE_HASH"),
@@ -2452,10 +2501,32 @@ object StreamingQueries {
               .write.mode("append").parquet(heldDir)
             // append AFTER the reads: held vectors still witness later
             // arrivals (the removable-set closure, as in the text engine)
-            bb.repartition(col("pb"))
-              .write.mode("append").partitionBy("pb").parquet(bandsDir)
-            vs.select(col("vec_id"), col("v"))
-              .write.mode("append").parquet(vecsDir)
+            retainBatches match {
+              case None =>
+                bb.repartition(col("pb"))
+                  .write.mode("append").partitionBy("pb").parquet(bandsDir)
+                vs.select(col("vec_id"), col("v"))
+                  .write.mode("append").parquet(vecsDir)
+              case Some(k) =>
+                // retention layout: bid OUTERMOST so expiry is one dir
+                // drop — writeStoreBands' discipline on the emb schema
+                bb.withColumn("bid", lit(batchId))
+                  .repartition(col("pb"))
+                  .write.mode("append").partitionBy("bid", "pb")
+                  .parquet(bandsDir)
+                vs.select(col("vec_id"), col("v"))
+                  .withColumn("bid", lit(batchId))
+                  .write.mode("append").partitionBy("bid").parquet(vecsDir)
+                // physical expiry AFTER this batch's reads: batch b+1
+                // needs bids >= b+1-k
+                dropExpiredBids(bandsDir, batchId + 1 - k)
+                dropExpiredBids(vecsDir, batchId + 1 - k)
+            }
+            onBatch.foreach(f => f(BatchStats(batchId,
+              (System.nanoTime() - tBatch0) / 1000000L,
+              countParquetFiles(bandsDir), countParquetFiles(vecsDir),
+              compactionsRun.get(), sigCompactionsRun.get(),
+              retentionDrops.get())))
             } finally {
               sp.conf.set("spark.sql.shuffle.partitions", streamPartitions)
               sp.conf.set("spark.sql.adaptive.enabled", streamAqe)

@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions.col
   * config and prints the per-batch wall / store-file-count / maintenance
   * trajectories the claims are graded on.
   *
-  * Usage: runMain graft.tools.StoreEndurance <sfDir> <slices> <ttl|compact> [k]
+  * `embttl` runs the same axis on the EMBEDDING store (r14 verdict ask
+  * #4: the embdup registry replay is 3 batches — neither retention nor
+  * any maintenance can fire there, so the text-engine endurance evidence
+  * transferred only by analogy until this replay exercised the embdup
+  * store's own bid-partitioned retention path).
+  *
+  * Usage: runMain graft.tools.StoreEndurance <sfDir> <slices> <ttl|compact|embttl> [k]
   */
 object StoreEndurance {
   def main(args: Array[String]): Unit = {
@@ -22,7 +28,8 @@ object StoreEndurance {
     val mode = args(2)
     val k = if (args.length > 3) args(3).toInt
             else graft.ops.StreamingQueries.TtlWindowBatches
-    require(mode == "ttl" || mode == "compact", s"unknown mode $mode")
+    require(mode == "ttl" || mode == "compact" || mode == "embttl",
+      s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,20 +40,38 @@ object StoreEndurance {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     val S = graft.ops.StreamingQueries
-    val docs = graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("lang"), col("text"))
-    // short warm replay first: JIT + page-fault bring-up otherwise lands
-    // entirely on the first batches and fakes a warmup trend
-    S.neardupStoreRun(spark, s"endure_warm", docs,
-      S.stageDocModSlices(docs, 3),
-      retainBatches = if (mode == "ttl") Some(k) else None).count()
     val stats = scala.collection.mutable.ArrayBuffer.empty[S.BatchStats]
-    val t0 = System.nanoTime()
-    val held = S.neardupStoreRun(spark, s"endure_${mode}_$slices", docs,
-      S.stageDocModSlices(docs, slices),
-      retainBatches = if (mode == "ttl") Some(k) else None,
-      onBatch = Some(stats += _)).count()
-    val wall = (System.nanoTime() - t0) / 1e9
+    val (held, wall) = if (mode == "embttl") {
+      val emb = graft.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      // SPARK_GRAFT_EMB_BITS pins the band width for in-stream knob A/Bs
+      // (e.g. old 8 vs the auto ladder at 100×); unset = registry derive
+      val bitsOverride = sys.env.get("SPARK_GRAFT_EMB_BITS").map(_.toInt)
+      // short warm replay first (same rationale as the text axis)
+      S.embdupStoreRun(spark, "endure_warm_emb", emb,
+        S.stageVecModSlices(emb, 3), retainBatches = Some(k),
+        bitsOverride = bitsOverride).count()
+      val t0 = System.nanoTime()
+      val h = S.embdupStoreRun(spark, s"endure_embttl_$slices", emb,
+        S.stageVecModSlices(emb, slices),
+        retainBatches = Some(k), onBatch = Some(stats += _),
+        bitsOverride = bitsOverride).count()
+      (h, (System.nanoTime() - t0) / 1e9)
+    } else {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      // short warm replay first: JIT + page-fault bring-up otherwise lands
+      // entirely on the first batches and fakes a warmup trend
+      S.neardupStoreRun(spark, s"endure_warm", docs,
+        S.stageDocModSlices(docs, 3),
+        retainBatches = if (mode == "ttl") Some(k) else None).count()
+      val t0 = System.nanoTime()
+      val h = S.neardupStoreRun(spark, s"endure_${mode}_$slices", docs,
+        S.stageDocModSlices(docs, slices),
+        retainBatches = if (mode == "ttl") Some(k) else None,
+        onBatch = Some(stats += _)).count()
+      (h, (System.nanoTime() - t0) / 1e9)
+    }
     println(f"[endure] mode=$mode slices=$slices k=$k sf=$sfDir total=$wall%.1f s held=$held")
     println("[endure] batch wallMs bandFiles sigFiles compactions sigCompactions drops")
     val prevC = stats.headOption.map(_.compactions).getOrElse(0L)
