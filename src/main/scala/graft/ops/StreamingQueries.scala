@@ -1106,6 +1106,32 @@ object StreamingQueries {
   private[graft] def stageDocModSlices(docs: DataFrame, n: Int): String =
     stageDocSlices(docs, n, col("doc_id") % n)
 
+  /** MEMOIZED mod-slice staging, keyed by (sfDir, n) — r14 verdict ask #6:
+    * `stream_neardup_ttl` and `stream_neardup_late` (and every K arm of
+    * `tools.TtlCurve`) replay the SAME corpus at the SAME slicing — only
+    * the bid rule inside the engine differs — so each extra consumer paid
+    * a redundant staging job (+ 6 file commits) per bench run. The staged
+    * dir is read-only for consumers (each run brings its own checkpoint,
+    * store, and spool); mtime order, the only load-bearing property, is
+    * fixed at write time. Shared dirs are EXCLUDED from per-run cleanup
+    * (a memo is not a leak) and reclaimed by one JVM shutdown hook.
+    */
+  private val sharedSliceMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  private[graft] val sharedSliceDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      sharedSliceDirs.forEach(d => graft.Tables.deleteTree(d))))
+  }
+  private[graft] def stageDocModSlicesShared(docs: DataFrame, sfDir: String,
+      n: Int): String =
+    sharedSliceMemo.computeIfAbsent((sfDir, n), _ => {
+      val d = stageDocSlices(docs, n, col("doc_id") % n)
+      sharedSliceDirs.add(d)
+      d
+    })
+
   /** Embeddings variant of [[stageDocModSlices]] (vec_id-keyed) — the
     * embdup endurance replay's stager. */
   private[graft] def stageVecModSlices(vecs: DataFrame, n: Int): String =
@@ -1798,7 +1824,9 @@ object StreamingQueries {
       // invocation left five fixture-scale dirs in /tmp outside the
       // pid-suffixed orphan-reclaim scheme (stage dirs die inside the
       // stagers)
-      Seq(incoming, storeDir, heldDir, ckpt).foreach(graft.Tables.deleteTree)
+      Seq(incoming, storeDir, heldDir, ckpt)
+        .filterNot(sharedSliceDirs.contains)
+        .foreach(graft.Tables.deleteTree)
     }
   }
 
@@ -2030,7 +2058,7 @@ object StreamingQueries {
       val docs = graft.Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
       val held = neardupStoreRun(spark, name, docs,
-          stageDocModSlices(docs, slices), retainBatches = Some(k))
+          stageDocModSlicesShared(docs, dir, slices), retainBatches = Some(k))
         .select(col("doc_id"), lit(1).as("held"))
       // family-shared verifiedPairs cache — see stream_neardup_unordered
       // (raw load frame for the one-entry plan key)
@@ -2189,7 +2217,7 @@ object StreamingQueries {
             .otherwise(lit(b))
         else lit(b)
       val held = neardupStoreRun(spark, "stream_neardup_late", docs,
-          stageDocModSlices(docs, 6), retainBatches = Some(k),
+          stageDocModSlicesShared(docs, dir, 6), retainBatches = Some(k),
           eventBid = Some(lateEventBid))
         .select(col("doc_id"), lit(1).as("held"))
       // deterministic replay facts, restated relationally for the
