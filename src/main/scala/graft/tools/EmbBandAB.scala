@@ -212,7 +212,10 @@ object EmbBandAB {
     for ((k, per) <- plantedCfgs) {
       val pdir = s"$outRoot/planted_${k}x$per"
       val markerPath = java.nio.file.Paths.get(s"$pdir/_PLANTED")
-      val markerWant = s"$k $per v1"
+      // v2 = the two-moduli weight mixing (v1 dirs carry the single-
+      // modulus generator whose 256-cluster corpus had cross-cluster
+      // clones — the marker versions the GENERATOR, not just the shape)
+      val markerWant = s"$k $per v2"
       if (!(java.nio.file.Files.exists(markerPath) &&
           java.nio.file.Files.readString(markerPath).trim == markerWant)) {
         java.nio.file.Files.deleteIfExists(markerPath)
