@@ -78,7 +78,11 @@ object Bench {
     // code, not a shared cache (its only bench-time consumer is
     // dedup_embedding_lsh itself — caching would just deflate that
     // tracked number), and stream_embdup_verified runs pure staging +
-    // replay, like stream_neardup_verified.
+    // replay, like stream_neardup_verified. r15: ttl and late ALSO share
+    // one memoized mod-6 staged replay dir (the slicing is identical;
+    // only the engine-side bid rule differs) — whichever runs first pays
+    // the one staging job, so the second's number is replay + comparison
+    // only; the staging cost still shows in the first sharer's row.
     // headline total = batch queries only: each streaming query pays a fixed
     // multi-second micro-batch bootstrap (checkpoint dir, query start/stop)
     // that measures Structured Streaming's setup cost, not engine throughput;

@@ -752,7 +752,147 @@ object RankingQueries {
       ORDER BY decile"""),
     notes = "weak-supervision quality classifier: heuristic proxy label, class-lift weights over hashed unigram+bigram features learned in one pass, broadcast O(B) weights, per-decile enrichment audit")
 
+  /** CCNet-style LM cross-entropy bucketing (Wenzek et al. 2020) — the
+    * remaining canonical curation stage: train a language model on a
+    * TARGET corpus, score every document by its per-token cross-entropy
+    * under that LM, and split each language into head/middle/tail
+    * TERCILES (CCNet keeps head+middle, drops tail). The quality triad
+    * filters on labels and lift; this filters on MODEL SURPRISAL — docs a
+    * target-trained LM finds predictable rank low (head), gibberish and
+    * off-domain text rank high (tail).
+    *
+    * The LM is add-one-smoothed bigrams trained on the `lang = 'en'`
+    * slice (the dsir target convention): p(b|a) = (n_pair+1)/(n_a+V).
+    * The house rule bans transcendentals (`text_bigram_lm`'s -log p
+    * note: float log drifts across engines), so the negative log is
+    * computed EXACTLY in whole bits: for BIGINT x ≥ 1, floor(log₂ x) =
+    * length(bin(x)) − 1 in Spark = length(format('{:b}', x)) − 1 in
+    * DuckDB — integer string ops, bit-identical. Per transition,
+    * nlp_bits = floor(log₂((n_a+V) div (n_pair+1))) — the integer-div-
+    * then-log lower bound of the true -log₂ p, deterministic in both
+    * engines; unseen history rows coalesce to the uniform backoff
+    * log₂(V). A doc's score is centibits per transition,
+    * (Σ nlp·100) div n_bigrams; 1-token docs carry no transition and are
+    * excluded up front (the text_bigram_lm guard).
+    *
+    * Terciles are PER LANGUAGE over the integer score histogram (CCNet
+    * buckets per language): cumulative counts ride a lang-partitioned
+    * window over ≤ histogram-many rows, never a corpus sort.
+    *
+    * Scale: training is one explode + two aggregates over the target
+    * slice; scoring shuffle-joins the corpus transitions against the LM
+    * on (a, b) — vocabulary-scale tables, so NOT broadcast (at
+    * production scale CCNet prunes the LM to top-k n-grams; the join
+    * shape is unchanged). V rides a broadcast 1-row scalar.
+    */
+  val textCcnetBucket = QueryDef(
+    "text_ccnet_bucket",
+    (spark, dir) => {
+      val t = split(col("text"), " ")
+      val base = graft.Tables.spreadIfNarrow(load(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"), t.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"), col("t"),
+          size(col("t")).cast("long").as("n_tok"))
+      val grams = base.select(col("doc_id"), col("lang"), col("n_tok"),
+          explode(expr("""transform(sequence(1, size(t) - 1),
+            i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"""))
+            .as("p"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("p.a").as("a"), col("p.b").as("b"))
+      val lm = grams.filter(col("lang") === "en")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pair"))
+      val lmA = lm.groupBy(col("a")).agg(sum(col("n_pair")).as("n_a"))
+      val vRow = lm.agg(countDistinct(col("b")).as("v"))
+      val scored = grams
+        .join(lm, Seq("a", "b"), "left")
+        .join(lmA, Seq("a"), "left")
+        .crossJoin(broadcast(vRow))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          (length(bin(expr(
+            "(coalesce(n_a, 0L) + v) div (coalesce(n_pair, 0L) + 1L)")))
+            - 1).cast("long").as("nlp_bits"))
+        .groupBy(col("doc_id"), col("lang"), col("n_tok"))
+        .agg(count(lit(1)).as("n_big"), sum(col("nlp_bits")).as("snlp"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("(snlp * 100) div n_big").as("score_cb"))
+      val hist = scored.groupBy(col("lang"), col("score_cb"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"))
+      val wOrd = Window.partitionBy(col("lang")).orderBy(col("score_cb"))
+      hist
+        .withColumn("c_lt", coalesce(sum(col("nd")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_lang", sum(col("nd")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("lang"), col("nd"), col("nt"), col("score_cb"),
+          expr("(c_lt * 3) div n_lang").as("bucket"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(sum(col("nd")).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          min(col("score_cb")).as("min_score_cb"),
+          max(col("score_cb")).as("max_score_cb"))
+        .select(col("lang"),
+          when(col("bucket") === 0, lit("head"))
+            .when(col("bucket") === 1, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"),
+          col("n_docs"), col("n_tokens"),
+          col("min_score_cb"), col("max_score_cb"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      grams AS (
+        SELECT doc_id, lang, n_tok, t[i] AS a, t[i + 1] AS b
+        FROM (SELECT doc_id, lang, n_tok, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM base)),
+      lm AS (
+        SELECT a, b, COUNT(*) AS n_pair FROM grams
+        WHERE lang = 'en' GROUP BY a, b),
+      lm_a AS (
+        SELECT a, CAST(SUM(n_pair) AS BIGINT) AS n_a FROM lm GROUP BY a),
+      v AS (SELECT COUNT(DISTINCT b) AS v FROM lm),
+      scored AS (
+        SELECT doc_id, lang, n_tok,
+               CAST((SUM(length(format('{:b}',
+                      (COALESCE(n_a, 0) + v.v) // (COALESCE(n_pair, 0) + 1)))
+                     - 1) * 100) // COUNT(*) AS BIGINT) AS score_cb
+        FROM grams
+        LEFT JOIN lm USING (a, b)
+        LEFT JOIN lm_a USING (a)
+        CROSS JOIN v
+        GROUP BY doc_id, lang, n_tok),
+      hist AS (
+        SELECT lang, score_cb, COUNT(*) AS nd,
+               CAST(SUM(n_tok) AS BIGINT) AS nt
+        FROM scored GROUP BY lang, score_cb),
+      cum AS (
+        SELECT lang, score_cb, nd, nt,
+               COALESCE(SUM(nd) OVER (PARTITION BY lang ORDER BY score_cb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt,
+               SUM(nd) OVER (PARTITION BY lang) AS n_lang
+        FROM hist),
+      dec AS (
+        SELECT lang, nd, nt, score_cb,
+               CAST((c_lt * 3) // n_lang AS BIGINT) AS bucket
+        FROM cum)
+      SELECT lang,
+             CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             CAST(SUM(nd) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             MIN(score_cb) AS min_score_cb,
+             MAX(score_cb) AS max_score_cb
+      FROM dec
+      GROUP BY lang, bucket
+      ORDER BY lang, bucket"""),
+    notes = "CCNet cross-entropy bucketing: add-one bigram LM trained on the target slice, exact integer-bit -log2 scoring (no transcendentals), per-language head/middle/tail terciles over the score histogram")
+
   val all: Seq[QueryDef] = Seq(textTfidf, textBm25, textHashEmbed, textKeywords,
     topkSketch, textPostings, textQualityScore, textDsirSelect,
-    textQualityClassifier)
+    textQualityClassifier, textCcnetBucket)
 }

@@ -49,7 +49,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "graph_kcore" -> "broadcast 1-row edge-count aggregate per peel round (3 rows total)",
     "graph_kcore_converge" -> "broadcast 1-row edge-count aggregate over the converged core",
     "text_dsir_select" -> "broadcast 1-row feature-total aggregate (DSIR share denominators)",
-    "text_quality_classifier" -> "broadcast 1-row class-total aggregate (lift denominators)")
+    "text_quality_classifier" -> "broadcast 1-row class-total aggregate (lift denominators)",
+    "text_ccnet_bucket" -> "broadcast 1-row LM vocabulary-size aggregate (smoothing denominator)")
   // dedup_eval's 1-row sample-modulus BNLJ runs eagerly inside its
   // localCheckpoint, so it never appears in the gated (post-checkpoint) plan.
 
