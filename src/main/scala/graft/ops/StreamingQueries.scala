@@ -1654,6 +1654,16 @@ object StreamingQueries {
     // 4-5 s/batch; restoring the batch sizing inside the (stateless)
     // batch body brings it back to batch-LSH economics
     val batchPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    // Verify-join strategy is CORPUS-conditional (r15 attribution, both
+    // directions measured): below the broadcast threshold the whole sig
+    // table auto-broadcasts and the candidate stream never shuffles —
+    // forcing SHUFFLE_HASH there REGRESSED sf0.1 ttl 19.3 → 22.8 s; above
+    // it, the unhinted plan degrades to SortMergeJoin and SORTS the
+    // candidate volume carrying 520 B sig arrays (~40 s/batch of the 100×
+    // wall). One metadata-only count at stream start picks the regime:
+    // rows × ~560 B (id + lang + 64-long array + row overhead) vs the
+    // 10 MB default threshold.
+    val bigCorpus = docs.count() * 560L > 10L * 1024 * 1024
     try {
       val held = runSink(spark, name) {
         val stream = spark.readStream.schema(docs.schema)
@@ -1695,11 +1705,33 @@ object StreamingQueries {
               // retention store never needs it — expiry bounds its files)
               maybeCompactStoreSigs(sp, sigsDir)
             }
+            // per-stage attribution at the body's natural action barriers
+            // (checkpoints/collect/writes) — prints only under
+            // GRAFT_STORE_TIMING, the measurement hook that found the 100×
+            // residual's real shape
+            val timing = sys.env.contains("GRAFT_STORE_TIMING")
+            var tMark = System.nanoTime()
+            def mark(stage: String): Unit = if (timing) {
+              val now = System.nanoTime()
+              System.err.println(s"[storetiming] $name b=$batchId " +
+                s"$stage=${(now - tMark) / 1000000}ms")
+              tMark = now
+            }
+            // Plain repartition(col), NOT the embdup engine's sized
+            // REPARTITION_BY_NUM spread — measured BOTH ways at 100×
+            // (r15): the spread moved this engine's 100× wall nowhere
+            // (GRAFT_STORE_TIMING put the cost in the verify joins below,
+            // sig eval only 4-6 s of a ~50 s batch — unlike embdup, where
+            // the single-task signature WAS the bottleneck) and its
+            // per-batch count job cost ~2-4 s per sf0.1 replay. Different
+            // engines, different bottlenecks; keep the measured shape.
             val sigs = enrich(batch.repartition(col("doc_id")))
               .localCheckpoint() // batch-sized; consumed by every branch
+            mark("sig")
             val batchBands = bandsOf(sigs)
               .withColumn("pb", bandBucket(col("band"), col("bh")))
               .localCheckpoint() // batch-sized; 5 consumers
+            mark("bands")
             // the batch's touched store buckets, per width: an O(1)-result
             // driver scalar (≤ 2·StoreBuckets ints) that turns into the
             // STATIC partition filter on the store scans below — the
@@ -1708,6 +1740,7 @@ object StreamingQueries {
             // selectivity heuristics
             val touched = batchBands.select(col("w"), col("pb")).distinct()
               .collect().map(r => (r.getInt(0), r.getInt(1)))
+            mark("touch")
             val pb16 = touched.collect { case (16, p) => p }.toSeq
             val pb4 = touched.collect { case (4, p) => p }.toSeq
             val batchBands16 = batchBands.filter(col("w") === 16)
@@ -1734,13 +1767,27 @@ object StreamingQueries {
               .filter(col("a_id") < col("b_id"))
             val cand = candCross.unionByName(candSame)
               .select(col("a_id"), col("b_id"), col("lang")).distinct()
+            // Verify-join shape = the embdup engine's (r15 attribution:
+            // GRAFT_STORE_TIMING put 37-60 s of every 100× batch in this
+            // stage). Unhinted, BOTH sig attaches resolve to SortMergeJoin
+            // once the sig table passes the broadcast threshold — the
+            // candidate volume is then SORTED carrying 520 B signature
+            // arrays, twice. Instead: the a-side (store ∪ batch sigs,
+            // corpus-bounded, a few MB per partition at any scale) is the
+            // SHUFFLE_HASH build side with the NARROW id-pair stream
+            // probing it, and the b-side (always batch-sized, bounded by
+            // the trigger) rides an explicit broadcast; the overlap
+            // verify filters in the same stage, so candidate-volume rows
+            // are never exchanged or sorted wide.
+            val aSigs = readStoreSigs(sp, sigsDir, minBid).unionByName(
+                sigs.select(col("doc_id"), col("lang"), col("sig")))
+              .select(col("doc_id").as("a_id"), col("sig").as("sa"))
+            val bSigs = sigs.select(col("doc_id").as("b_id"),
+              col("sig").as("sb"))
             val verified = cand
-              .join(readStoreSigs(sp, sigsDir, minBid).unionByName(
-                  sigs.select(col("doc_id"), col("lang"), col("sig")))
-                .select(col("doc_id").as("a_id"), col("sig").as("sa")),
+              .join(if (bigCorpus) aSigs.hint("SHUFFLE_HASH") else aSigs,
                 Seq("a_id"))
-              .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")),
-                Seq("b_id"))
+              .join(if (bigCorpus) broadcast(bSigs) else bSigs, Seq("b_id"))
               .filter(DedupQueries.sigOverlap(col("sa"), col("sb")) >=
                 DedupQueries.VerifyMin)
               .select(col("b_id").as("doc_id"), col("lang")).distinct()
@@ -1761,10 +1808,12 @@ object StreamingQueries {
               .filter(col("mn") < col("doc_id"))
               .select(col("doc_id")).distinct()
               .withColumn("t1", lit(1))
+            mark("plan")
             verified.join(tier1, Seq("doc_id"), "left")
               .select(col("doc_id"), col("lang"),
                 when(col("t1").isNotNull, 1).otherwise(2).as("tier"))
               .write.mode("append").parquet(heldDir)
+            mark("held")
             // append AFTER the reads above: all of this batch, held
             // included — held docs still witness later arrivals. The bid
             // stamp is the batch id (arrival retention) unless the caller
@@ -1772,7 +1821,9 @@ object StreamingQueries {
             val bidCol = retainBatches.map(_ =>
               eventBid.fold(lit(batchId))(f => f(batchId)))
             writeStoreBands(batchBands, bandsDir, bidCol)
+            mark("bwrite")
             writeStoreSigs(sigs, sigsDir, bidCol)
+            mark("swrite")
             // physical expiry AFTER this batch's reads: batch b+1 needs
             // bids >= b+1-k, so everything below that floor is dead
             // (under event-time bids this also reclaims late rows that
