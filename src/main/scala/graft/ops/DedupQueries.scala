@@ -150,10 +150,18 @@ object DedupQueries {
     * permutations over the same distinct-token hashes); row-local like
     * [[minhashBandKeys]] so it composes with streaming operators.
     */
-  def rowLocalSignatures(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), col("lang"),
-      transform(array_distinct(split(col("text"), " ")),
-        t => tokHash(t)).as("hs"))
+  def rowLocalSignatures(docs: DataFrame): DataFrame =
+    rowLocalSignaturesFromToks(docs.select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("t")))
+
+  /** [[rowLocalSignatures]] over an ALREADY-TOKENIZED frame
+    * (doc_id, lang, t: array&lt;string&gt;) — for pipelines that tokenize
+    * once and share the token frame across stages (pipeline_curate_v2);
+    * same permutations, same constants, value-identical by construction.
+    */
+  def rowLocalSignaturesFromToks(toks: DataFrame): DataFrame = {
+    val hashed = toks.select(col("doc_id"), col("lang"),
+      transform(array_distinct(col("t")), t => tokHash(t)).as("hs"))
     hashed.select(col("doc_id"), col("lang"),
       array((0 until NumPerms).map(s => array_min(transform(col("hs"),
         h => (lit(permA(s)) * h + lit(permB(s))) % lit(P)))): _*).as("sig"))
@@ -200,15 +208,19 @@ object DedupQueries {
 
 
   /** Signature-overlap count between two sig-array columns — the verify
-    * predicate (`>= 45` of [[NumPerms]] ≈ Jaccard 0.7) as one zip_with
-    * fold, matching [[matchTermsSql]] term for term. (A sum of 64
-    * element_at equality terms was tried and is 4-6× SLOWER on millions of
-    * pairs: the 64-term when-chain falls out of whole-stage codegen as one
-    * enormous expression, while the fold stays a tight single pass.)
+    * predicate (`>= 45` of [[NumPerms]] ≈ Jaccard 0.7), matching
+    * [[matchTermsSql]] term for term. Evolution of the shape, all three
+    * measured: a sum of 64 element_at equality terms is 4-6× slower than
+    * a zip_with fold on millions of pairs (the when-chain falls out of
+    * whole-stage codegen as one enormous expression); the fold in turn
+    * evaluates INTERPRETED (HOFs are CodegenFallback) — ~1 s/batch at
+    * sf0.1's verify volume but the wall once the 100× store verifies
+    * ~170 M rows/batch post-r16 (verify-then-distinct). Now a native
+    * codegen'd expression ([[graft.functions.SigOverlap]]): one fused
+    * loop inside whole-stage codegen, exact same integer count.
     */
   def sigOverlap(sa: Column, sb: Column): Column =
-    aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1L).otherwise(0L)),
-      lit(0L), (a, x) => a + x)
+    graft.functions.SigOverlap(sa, sb)
 
   /** The verify threshold shared with every minhash oracle: ⌈0.7·perms⌉. */
   private[graft] val VerifyMin: Int = (NumPerms * 7 + 9) / 10
@@ -279,9 +291,7 @@ object DedupQueries {
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
       .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
     val est = withSigs.select(col("a_id"), col("b_id"),
-      aggregate(zip_with(col("sa"), col("sb"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).as("matches"))
+      sigOverlap(col("sa"), col("sb")).as("matches"))
     // the VERIFIED pairs are cached too (r13 verdict ask #3): four
     // consumers re-derive this exact frame per bench pass
     // (dedup_minhash_lsh + the unordered/ttl/late streaming comparisons),

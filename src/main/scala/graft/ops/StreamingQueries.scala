@@ -1117,20 +1117,35 @@ object StreamingQueries {
     * (a memo is not a leak) and reclaimed by one JVM shutdown hook.
     */
   private val sharedSliceMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (String, String)]()
   private[graft] val sharedSliceDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       sharedSliceDirs.forEach(d => graft.Tables.deleteTree(d))))
   }
+  /** CONTRACT (r15 ADVICE): the memo key is (sfDir, n) but the cached dir
+    * replays the FIRST caller's `docs` frame — every caller must pass the
+    * canonical `Tables.load(_, sfDir, "documents")` projection, or a later
+    * caller would silently replay someone else's staging. The schema of
+    * the staged frame is recorded and asserted on every hit (catches a
+    * drifted projection for free); a row-count assert would cost a job
+    * per hit and the fixtures are immutable within a JVM, so schema is
+    * the enforced boundary and the full contract lives here.
+    */
   private[graft] def stageDocModSlicesShared(docs: DataFrame, sfDir: String,
-      n: Int): String =
-    sharedSliceMemo.computeIfAbsent((sfDir, n), _ => {
+      n: Int): String = {
+    val (dir, schema) = sharedSliceMemo.computeIfAbsent((sfDir, n), _ => {
       val d = stageDocSlices(docs, n, col("doc_id") % n)
       sharedSliceDirs.add(d)
-      d
+      (d, docs.schema.treeString)
     })
+    require(schema == docs.schema.treeString,
+      s"shared slice memo ($sfDir, $n) was staged with schema\n$schema" +
+        s"but this caller passes\n${docs.schema.treeString}" +
+        "— callers must pass the canonical documents projection")
+    dir
+  }
 
   /** Embeddings variant of [[stageDocModSlices]] (vec_id-keyed) — the
     * embdup endurance replay's stager. */
@@ -1637,9 +1652,10 @@ object StreamingQueries {
     // verify's shape) was tried and sends the optimizer into a
     // pathological expression blow-up once projection collapse inlines
     // the 64 heavy array_min trees into every band fold (minutes of
-    // planning, then OOM); the array form plans instantly and its
-    // interpreted zip_with verify costs ~1 s/batch at sf0.1 — the
-    // documented trade
+    // planning, then OOM); the array form plans instantly and its verify
+    // is one codegen'd SigOverlap loop (native expression since r16 —
+    // the interpreted zip_with fold it replaced cost ~1 s/batch at
+    // sf0.1 and would wall at the 100× verify volume)
     def enrich(df: DataFrame): DataFrame =
       DedupQueries.rowLocalSignatures(df)
         .withColumn("bands", DedupQueries.bandStructs(Seq(16, 4)))
@@ -1662,8 +1678,17 @@ object StreamingQueries {
     // candidate volume carrying 520 B sig arrays (~40 s/batch of the 100×
     // wall). One metadata-only count at stream start picks the regime:
     // rows × ~560 B (id + lang + 64-long array + row overhead) vs the
-    // 10 MB default threshold.
-    val bigCorpus = docs.count() * 560L > 10L * 1024 * 1024
+    // SESSION's broadcast threshold, not a 10 MB literal (r15 ADVICE): a
+    // session that disables auto-broadcast (-1, several specs) must land
+    // in the hinted regime, or both verify joins fall back to unhinted
+    // SortMergeJoin — the regression mode the probe exists to prevent.
+    val bcBytes = try {
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    } catch {
+      case scala.util.control.NonFatal(_) => 10L * 1024 * 1024
+    }
+    val bigCorpus = bcBytes <= 0 || docs.count() * 560L > bcBytes
     try {
       val held = runSink(spark, name) {
         val stream = spark.readStream.schema(docs.schema)
@@ -1750,23 +1775,66 @@ object StreamingQueries {
             // batch). Pairs are unavoidable here: the verify predicate is
             // pairwise. Store-side pairs carry NO id filter (see the
             // candidate rule above); same-batch pairs order by id.
-            val candCross = readStoreBands(sp, bandsDir, 16, pb16, minBid)
-              .select(col("band"), col("bh"), col("lang"),
-                col("doc_id").as("a_id"))
-              .join(broadcast(batchBands16
+            // Candidate-join strategy rides the SAME corpus probe as the
+            // verify (r16, closing the r15-named held-stage residual):
+            // the batch side is batch-rows × 16 band keys — at the 100×
+            // replay ~1.3 M rows, a driver-serialized broadcast build per
+            // batch, TWICE, growing with the trigger size (a hazard no
+            // store bound caps). Above the threshold both candidate joins
+            // go SHUFFLE_HASH with the batch side as build: the store
+            // side exchanges NARROW band keys (no sig arrays) and nothing
+            // is sorted. Below the threshold the explicit broadcast is
+            // the plan that measured fastest at sf0.1 (hinting
+            // SHUFFLE_HASH there regressed ttl 19.3 → 22.8 s — the
+            // verify's rejection, same data).
+            val bbB = batchBands16.select(col("band"), col("bh"),
+              col("lang"), col("doc_id").as("b_id"))
+            // GRAFT_CAND_JOIN: measurement-only A/B override for the
+            // candidate-join strategy ("bcast" | "shj"); unset = the
+            // corpus-probe pick
+            val candShj = sys.env.get("GRAFT_CAND_JOIN") match {
+              case Some("bcast") => false
+              case Some("shj") => true
+              case _ => bigCorpus
+            }
+            def candJoin(aSide: DataFrame): DataFrame =
+              if (candShj)
+                aSide.join(bbB.hint("SHUFFLE_HASH"), Seq("band", "bh", "lang"))
+              else aSide.join(broadcast(bbB), Seq("band", "bh", "lang"))
+            val candCross = candJoin(
+              readStoreBands(sp, bandsDir, 16, pb16, minBid)
                 .select(col("band"), col("bh"), col("lang"),
-                  col("doc_id").as("b_id"))),
-                Seq("band", "bh", "lang"))
-            val candSame = batchBands16
-              .select(col("band"), col("bh"), col("lang"),
-                col("doc_id").as("a_id"))
-              .join(broadcast(batchBands16
+                  col("doc_id").as("a_id")))
+            val candSame = candJoin(batchBands16
                 .select(col("band"), col("bh"), col("lang"),
-                  col("doc_id").as("b_id"))),
-                Seq("band", "bh", "lang"))
+                  col("doc_id").as("a_id")))
               .filter(col("a_id") < col("b_id"))
-            val cand = candCross.unionByName(candSame)
-              .select(col("a_id"), col("b_id"), col("lang")).distinct()
+            // NO pair distinct (r16, the held-stage re-shape — the embdup
+            // engine's verify-then-distinct, now measured on THIS engine):
+            // a near-dup pair collides in up to 16 bands, and the r15
+            // distinct-then-verify shape exchanged + hash-aggregated that
+            // full multiplicity-inflated volume per batch (measured
+            // analytically on the 100× corpus: 34-170 M pre-distinct rows
+            // per batch folding to 7-33 M pairs, ×5 average multiplicity
+            // — the aggregate over it, not the batch-band broadcasts, was
+            // the held stage's wall). Duplicate collisions now just
+            // re-verify — the overlap fold is a codegen'd native
+            // expression (graft.functions.SigOverlap, one fused loop;
+            // the interpreted zip_with fold it replaced would have been
+            // the new wall at this volume) — and the only distinct left
+            // is the held b-id set, which collapses map-side to
+            // O(held docs) in the same stage as the verify filter.
+            val cand0 = candCross.unionByName(candSame)
+              .select(col("a_id"), col("b_id"), col("lang"))
+            // timing mode splits the held action at the candidate build
+            // (localCheckpoint + count) — DIAGNOSTIC ONLY: it truncates
+            // lineage and adds a count job, so it runs solely under the
+            // env hook; the measured plan is the fused one
+            val cand = if (timing) {
+              val c = cand0.localCheckpoint()
+              mark(s"cand(rows=${c.count()})")
+              c
+            } else cand0
             // Verify-join shape = the embdup engine's (r15 attribution:
             // GRAFT_STORE_TIMING put 37-60 s of every 100× batch in this
             // stage). Unhinted, BOTH sig attaches resolve to SortMergeJoin
@@ -1784,13 +1852,18 @@ object StreamingQueries {
               .select(col("doc_id").as("a_id"), col("sig").as("sa"))
             val bSigs = sigs.select(col("doc_id").as("b_id"),
               col("sig").as("sb"))
-            val verified = cand
+            val verified0 = cand
               .join(if (bigCorpus) aSigs.hint("SHUFFLE_HASH") else aSigs,
                 Seq("a_id"))
               .join(if (bigCorpus) broadcast(bSigs) else bSigs, Seq("b_id"))
               .filter(DedupQueries.sigOverlap(col("sa"), col("sb")) >=
                 DedupQueries.VerifyMin)
               .select(col("b_id").as("doc_id"), col("lang")).distinct()
+            val verified = if (timing) {
+              val v = verified0.localCheckpoint()
+              mark(s"verify(rows=${v.count()})")
+              v
+            } else verified0
             // tier 1 flag needs only EXISTENCE of a smaller-id wide-band
             // partner, so it aggregates bucket minima instead of joining
             // out pairs — on a dup-dense corpus the wide buckets are
@@ -2601,11 +2674,16 @@ object StreamingQueries {
                 dropExpiredBids(bandsDir, batchId + 1 - k)
                 dropExpiredBids(vecsDir, batchId + 1 - k)
             }
+            // sigFiles carries the VEC table's file count here (the emb
+            // store's second table), and the compaction counters are
+            // hard ZERO: this engine runs no compaction (retention bounds
+            // its files), and threading the TEXT engine's JVM-global
+            // counters through would report a prior text run's activity
+            // as this store's (r15 ADVICE)
             onBatch.foreach(f => f(BatchStats(batchId,
               (System.nanoTime() - tBatch0) / 1000000L,
               countParquetFiles(bandsDir), countParquetFiles(vecsDir),
-              compactionsRun.get(), sigCompactionsRun.get(),
-              retentionDrops.get())))
+              0L, 0L, retentionDrops.get())))
             } finally {
               sp.conf.set("spark.sql.shuffle.partitions", streamPartitions)
               sp.conf.set("spark.sql.adaptive.enabled", streamAqe)

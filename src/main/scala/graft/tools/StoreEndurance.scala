@@ -73,23 +73,35 @@ object StoreEndurance {
       (h, (System.nanoTime() - t0) / 1e9)
     }
     println(f"[endure] mode=$mode slices=$slices k=$k sf=$sfDir total=$wall%.1f s held=$held")
-    println("[endure] batch wallMs bandFiles sigFiles compactions sigCompactions drops")
+    // embttl's second table is the VEC store, and the embdup engine runs
+    // no compaction (retention bounds its files; the zeros are hard zeros
+    // from the engine, not text-engine counter echoes) — label accordingly
+    // (r15 ADVICE: the embttl trajectory printed under text-store headers)
+    if (mode == "embttl")
+      println("[endure] batch wallMs bandFiles vecFiles drops")
+    else
+      println("[endure] batch wallMs bandFiles sigFiles compactions sigCompactions drops")
     val prevC = stats.headOption.map(_.compactions).getOrElse(0L)
     val prevS = stats.headOption.map(_.sigCompactions).getOrElse(0L)
     val prevD = stats.headOption.map(_.drops).getOrElse(0L)
     // deltas vs the run's own first batch: the counters are JVM-global
     stats.foreach { s =>
-      println(s"[endure] ${s.batchId} ${s.wallMs} ${s.bandFiles} " +
-        s"${s.sigFiles} ${s.compactions - prevC} " +
-        s"${s.sigCompactions - prevS} ${s.drops - prevD}")
+      if (mode == "embttl")
+        println(s"[endure] ${s.batchId} ${s.wallMs} ${s.bandFiles} " +
+          s"${s.sigFiles} ${s.drops - prevD}")
+      else
+        println(s"[endure] ${s.batchId} ${s.wallMs} ${s.bandFiles} " +
+          s"${s.sigFiles} ${s.compactions - prevC} " +
+          s"${s.sigCompactions - prevS} ${s.drops - prevD}")
     }
     // quartile summary: the plateau/bound claim in one line per quarter
     val q = math.max(1, stats.size / 4)
+    val second = if (mode == "embttl") "maxVecFiles" else "maxSigFiles"
     stats.grouped(q).zipWithIndex.foreach { case (g, i) =>
       val mw = g.map(_.wallMs).sum / g.size
       println(s"[endure] quarter=$i meanWallMs=$mw " +
         s"maxBandFiles=${g.map(_.bandFiles).max} " +
-        s"maxSigFiles=${g.map(_.sigFiles).max}")
+        s"$second=${g.map(_.sigFiles).max}")
     }
     spark.stop()
   }
