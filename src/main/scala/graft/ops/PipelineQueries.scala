@@ -248,6 +248,261 @@ object PipelineQueries {
       GROUP BY split, lang
       ORDER BY split, lang"""))
 
+  /** End-to-end curation, MODERN composition (r15 verdict ask #4): the
+    * production stage order a CCNet/Gopher-era corpus run executes —
+    * perplexity-tercile keep (CCNet bigram-LM head+middle, tail dropped) →
+    * Gopher rule gate → MinHash near-dup removal (16×4 LSH + signature
+    * verify, keep min doc_id) → per-language quota sampling — with
+    * first-failing-stage attrition accounting (`pipeline_attrition`'s
+    * charging rule, so per-stage drops sum to total attrition).
+    *
+    * Cross-stage plan discipline (the reason this composition exists as
+    * ONE query, not four): the corpus is TOKENIZED ONCE — a single narrow
+    * projection computes the token array + every per-doc scalar the four
+    * stages need, localCheckpointed so the LM-gram explode, the Gopher
+    * predicates, the MinHash signatures, and the verdict rollup all read
+    * the same materialized frame instead of re-splitting text four times
+    * (at 100 TB the checkpoint becomes a persisted staging table or a
+    * recompute — the SHARING is the design point, the medium is local).
+    * Stage knobs are fixture-calibrated where the canonical constants
+    * would zero a stage (Gopher's 50-token floor vs this corpus' 10–99
+    * token docs → 30, `pipeline_attrition`'s floor; budget 10 so the
+    * quota stage genuinely binds after the dup-dense corpus' near-dup
+    * stage) — the composition, not the constants, is the operator.
+    *
+    * Scale shape per stage: LM scoring is the `text_ccnet_bucket` plan
+    * (broadcast tercile cut table from a score histogram — never a corpus
+    * sort); Gopher is row-local arithmetic; near-dup is banded LSH
+    * equi-join + fold verify (never all-pairs); quota is one per-lang
+    * window over near-dup survivors (the smallest frame in the chain).
+    */
+  val pipelineCurateV2 = QueryDef(
+    "pipeline_curate_v2",
+    (spark, dir) => {
+      val budget = 10L
+      val t = split(col("text"), " ")
+      // the ONE tokenization pass, shared by all four stages
+      val base = graft.Tables.spreadIfNarrow(load(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"), t.as("t"),
+          size(t).cast(LongType).as("n_tok"),
+          length(regexp_replace(col("text"), " ", "")).cast(LongType)
+            .as("n_nonspace"))
+        .localCheckpoint()
+      // stage 1: CCNet bucket — add-one bigram LM trained on the en slice,
+      // exact integer -log2 bits (text_ccnet_bucket's scoring verbatim)
+      val grams = base.filter(col("n_tok") >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("""transform(sequence(1, size(t) - 1),
+            i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"""))
+            .as("p"))
+        .select(col("doc_id"), col("lang"),
+          col("p.a").as("a"), col("p.b").as("b"))
+      val lm = grams.filter(col("lang") === "en")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pair"))
+      val lmA = lm.groupBy(col("a")).agg(sum(col("n_pair")).as("n_a"))
+      val vRow = lm.agg(countDistinct(col("b")).as("v"))
+      val scored = grams
+        .join(lm, Seq("a", "b"), "left")
+        .join(lmA, Seq("a"), "left")
+        .crossJoin(broadcast(vRow))
+        .select(col("doc_id"), col("lang"),
+          (length(bin(expr(
+            "(coalesce(n_a, 0L) + v) div (coalesce(n_pair, 0L) + 1L)")))
+            - 1).cast(LongType).as("nlp_bits"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_big"), sum(col("nlp_bits")).as("snlp"))
+        .select(col("doc_id"), col("lang"),
+          expr("(snlp * 100) div n_big").as("score_cb"))
+      val hist = scored.groupBy(col("lang"), col("score_cb"))
+        .agg(count(lit(1)).as("nd"))
+      val wOrd = Window.partitionBy(col("lang")).orderBy(col("score_cb"))
+      val buckets = hist
+        .withColumn("c_lt", coalesce(sum(col("nd")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_lang", sum(col("nd")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("lang"), col("score_cb"),
+          expr("(c_lt * 3) div n_lang").as("bucket"))
+      // stage 2 predicates are row-local — computed for every doc in the
+      // same pass that attaches the stage-1 bucket (unscoreable docs,
+      // n_tok < 2, take the tail bucket: they cannot clear a perplexity
+      // gate they cannot be scored by)
+      val gophered = base
+        .join(scored.join(broadcast(buckets), Seq("lang", "score_cb"))
+          .select(col("doc_id"), col("bucket")), Seq("doc_id"), "left")
+        .withColumn("bucket", coalesce(col("bucket"), lit(2L)))
+        .withColumn("n_alpha",
+          size(filter(col("t"), w => w.rlike("[a-z]"))).cast(LongType))
+        .withColumn("n_reqstop", size(array_intersect(
+          array_distinct(col("t")),
+          array(Seq("the", "a", "and", "of", "in", "to").map(lit): _*)))
+          .cast(LongType))
+        .withColumn("p_gopher",
+          lit(3) * col("n_tok") <= col("n_nonspace") &&
+            col("n_nonspace") <= lit(10) * col("n_tok") &&
+            lit(5) * col("n_alpha") >= lit(4) * col("n_tok") &&
+            col("n_reqstop") >= 2 && col("n_tok").between(30, 100000))
+      // stage 3: MinHash near-dup over stage-2 survivors only — row-local
+      // signatures from the SHARED token frame (no re-tokenize), banded
+      // candidates, fold verify, removable = has a smaller-id partner
+      val s2 = gophered.filter(col("bucket") <= 1 && col("p_gopher"))
+      val sigs = DedupQueries.rowLocalSignaturesFromToks(
+          s2.select(col("doc_id"), col("lang"), col("t")))
+        .localCheckpoint()
+      val bands = DedupQueries.bandsFromSig(sigs, DedupQueries.MinhashBands)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val removable = cand
+        .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+        .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+        .filter(DedupQueries.sigOverlap(col("sa"), col("sb")) >=
+          DedupQueries.VerifyMin)
+        .select(col("b_id").as("doc_id")).distinct()
+        .withColumn("removed", lit(1))
+      // stage 4: per-language quota over near-dup survivors (sample_mixture
+      // weights; budget sized so the stage binds on THIS corpus)
+      val s3 = s2.select(col("doc_id"), col("lang"))
+        .join(removable, Seq("doc_id"), "left_anti")
+      val wRank = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      val wLang = Window.partitionBy(col("lang"))
+      val quotas = s3.withColumn("h", knuth32(col("doc_id")))
+        .withColumn("rn", row_number().over(wRank).cast(LongType))
+        .withColumn("n_lang", count(lit(1)).over(wLang))
+        .withColumn("w_bp", expr(
+          """CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 2000
+             WHEN 'es' THEN 1500 WHEN 'de' THEN 1500 ELSE 1000 END""")
+          .cast(LongType))
+        .withColumn("quota",
+          least(expr(s"($budget * w_bp) div 10000"), col("n_lang")))
+        .select(col("doc_id"), col("rn"), col("quota"))
+      // first-failing-stage verdict + the attrition rollup
+      gophered.select(col("doc_id"), col("n_tok"), col("bucket"),
+          col("p_gopher"))
+        .join(removable, Seq("doc_id"), "left")
+        .join(quotas, Seq("doc_id"), "left")
+        .withColumn("verdict",
+          when(col("bucket") > 1, "1_ccnet_tail")
+            .when(!col("p_gopher"), "2_gopher")
+            .when(col("removed") === 1, "3_neardup")
+            .when(col("rn") > col("quota"), "4_quota")
+            .otherwise("5_kept"))
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(col("doc_id")).as("doc_id_sum"))
+        .orderBy(col("verdict"))
+    },
+    Some {
+      import DedupQueries.{tokHashSql, minColsSql, bandSelectsSql,
+        matchTermsSql, VerifyMin, MinhashBands}
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS t,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, lang, t[i] AS a, t[i + 1] AS b
+         |  FROM (SELECT doc_id, lang, t,
+         |               unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM base WHERE n_tok >= 2)),
+         |lm AS (SELECT a, b, COUNT(*) AS n_pair FROM grams
+         |       WHERE lang = 'en' GROUP BY a, b),
+         |lm_a AS (SELECT a, CAST(SUM(n_pair) AS BIGINT) AS n_a
+         |         FROM lm GROUP BY a),
+         |v AS (SELECT COUNT(DISTINCT b) AS v FROM lm),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |         CAST((SUM(length(format('{:b}',
+         |                (COALESCE(n_a, 0) + v.v) // (COALESCE(n_pair, 0) + 1)))
+         |               - 1) * 100) // COUNT(*) AS BIGINT) AS score_cb
+         |  FROM grams LEFT JOIN lm USING (a, b) LEFT JOIN lm_a USING (a)
+         |  CROSS JOIN v
+         |  GROUP BY doc_id, lang),
+         |hist AS (SELECT lang, score_cb, COUNT(*) AS nd
+         |         FROM scored GROUP BY lang, score_cb),
+         |bkt AS (
+         |  SELECT lang, score_cb,
+         |         CAST((COALESCE(SUM(nd) OVER (PARTITION BY lang
+         |              ORDER BY score_cb
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            * 3) // (SUM(nd) OVER (PARTITION BY lang)) AS BIGINT)
+         |           AS bucket
+         |  FROM hist),
+         |s1v AS (
+         |  SELECT base.doc_id, base.lang, base.n_tok, base.n_nonspace,
+         |         base.t, COALESCE(bk.bucket, 2) AS bucket
+         |  FROM base
+         |  LEFT JOIN scored sc ON base.doc_id = sc.doc_id
+         |  LEFT JOIN bkt bk ON sc.lang = bk.lang AND sc.score_cb = bk.score_cb),
+         |g AS (
+         |  SELECT doc_id, lang, n_tok, t, bucket,
+         |         (3 * n_tok <= n_nonspace AND n_nonspace <= 10 * n_tok
+         |          AND 5 * CAST(len(list_filter(t,
+         |                w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+         |              >= 4 * n_tok
+         |          AND CAST(len(list_intersect(list_distinct(t),
+         |                ['the','a','and','of','in','to'])) AS BIGINT) >= 2
+         |          AND n_tok BETWEEN 30 AND 100000) AS p_gopher
+         |  FROM s1v),
+         |s2 AS (SELECT doc_id, lang, n_tok, t FROM g
+         |       WHERE bucket <= 1 AND p_gopher),
+         |toks AS (SELECT doc_id, lang, unnest(list_distinct(t)) AS tok
+         |         FROM s2),
+         |hashed AS (
+         |  SELECT doc_id, lang, ${tokHashSql("tok")} AS h FROM toks),
+         |sigs AS (
+         |  SELECT doc_id, lang,
+         |    $minColsSql
+         |  FROM hashed GROUP BY doc_id, lang),
+         |bands AS (
+         |  ${bandSelectsSql(MinhashBands)}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.lang = b.lang
+         |   AND a.doc_id < b.doc_id),
+         |removable AS (
+         |  SELECT DISTINCT b_id AS doc_id FROM cand
+         |  JOIN sigs sa ON sa.doc_id = a_id
+         |  JOIN sigs sb ON sb.doc_id = b_id
+         |  WHERE $matchTermsSql >= $VerifyMin),
+         |s3 AS (SELECT s2.doc_id, s2.lang FROM s2
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM removable)),
+         |ranked AS (
+         |  SELECT doc_id, lang,
+         |         ROW_NUMBER() OVER (PARTITION BY lang
+         |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn,
+         |         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM s3),
+         |q AS (
+         |  SELECT doc_id, rn,
+         |         least((10 * CAST(CASE lang WHEN 'en' THEN 4000
+         |                WHEN 'zh' THEN 2000 WHEN 'es' THEN 1500
+         |                WHEN 'de' THEN 1500 ELSE 1000 END AS BIGINT))
+         |             // 10000, n_lang) AS quota
+         |  FROM ranked),
+         |verdicts AS (
+         |  SELECT g.doc_id, g.n_tok,
+         |         CASE WHEN g.bucket > 1 THEN '1_ccnet_tail'
+         |              WHEN NOT g.p_gopher THEN '2_gopher'
+         |              WHEN r.doc_id IS NOT NULL THEN '3_neardup'
+         |              WHEN q.rn > q.quota THEN '4_quota'
+         |              ELSE '5_kept' END AS verdict
+         |  FROM g
+         |  LEFT JOIN removable r ON g.doc_id = r.doc_id
+         |  LEFT JOIN q ON g.doc_id = q.doc_id)
+         |SELECT verdict, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+         |FROM verdicts GROUP BY verdict ORDER BY verdict""".stripMargin
+    },
+    notes = "composed modern curation: CCNet tercile keep -> Gopher gate -> verified MinHash near-dup -> lang-quota sampling, first-failing-stage attrition; one shared tokenization (localCheckpoint), broadcast tercile cuts, banded dedup join")
+
   /** Incremental ingestion dedup: sources src0–src4 are the "existing
     * corpus"; everything else is the incoming batch. Each incoming document
     * is classified dup-vs-corpus (content hash already present), dup-within-
@@ -1241,7 +1496,8 @@ object PipelineQueries {
     notes = "Dataset.observe / CollectMetrics: pre-gate + post-gate metrics ride the production job (no audit scans); rollup oracle pins pass-through, ObserveSpec pins metric values + single-scan plan")
 
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
-    mapFuncs, histogramPrices, pipelineCurate, pipelineIncremental,
+    mapFuncs, histogramPrices, pipelineCurate, pipelineCurateV2,
+    pipelineIncremental,
     pipelinePack, pipelineDecontaminate, textRepetition, pipelineRedact,
     sampleTemperature, sampleMixture, pipelineAttrition, pipelineShardBalance,
     quantilesWeighted, pipelineDatasetCard, sampleEpochs, sampleStratified,
