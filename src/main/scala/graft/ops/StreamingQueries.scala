@@ -1824,17 +1824,19 @@ object StreamingQueries {
             // the new wall at this volume) — and the only distinct left
             // is the held b-id set, which collapses map-side to
             // O(held docs) in the same stage as the verify filter.
+            // lang is a JOIN key above but not carried: the verified
+            // output re-attaches it from the batch-side sig broadcast —
+            // the candidate stream is the widest flow in the batch, and
+            // every dropped byte is ~170 M rows of exchange at 100×
             val cand0 = candCross.unionByName(candSame)
-              .select(col("a_id"), col("b_id"), col("lang"))
-            // timing mode splits the held action at the candidate build
-            // (localCheckpoint + count) — DIAGNOSTIC ONLY: it truncates
-            // lineage and adds a count job, so it runs solely under the
-            // env hook; the measured plan is the fused one
-            val cand = if (timing) {
-              val c = cand0.localCheckpoint()
-              mark(s"cand(rows=${c.count()})")
-              c
-            } else cand0
+              .select(col("a_id"), col("b_id"))
+            // timing mode sizes the candidate stream with a COUNT-ONLY
+            // probe (no checkpoint: at 100× the stream is ~170 M rows —
+            // pinning it in the block manager would distort the very
+            // memory profile under test) — DIAGNOSTIC ONLY, doubles the
+            // candidate compute; the measured plan is the fused one
+            val cand = cand0
+            if (timing) mark(s"cand(rows=${cand0.count()})")
             // Verify-join shape = the embdup engine's (r15 attribution:
             // GRAFT_STORE_TIMING put 37-60 s of every 100× batch in this
             // stage). Unhinted, BOTH sig attaches resolve to SortMergeJoin
@@ -1851,7 +1853,7 @@ object StreamingQueries {
                 sigs.select(col("doc_id"), col("lang"), col("sig")))
               .select(col("doc_id").as("a_id"), col("sig").as("sa"))
             val bSigs = sigs.select(col("doc_id").as("b_id"),
-              col("sig").as("sb"))
+              col("lang"), col("sig").as("sb"))
             val verified0 = cand
               .join(if (bigCorpus) aSigs.hint("SHUFFLE_HASH") else aSigs,
                 Seq("a_id"))
@@ -1859,6 +1861,7 @@ object StreamingQueries {
               .filter(DedupQueries.sigOverlap(col("sa"), col("sb")) >=
                 DedupQueries.VerifyMin)
               .select(col("b_id").as("doc_id"), col("lang")).distinct()
+            // held output is tiny — the checkpointed split is safe here
             val verified = if (timing) {
               val v = verified0.localCheckpoint()
               mark(s"verify(rows=${v.count()})")
