@@ -178,9 +178,15 @@ object VectorQueries {
     * [[duckEmbPairsCtes]]) is exact-mirror arithmetic, not a float log2
     * whose rounding could split the engines at a power-of-two boundary.
     * Keeps expected bucket occupancy per band ≤ ~1 until the 14-bit
-    * clamp (beyond 16 K vectors occupancy grows again — there the band
-    * COUNT knob, and ultimately segment-partitioned banding, take over;
-    * EmbBandAB measures both knobs' trades).
+    * clamp; beyond 16 K vectors occupancy grows again and the band
+    * COUNT knob takes over. MEASURED past the clamp (r16 EmbBandAB,
+    * planted 16 K/33 K-vector cluster corpora): at fixed auto(14)×2 the
+    * candidate-volume curve re-steepens (122 K → 295 K pairs for 2×
+    * vectors, ×2.41) with recall pinned ~0.645; widening further
+    * (16×2) costs 6 recall points for ~-30 % volume — rejected; DOUBLING
+    * BANDS (14×4) holds recall at 0.868 at both sizes for ×2 volume —
+    * the production scale-out, already parameterized (`nBands` on
+    * [[embBandPairs]]/[[embBandRows]]). Full rows in BASELINE.md.
     */
   private[graft] def autoEmbBits(nVecs: Long): Int = {
     var b = EmbMinBits
