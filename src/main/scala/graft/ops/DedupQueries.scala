@@ -114,6 +114,16 @@ object DedupQueries {
         sequence(lit(1), size(col("toks")) - (shingleN - 1)),
         i => concat_ws(" ", (0 until shingleN).map(k => element_at(col("toks"), i + k)): _*)))
     val toks = tokenized.select(col("doc_id"), col("lang"), explode(units).as("tok"))
+    minhashSignaturesFromToks(toks)
+  }
+
+  /** The aggregate half of [[minhashSignatures]] over an already-exploded
+    * (doc_id, lang, tok) frame — for pipelines that tokenize once and
+    * share the token frame across stages (pipeline_curate_v2's near-dup
+    * stage explodes its shared token arrays into this). Fully codegen'd
+    * (hash + 64 min partial-aggs), unlike the row-local HOF form.
+    */
+  def minhashSignaturesFromToks(toks: DataFrame): DataFrame = {
     val hashed = toks.withColumn("h", tokHash(col("tok")))
     hashed.groupBy(col("doc_id"), col("lang"))
       .agg((0 until NumPerms).map(s => min(perm(col("h"), s)).as(s"m$s")).head,

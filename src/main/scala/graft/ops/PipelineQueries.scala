@@ -344,12 +344,24 @@ object PipelineQueries {
             col("n_nonspace") <= lit(10) * col("n_tok") &&
             lit(5) * col("n_alpha") >= lit(4) * col("n_tok") &&
             col("n_reqstop") >= 2 && col("n_tok").between(30, 100000))
+        // checkpointed like base: three consumers (near-dup signature
+        // build, quota ranking via s2/s3, verdict rollup) would otherwise
+        // each replay the scored join + the rlike/intersect predicate HOFs
+        .select(col("doc_id"), col("lang"), col("t"), col("n_tok"),
+          col("bucket"), col("p_gopher"))
+        .localCheckpoint()
       // stage 3: MinHash near-dup over stage-2 survivors only — row-local
       // signatures from the SHARED token frame (no re-tokenize), banded
       // candidates, fold verify, removable = has a smaller-id partner
       val s2 = gophered.filter(col("bucket") <= 1 && col("p_gopher"))
-      val sigs = DedupQueries.rowLocalSignaturesFromToks(
-          s2.select(col("doc_id"), col("lang"), col("t")))
+      // batch signature form (explode + 64 min-aggs, fully codegen'd)
+      // over the SHARED token frame — the row-local HOF form exists for
+      // streaming operator composition and evaluates interpreted; here
+      // the extra doc-keyed shuffle is survivor-sized and the codegen
+      // aggregate wins (measured: 9.2 → see BASELINE)
+      val sigs = DedupQueries.minhashSignaturesFromToks(
+          s2.select(col("doc_id"), col("lang"),
+            explode(array_distinct(col("t"))).as("tok")))
         .localCheckpoint()
       val bands = DedupQueries.bandsFromSig(sigs, DedupQueries.MinhashBands)
       val cand = bands.as("a").join(bands.as("b"),
