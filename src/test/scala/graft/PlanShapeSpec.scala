@@ -50,8 +50,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "graph_kcore_converge" -> "broadcast 1-row edge-count aggregate over the converged core",
     "text_dsir_select" -> "broadcast 1-row feature-total aggregate (DSIR share denominators)",
     "text_quality_classifier" -> "broadcast 1-row class-total aggregate (lift denominators)",
-    "text_ccnet_bucket" -> "broadcast 1-row LM vocabulary-size aggregate (smoothing denominator)",
-    "pipeline_curate_v2" -> "broadcast 1-row LM vocabulary-size aggregate (the text_ccnet_bucket scoring stage, composed)")
+    "text_ccnet_bucket" -> "broadcast 1-row LM vocabulary-size aggregate (smoothing denominator)")
+    // pipeline_curate_v2 composes the same 1-row LM aggregate crossJoin,
+    // but its eager localCheckpoints cut that stage out of the final
+    // inspected plan — no allowlist entry needed (the staleness gate
+    // flagged exactly this)
   // dedup_eval's 1-row sample-modulus BNLJ runs eagerly inside its
   // localCheckpoint, so it never appears in the gated (post-checkpoint) plan.
 
