@@ -2729,11 +2729,226 @@ object StreamingQueries {
     },
     notes = "streaming SEMANTIC dedup: embeddings replay as interleaved micro-batches against an accumulated sign-LSH band + vector store; candidates by the batch dedup_embedding_lsh banding, verified by exact cosine >= 1000 bp; held set = arrival-rule keeper over the shared verified pair set, hash-exact oracle")
 
+  /** STREAMING INGESTION CURATION GATE WITH BUDGET-BOUNDED ADMISSION —
+    * the ingestion-time half of `pipeline_curate_v2`'s offline pass, and
+    * the one curation semantic that is irreducibly STREAMING: a
+    * per-language admission BUDGET that exhausts across micro-batches
+    * ("stop taking lang X once its quota fills"), which no per-batch
+    * rule can express without cross-batch state. Documents arrive as
+    * id-ordered micro-batches; each batch runs the attrition rule chain:
+    *
+    *   1_short / 2_repetitive / 3_stop_profile — row-local quality gates
+    *     (`pipeline_attrition`'s rules; the repetition floor is
+    *     fixture-calibrated at 3000 bp — this corpus' distinct-ratio min
+    *     is 2765 — exactly as the batch twin calibrates its knobs),
+    *   4_dup — exact dedup of the REORDER-INVARIANT token-set
+    *     fingerprint (md5 of the sorted distinct token list; the fixture
+    *     has no byte-identical texts but 54/500 docs are token-set
+    *     clones) against the ACCUMULATED fingerprint store: every prior
+    *     gate-passing first-occurrence, plus earlier ids in this batch,
+    *   5_quota — admission iff the language's kept-so-far count plus the
+    *     in-batch candidate rank fits the budget (mixture weights of
+    *     `sample_mixture`, budget 120 ⇒ en 48 / zh 24 / es,de 18 / fr 12
+    *     — binding at every fixture SF),
+    *   6_kept — admitted.
+    *
+    * State discipline (the house store pattern): the fp store is
+    * hive-partitioned by pmod(hash(fp), StoreBuckets) and each batch reads
+    * ONLY its touched buckets via a static isin filter from an
+    * O(1)-result collect; admitted counts append one (lang, n) row per
+    * batch (the budget state — O(langs·batches), read+summed at batch
+    * start); verdicts spool append-only. All O(corpus) state is narrow
+    * (fp + bucket), никогда the documents themselves.
+    *
+    * Hash-exact oracle: RANGE slicing makes arrival order equal doc_id
+    * order globally, so the cross-batch store+budget semantics collapse
+    * to pure window SQL — dup = any earlier gate-passing doc with the
+    * same fp; admitted = per-lang rank over non-dup gate-passers ≤ quota.
+    */
+  private[graft] val CurateBudget = 120L
+
+  val streamCurateQuota = QueryDef(
+    "stream_curate_quota",
+    (spark, dir) => {
+      val docs = graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val storeDir = Files.createTempDirectory("graft-scq-store").toString
+      val fpDir = s"$storeDir/fps"
+      val cntDir = s"$storeDir/counts"
+      val spoolDir = Files.createTempDirectory("graft-scq-spool").toString
+      val ckpt = Files.createTempDirectory("graft-scq-ck").toString
+      val incoming = stageDocRangeSlices(docs, 3)
+      val batchPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+      val verdicts = pinThenClean(incoming, storeDir, spoolDir, ckpt) {
+        runSink(spark, "stream_curate_quota") {
+          val stream = spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(incoming)
+          stream.writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val sp = batch.sparkSession
+              val streamPartitions = sp.conf.get("spark.sql.shuffle.partitions")
+              val streamAqe = sp.conf.get("spark.sql.adaptive.enabled")
+              sp.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+              sp.conf.set("spark.sql.adaptive.enabled", "true")
+              try {
+                val toks = split(col("text"), " ")
+                val scored = batch.repartition(col("doc_id"))
+                  .select(col("doc_id"), col("lang"),
+                    md5(concat_ws(" ",
+                      array_sort(array_distinct(toks))).cast("binary"))
+                      .as("fp"),
+                    size(toks).cast("long").as("n_tok"),
+                    size(array_distinct(toks)).cast("long").as("n_dis"),
+                    size(filter(toks, t => t.isin(
+                      "the", "a", "and", "of", "in"))).cast("long")
+                      .as("n_stop"))
+                  .withColumn("dis_bp",
+                    floor(col("n_dis") * 10000 / col("n_tok")).cast("long"))
+                  .withColumn("stop_bp",
+                    floor(col("n_stop") * 10000 / col("n_tok")).cast("long"))
+                  .withColumn("gate_fail",
+                    when(col("n_tok") < 30, "1_short")
+                      .when(col("dis_bp") < 3000, "2_repetitive")
+                      .when(col("stop_bp") < 200 || col("stop_bp") > 2500,
+                        "3_stop_profile"))
+                  .withColumn("pb", pmod(hash(col("fp")), lit(StoreBuckets)))
+                  .localCheckpoint() // batch-sized; all branches below
+                val gatepass = scored.filter(col("gate_fail").isNull)
+                // touched fp buckets → static partition filter (O(1) rows)
+                val pbs = gatepass.select(col("pb")).distinct()
+                  .collect().map(_.getInt(0)).toSeq
+                val storeFps = readOrEmpty(sp, fpDir,
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("fp",
+                      org.apache.spark.sql.types.StringType)))) { df =>
+                  df.filter(inBuckets(col("pb"), pbs)).select(col("fp"))
+                }.withColumn("in_store", lit(1))
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("fp")).orderBy(col("doc_id"))
+                // unhinted store join: auto-broadcast while the fp set
+                // is small, planner-picked at scale — and the window
+                // exchange on fp already co-partitions the probe side
+                val classed = gatepass
+                  .join(storeFps, Seq("fp"), "left")
+                  .withColumn("rn_fp", row_number().over(w))
+                  // isNotNull, not === 1: a store miss leaves in_store
+                  // NULL, and NULL || false is NULL — which filter(!dup)
+                  // would silently DROP (losing the doc from admission)
+                  .withColumn("dup",
+                    col("in_store").isNotNull || col("rn_fp") > 1)
+                // budget state: admitted-so-far per language
+                val kept0 = readOrEmpty(sp, cntDir,
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("lang",
+                      org.apache.spark.sql.types.StringType),
+                    longField("n")))) { df => df.select(col("lang"), col("n")) }
+                  .groupBy(col("lang")).agg(sum(col("n")).as("k0"))
+                val wLang = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("lang")).orderBy(col("doc_id"))
+                val quotaOf = expr(
+                  s"""($CurateBudget * CASE lang WHEN 'en' THEN 4000
+                      WHEN 'zh' THEN 2000 WHEN 'es' THEN 1500
+                      WHEN 'de' THEN 1500 ELSE 1000 END) div 10000""")
+                val admitted = classed.filter(!col("dup"))
+                  .withColumn("rk", row_number().over(wLang).cast("long"))
+                  .join(broadcast(kept0), Seq("lang"), "left")
+                  .withColumn("admit",
+                    coalesce(col("k0"), lit(0L)) + col("rk") <= quotaOf)
+                  .localCheckpoint() // consumed by spool + both stores
+                val verdictRows = scored
+                  .select(col("doc_id"), col("lang"), col("fp"),
+                    col("gate_fail"))
+                  .join(classed.select(col("doc_id"), col("dup")),
+                    Seq("doc_id"), "left")
+                  .join(admitted.select(col("doc_id"), col("admit")),
+                    Seq("doc_id"), "left")
+                  .select(col("doc_id"), col("lang"),
+                    when(col("gate_fail").isNotNull, col("gate_fail"))
+                      .when(col("dup"), "4_dup")
+                      .when(!col("admit"), "5_quota")
+                      .otherwise("6_kept").as("verdict"))
+                verdictRows.write.mode("append").parquet(spoolDir)
+                // state appends AFTER the reads: first occurrences enter
+                // the fp store (dups add nothing new), admitted counts
+                // extend the budget state
+                admitted.select(col("fp"), col("pb"))
+                  .repartition(col("pb"))
+                  .write.mode("append").partitionBy("pb").parquet(fpDir)
+                admitted.filter(col("admit"))
+                  .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+                  .coalesce(1)
+                  .write.mode("append").parquet(cntDir)
+              } finally {
+                sp.conf.set("spark.sql.shuffle.partitions", streamPartitions)
+                sp.conf.set("spark.sql.adaptive.enabled", streamAqe)
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+        } {
+          spark.read.parquet(spoolDir)
+        }
+      }
+      verdicts.groupBy(col("lang"), col("verdict"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("doc_id_sum"))
+        .orderBy(col("lang"), col("verdict"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(list_sort(list_distinct(
+                 string_split(text, ' '))), ' ')) AS fp,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
+               CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','and','of','in'], t))) AS BIGINT) AS n_stop
+        FROM documents),
+      v AS (
+        SELECT doc_id, lang, fp,
+               CASE WHEN n_tok < 30 THEN '1_short'
+                    WHEN CAST(floor(n_dis * 10000 / n_tok) AS BIGINT) < 3000
+                      THEN '2_repetitive'
+                    WHEN CAST(floor(n_stop * 10000 / n_tok) AS BIGINT) < 200
+                      OR CAST(floor(n_stop * 10000 / n_tok) AS BIGINT) > 2500
+                      THEN '3_stop_profile'
+                    ELSE NULL END AS gate_fail
+        FROM scored),
+      gatepass AS (SELECT doc_id, lang, fp FROM v WHERE gate_fail IS NULL),
+      dup AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM gatepass) WHERE rn > 1),
+      admitted AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rk,
+               ($CurateBudget * CAST(CASE lang WHEN 'en' THEN 4000
+                  WHEN 'zh' THEN 2000 WHEN 'es' THEN 1500
+                  WHEN 'de' THEN 1500 ELSE 1000 END AS BIGINT)) // 10000
+                 AS quota
+        FROM gatepass WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+      verdicts AS (
+        SELECT v.doc_id, v.lang,
+               CASE WHEN v.gate_fail IS NOT NULL THEN v.gate_fail
+                    WHEN d.doc_id IS NOT NULL THEN '4_dup'
+                    WHEN a.rk > a.quota THEN '5_quota'
+                    ELSE '6_kept' END AS verdict
+        FROM v
+        LEFT JOIN dup d ON v.doc_id = d.doc_id
+        LEFT JOIN admitted a ON v.doc_id = a.doc_id)
+      SELECT lang, verdict, COUNT(*) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+      FROM verdicts
+      GROUP BY lang, verdict
+      ORDER BY lang, verdict"""),
+    notes = "streaming ingestion curation: row-local quality gates + token-set-fingerprint exact dedup against an accumulated bucketed fp store + cross-batch budget-bounded per-language admission; id-ordered range replay makes the store+budget semantics a pure window oracle")
+
   val all: Seq[QueryDef] = Seq(streamTumbling, streamTumblingAppend,
     streamAttribution, streamSessionize, streamDedup, streamSessionizeFlush,
     streamEnrich, streamJoinOuter, streamUpsert, snapshotAsof, streamMvAgg,
     streamMarkov, streamSpendMilestones, streamIdleFlush, streamWarmStart,
     snapshotChanges, streamSynthSource, streamSliding, streamNeardupGate,
     streamNeardupVerified, streamNeardupUnordered, streamNeardupTtl,
-    streamNeardupLate, streamEmbdupVerified)
+    streamNeardupLate, streamEmbdupVerified, streamCurateQuota)
 }
