@@ -1507,6 +1507,196 @@ object PipelineQueries {
       ORDER BY lang, source"""),
     notes = "Dataset.observe / CollectMetrics: pre-gate + post-gate metrics ride the production job (no audit scans); rollup oracle pins pass-through, ObserveSpec pins metric values + single-scan plan")
 
+  /** LEAKAGE-FREE train/val/test split — the cluster-aware version of
+    * [[sampleSplit]]: near-duplicate documents must never straddle the
+    * train/test boundary (a test doc whose near-dup twin was trained on is
+    * contamination, the same failure `pipeline_decontaminate` guards
+    * against benchmark sets — except self-inflicted). Assignment hashes
+    * the near-dup CLUSTER root ([[TextQueries2.componentLabels]]'s
+    * pointer-doubling connected components over the verified Jaccard pair
+    * graph, the `dedup_components` labels), not the doc id, so every
+    * member of a cluster lands in one split by construction; singletons
+    * hash their own id and are distributed exactly as [[sampleSplit]]
+    * would. `n_moved` counts the docs whose naive doc-hash split differs
+    * from their cluster split — the contamination this operator removed.
+    *
+    * Scale shape: labels come from the O(log diameter)-round CC loop
+    * (each round a fixed number of shuffles over O(V+E) label/edge rows —
+    * only docs that appear in a near-dup edge, a small fraction of the
+    * corpus); the split itself is ONE left join against that label table
+    * plus a row-local hash — no corpus sort, no new shuffle class. The
+    * doc_id % 20 slice matches the pair graph's slice (the all-pairs
+    * token join is the oracle's recursive-CTE tractability bound, as in
+    * `dedup_components`).
+    */
+  val pipelineSplitLeakfree = QueryDef(
+    "pipeline_split_leakfree",
+    (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"))
+      val labels = TextQueries2.componentLabels(spark, dir)
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val b = knuth32(c) % 10
+        when(b < 8, lit("train")).when(b === 8, lit("val"))
+          .otherwise(lit("test"))
+      }
+      docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("root"))
+        .withColumn("split", splitOf(col("root")))
+        .withColumn("naive", splitOf(col("doc_id")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("root")).as("n_clusters"),
+          sum(when(col("split") =!= col("naive"), lit(1L)).otherwise(lit(0L)))
+            .as("n_moved"),
+          sum(col("doc_id")).as("doc_id_sum"))
+        .orderBy(col("split"))
+    },
+    Some("""
+      WITH RECURSIVE
+      d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents WHERE doc_id % 20 = 0),
+      e AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+      c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+            FROM e a JOIN e b ON a.tok = b.tok AND a.lang = b.lang
+                              AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      n AS (SELECT doc_id, len(toks) AS n FROM d),
+      pairs AS (
+        SELECT a_id, b_id
+        FROM c JOIN n na ON c.a_id = na.doc_id JOIN n nb ON c.b_id = nb.doc_id
+        WHERE CAST(floor(common / (na.n + nb.n - common) * 10000 + 0.5) AS BIGINT) >= 5000),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e2.dst, reach.r FROM reach JOIN edges e2 ON e2.src = reach.id),
+      comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+      lab AS (
+        SELECT d.doc_id, COALESCE(comp.root, d.doc_id) AS root
+        FROM d LEFT JOIN comp ON d.doc_id = comp.id),
+      cls AS (
+        SELECT doc_id, root,
+          CASE WHEN (root * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+               WHEN (root * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+               ELSE 'test' END AS split,
+          CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+               WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+               ELSE 'test' END AS naive
+        FROM lab)
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(COUNT(DISTINCT root) AS BIGINT) AS n_clusters,
+             CAST(SUM(CASE WHEN split <> naive THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+             CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+      FROM cls
+      GROUP BY split
+      ORDER BY split"""),
+    notes = "cluster-aware leakage-free split: near-dup connected components share one split (hash the CC root, not the doc id); n_moved = docs rescued from train/test contamination; oracle recomputes the components with a recursive CTE")
+
+  /** TOKEN-budget corpus selection — training mixtures are specified in
+    * TOKENS, not documents ("take 4 B tokens of en, 2 B of zh"): admit
+    * docs per language in deterministic hash-priority order while the
+    * running token total fits the language's budget (weights =
+    * `sample_mixture`'s, total fixture-calibrated so every language's
+    * budget binds at every SF). Since token counts are positive, "running
+    * total ≤ budget" defines a prefix of the priority order — exact,
+    * engine-reproducible, and stable under corpus growth (a new doc can
+    * only evict lower-priority admits, never reorder survivors).
+    *
+    * Scale shape — the reason this is NOT one corpus-wide window: a
+    * per-lang running sum over 100 TB is a full sort of the corpus. Phase
+    * 1 aggregates a 256-bucket histogram of token mass per (lang, coarse
+    * hash bucket) — one map-side-combinable aggregate, output ≤ langs×256
+    * rows — whose cumulative sums classify every bucket as wholly inside
+    * the budget ('all'), wholly past it ('none'), or the ONE boundary
+    * bucket per language ('edge'). Phase 2 sorts ONLY the edge bucket
+    * (1/256 of one language) for the exact cut; 'all'/'none' docs are
+    * admitted/rejected with no sort at all, because bucket-prefix totals
+    * bound every member's running total on both sides. Value-identical to
+    * the single-window rule, which is what the oracle runs.
+    */
+  val sampleTokenBudget = QueryDef(
+    "sample_token_budget",
+    (spark, dir) => {
+      val totalBudget = 12000L // binds for every lang at sf0.001+
+      val t = split(col("text"), " ")
+      val d = load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), size(t).cast(LongType).as("n_tok"))
+        .withColumn("h", knuth32(col("doc_id")))
+        .withColumn("hb", expr("h div 16777216")) // 256 coarse buckets
+      val budgetOf = expr(
+        s"""($totalBudget * CASE lang WHEN 'en' THEN 4000
+            WHEN 'zh' THEN 2000 WHEN 'es' THEN 1500 WHEN 'de' THEN 1500
+            ELSE 1000 END) div 10000""")
+      val wB = Window.partitionBy(col("lang")).orderBy(col("hb"))
+      val buckets = d.groupBy(col("lang"), col("hb"))
+        .agg(sum(col("n_tok")).as("bt"))
+        .withColumn("cum0", coalesce(sum(col("bt")).over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("budget_tok", budgetOf)
+        .withColumn("cls",
+          when(col("cum0") + col("bt") <= col("budget_tok"), "all")
+            .when(col("cum0") >= col("budget_tok"), "none")
+            .otherwise("edge"))
+        .select(col("lang"), col("hb"), col("cum0"), col("budget_tok"),
+          col("cls"))
+      val classed = d.join(broadcast(buckets), Seq("lang", "hb"))
+      // exactly one edge bucket per lang (cum0 is monotone in hb), so the
+      // only sort in the plan is over that bucket's rows
+      val wE = Window.partitionBy(col("lang"), col("hb"))
+        .orderBy(col("h"), col("doc_id"))
+      val edge = classed.filter(col("cls") === "edge")
+        .withColumn("admit",
+          col("cum0") + sum(col("n_tok")).over(
+            wE.rowsBetween(Window.unboundedPreceding, 0)) <= col("budget_tok"))
+      val bulk = classed.filter(col("cls") =!= "edge")
+        .withColumn("admit", col("cls") === "all")
+      bulk.unionByName(edge.select(bulk.columns.map(col): _*))
+        .groupBy(col("lang"))
+        .agg(max(col("budget_tok")).as("budget_tok"),
+          count(when(col("admit"), lit(1))).as("n_admitted"),
+          sum(when(col("admit"), col("n_tok")).otherwise(lit(0L)))
+            .as("tok_admitted"),
+          count(lit(1)).as("n_total"),
+          sum(col("n_tok")).as("tok_total"))
+        .withColumn("util_bp", expr("tok_admitted * 10000 div budget_tok"))
+        .select(col("lang"), col("budget_tok"), col("n_admitted"),
+          col("tok_admitted"), col("n_total"), col("tok_total"),
+          col("util_bp"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               (doc_id * 2654435761) % 4294967296 AS h
+        FROM documents),
+      c AS (
+        SELECT *,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               (12000 * CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 2000
+                  WHEN 'es' THEN 1500 WHEN 'de' THEN 1500 ELSE 1000 END)
+                 // 10000 AS budget_tok
+        FROM d),
+      agg AS (
+        SELECT lang, budget_tok,
+               CAST(COUNT(*) FILTER (WHERE cum <= budget_tok) AS BIGINT)
+                 AS n_admitted,
+               CAST(COALESCE(SUM(n_tok) FILTER (WHERE cum <= budget_tok), 0)
+                 AS BIGINT) AS tok_admitted,
+               COUNT(*) AS n_total,
+               CAST(SUM(n_tok) AS BIGINT) AS tok_total
+        FROM c
+        GROUP BY lang, budget_tok)
+      SELECT lang, budget_tok, n_admitted, tok_admitted, n_total, tok_total,
+             tok_admitted * 10000 // budget_tok AS util_bp
+      FROM agg
+      ORDER BY lang"""),
+    notes = "token-budget selection (mixtures are specified in tokens): hash-priority prefix per language under a token budget; two-phase 256-bucket histogram classification so only the boundary bucket is ever sorted — value-identical to the oracle's single-window rule")
+
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineCurateV2,
     pipelineIncremental,
@@ -1514,5 +1704,5 @@ object PipelineQueries {
     sampleTemperature, sampleMixture, pipelineAttrition, pipelineShardBalance,
     quantilesWeighted, pipelineDatasetCard, sampleEpochs, sampleStratified,
     pipelineKanonymity, pipelineUrlDedup, sampleWeightedPriority,
-    pipelineObserve)
+    pipelineObserve, pipelineSplitLeakfree, sampleTokenBudget)
 }

@@ -2758,7 +2758,7 @@ object StreamingQueries {
     * O(1)-result collect; admitted counts append one (lang, n) row per
     * batch (the budget state — O(langs·batches), read+summed at batch
     * start); verdicts spool append-only. All O(corpus) state is narrow
-    * (fp + bucket), никогда the documents themselves.
+    * (fp + bucket), never the documents themselves.
     *
     * Hash-exact oracle: RANGE slicing makes arrival order equal doc_id
     * order globally, so the cross-batch store+budget semantics collapse
