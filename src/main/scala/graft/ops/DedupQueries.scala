@@ -232,6 +232,15 @@ object DedupQueries {
   def sigOverlap(sa: Column, sb: Column): Column =
     graft.functions.SigOverlap(sa, sb)
 
+  /** The predicate form `sigOverlap(sa, sb) >= k` via the early-exit
+    * native expression — value-identical (PropertySpec gates the law
+    * against [[sigOverlap]] across thresholds); use wherever the count
+    * is only ever compared, which at the 100× store's verify volume is
+    * the hot loop (failing pairs exit after ~20 of 64 positions).
+    */
+  def sigOverlapAtLeast(sa: Column, sb: Column, k: Int): Column =
+    graft.functions.SigOverlapAtLeast(sa, sb, k)
+
   /** The verify threshold shared with every minhash oracle: ⌈0.7·perms⌉. */
   private[graft] val VerifyMin: Int = (NumPerms * 7 + 9) / 10
 
@@ -300,16 +309,18 @@ object DedupQueries {
     val withSigs = candIds
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
       .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
-    val est = withSigs.select(col("a_id"), col("b_id"),
-      sigOverlap(col("sa"), col("sb")).as("matches"))
     // the VERIFIED pairs are cached too (r13 verdict ask #3): four
     // consumers re-derive this exact frame per bench pass
     // (dedup_minhash_lsh + the unordered/ttl/late streaming comparisons),
     // each paying the candidate join + verify fold; the filtered result is
     // tiny (verified pairs only) and plan-keyed like the sigs cache above,
     // so all consumers on the same fixture hit one warm entry instead of
-    // each pinning a private localCheckpoint copy
-    est.filter(col("matches") >= VerifyMin).cache()
+    // each pinning a private localCheckpoint copy. Verify via the
+    // early-exit predicate form (every consumer reads only the id pair).
+    withSigs
+      .filter(sigOverlapAtLeast(col("sa"), col("sb"), VerifyMin))
+      .select(col("a_id"), col("b_id"))
+      .cache()
   }
 
   val dedupMinhashLsh = QueryDef(

@@ -372,8 +372,8 @@ object PipelineQueries {
       val removable = cand
         .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
         .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
-        .filter(DedupQueries.sigOverlap(col("sa"), col("sb")) >=
-          DedupQueries.VerifyMin)
+        .filter(DedupQueries.sigOverlapAtLeast(col("sa"), col("sb"),
+          DedupQueries.VerifyMin))
         .select(col("b_id").as("doc_id")).distinct()
         .withColumn("removed", lit(1))
       // stage 4: per-language quota over near-dup survivors (sample_mixture

@@ -1858,8 +1858,11 @@ object StreamingQueries {
               .join(if (bigCorpus) aSigs.hint("SHUFFLE_HASH") else aSigs,
                 Seq("a_id"))
               .join(if (bigCorpus) broadcast(bSigs) else bSigs, Seq("b_id"))
-              .filter(DedupQueries.sigOverlap(col("sa"), col("sb")) >=
-                DedupQueries.VerifyMin)
+              // early-exit predicate form: at the 100× verify volume the
+              // dominant class is FAILING pairs, which exit after ~20 of
+              // 64 positions instead of scanning the full signature
+              .filter(DedupQueries.sigOverlapAtLeast(col("sa"), col("sb"),
+                DedupQueries.VerifyMin))
               .select(col("b_id").as("doc_id"), col("lang")).distinct()
             // held output is tiny — the checkpointed split is safe here
             val verified = if (timing) {

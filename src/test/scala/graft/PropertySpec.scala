@@ -89,6 +89,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SigOverlapAtLeast(a, b, k) == (SigOverlap(a, b) >= k) for every k in 0..n+1") {
+    import spark.implicits._
+    import graft.ops.DedupQueries
+    // signature-like arrays with forced collision structure: values from a
+    // tiny domain so positionwise matches are common, plus the exact-equal
+    // and fully-distinct extremes
+    val sigGen = Gen.listOfN(64, Gen.choose(0L, 3L))
+    val pairs = samples(Gen.zip(sigGen, sigGen), 60) ++
+      samples(sigGen, 5).map(s => (s, s)) ++
+      Seq(((0L until 64L).toList, (64L until 128L).toList))
+    val df = pairs.toDF("a", "b")
+    for (k <- Seq(0, 1, 20, DedupQueries.VerifyMin, 64, 65)) {
+      val rows = df.select(
+        DedupQueries.sigOverlapAtLeast($"a", $"b", k).as("fast"),
+        (DedupQueries.sigOverlap($"a", $"b") >= k).as("ref")).collect()
+      rows.foreach(r => assert(r.getBoolean(0) === r.getBoolean(1),
+        s"early-exit form diverged from the count at k=$k"))
+    }
+  }
+
   test("LastValueAggregator result is invariant to input order") {
     val inGen = for {
       ms <- Gen.choose(0L, 100L); id <- Gen.choose(0L, 10000L)
