@@ -27,7 +27,7 @@ import graft.functions.RollingHash
 object DedupQueries {
 
   private[ops] val NumPerms = 64
-  private[ops] val MinhashBands = 16 // 16 bands × 4 rows
+  private[graft] val MinhashBands = 16 // 16 bands × 4 rows
   private val SimhashBits = 30 // bits 0..29 of a mod-(2^31-1) hash
   private val SimhashBands = 3 // 3 bands × 10 bits
   private val HammingMax = 4

@@ -72,6 +72,30 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(0L, 3L) > 11, s"disjoint-vocab hamming ${hamming(0L, 3L)}")
   }
 
+  test("16x4 banding recovers >= 99% of the exact verified-truth pair set (fixture)") {
+    // The contract tools/TextBandAB measured at sf0.1 (recall 0.99993 vs
+    // the banding-independent truth; 8x8 drops to 0.729 — BASELINE r16),
+    // gated here at sf0.001 so a band-shape or band-hash regression fails
+    // CI instead of silently shrinking every minhash family's held set.
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sigs = DedupQueries.minhashSignatures(corpus).localCheckpoint()
+    val a = sigs.select($"lang", $"doc_id".as("a_id"), $"sig".as("sa"))
+    val b = sigs.select($"lang", $"doc_id".as("b_id"), $"sig".as("sb"))
+    val truth = a.join(b, Seq("lang")).filter($"a_id" < $"b_id")
+      .filter(DedupQueries.sigOverlapAtLeast($"sa", $"sb", DedupQueries.VerifyMin))
+      .select($"a_id", $"b_id").localCheckpoint()
+    val nTruth = truth.count()
+    assert(nTruth > 0, "fixture lost its verified-truth pairs")
+    val bands = DedupQueries.bandsFromSig(sigs, DedupQueries.MinhashBands)
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
+        $"x.lang" === $"y.lang" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id")).distinct()
+    val hits = truth.join(cand, Seq("a_id", "b_id"), "left_semi").count()
+    assert(hits * 100 >= nTruth * 99,
+      s"16x4 banding recall degraded: $hits of $nTruth truth pairs")
+  }
+
   test("rolling_hash custom expression: interpreted == codegen == reference fold") {
     import graft.functions.{RollingHash, RollingHashFn}
     val df = Seq("abc", "", "Zürich ∆").toDF("s")
