@@ -658,6 +658,89 @@ object PipelineQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** SEMANTIC benchmark decontamination — the paraphrase-leakage analogue
+    * of [[pipelineDecontaminate]]: the n-gram check catches verbatim
+    * benchmark copies, but a reworded eval question shares no 5-gram with
+    * its source while its EMBEDDING stays near-identical, so the check a
+    * real training-data user runs next is embedding-side. Held-out
+    * benchmark slice = `vec_id % 20 == 0` (the fixture stand-in for an
+    * external eval-suite table — in production the small side by
+    * construction: eval sets are thousands of rows against a corpus of
+    * billions); train = the rest. Both sides band through the engine's
+    * one sign-LSH rule ([[VectorQueries.embBandRowsOf]], width auto-sized
+    * from the corpus count so query and oracle derive the same geometry),
+    * candidates = same (band, value) ACROSS the sides, verified by exact
+    * cosine ≥ 1000 bp — the same verified-pair rule as
+    * `dedup_embedding_lsh`, so the oracle reuses the shared `vf` CTE
+    * verbatim and contamination is exactly "verified near-dup pair that
+    * straddles the benchmark boundary".
+    *
+    * Scale shape: the benchmark side rides an explicit broadcast (band
+    * keys + vectors — benchmark-sized, not corpus-sized), the train side
+    * streams through the join with its vectors in-stream, the cosine
+    * verify filters in the SAME stage (the engine-wide
+    * verify-then-distinct discipline: the candidate×vector intermediate
+    * is never exchanged), and the only distinct is the contaminated
+    * train-id set, bounded by the corpus. Per-label accounting à la
+    * `pipeline_split_leakfree`'s `n_moved`: `n_contam` counts the train
+    * docs the check would pull before training.
+    */
+  val pipelineDecontaminateSem = QueryDef(
+    "pipeline_decontaminate_sem",
+    (spark, dir) => {
+      import graft.functions.VectorFunctions.{cosine, toDoubleArray}
+      val e = load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          toDoubleArray(col("embedding")).as("v"))
+      // literal bits shape the plan (signature expression + band split),
+      // the dedup_embedding_lsh discipline; count is metadata-only
+      val bits = VectorQueries.autoEmbBits(e.count())
+      val bands = VectorQueries.embBandRowsOf(
+        e.select(col("vec_id"), col("v")), bits,
+        VectorQueries.EmbBands, carryV = true)
+      val bench = bands.filter(col("vec_id") % 20 === 0)
+        .select(col("band"), col("bv"),
+          col("vec_id").as("bm_id"), col("v").as("bm_v"))
+      val contam = bands.filter(col("vec_id") % 20 =!= 0)
+        .join(broadcast(bench), Seq("band", "bv"))
+        .filter(graft.Tables.basisPoints(
+          cosine(col("v"), col("bm_v"))) >= 1000)
+        .select(col("vec_id")).distinct()
+        .withColumn("hit", lit(1))
+      e.filter(col("vec_id") % 20 =!= 0)
+        .select(col("vec_id"), col("label"))
+        .join(contam, Seq("vec_id"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("hit") === 1, lit(1L)).otherwise(lit(0L)))
+            .as("n_contam"),
+          sum(when(col("hit") === 1, col("vec_id")).otherwise(lit(0L)))
+            .as("contam_id_sum"))
+        .orderBy(col("label"))
+    },
+    // oracle: the SHARED verified-pair chain (vf — stated once per
+    // engine, dedup_embedding_lsh's CTEs), restricted to pairs that
+    // straddle the benchmark boundary. Set-equal to the asymmetric
+    // banded join: band candidacy and the cosine verify are symmetric,
+    // and the sides are disjoint, so each straddling unordered pair
+    // appears exactly once on each side.
+    Some(s"""
+      WITH ${VectorQueries.duckEmbPairsCtes},
+      contam AS (
+        SELECT b_id AS vec_id FROM vf WHERE a_id % 20 = 0 AND b_id % 20 <> 0
+        UNION
+        SELECT a_id AS vec_id FROM vf WHERE b_id % 20 = 0 AND a_id % 20 <> 0)
+      SELECT label, COUNT(*) AS n_train,
+             CAST(SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_contam,
+             CAST(SUM(CASE WHEN c.vec_id IS NOT NULL THEN emb.vec_id
+               ELSE 0 END) AS BIGINT) AS contam_id_sum
+      FROM embeddings emb LEFT JOIN contam c ON emb.vec_id = c.vec_id
+      WHERE emb.vec_id % 20 <> 0
+      GROUP BY label
+      ORDER BY label"""),
+    notes = "embedding-side benchmark decontamination (paraphrase leakage the n-gram check misses): benchmark slice broadcast with vectors, banded candidates verified by exact cosine in-stream, per-label contaminated-train accounting; oracle reuses the shared vf pair CTE restricted to boundary-straddling pairs")
+
   /** Repetition filter (the C4/RefinedWeb doc-internal quality heuristic):
     * a document whose trigrams repeat heavily is boilerplate or spam.
     * distinct/total trigram ratio in exact basis points, per held-out-size
@@ -1700,7 +1783,8 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(sampleSplit, samplePerClass, quantilesExact,
     mapFuncs, histogramPrices, pipelineCurate, pipelineCurateV2,
     pipelineIncremental,
-    pipelinePack, pipelineDecontaminate, textRepetition, pipelineRedact,
+    pipelinePack, pipelineDecontaminate, pipelineDecontaminateSem,
+    textRepetition, pipelineRedact,
     sampleTemperature, sampleMixture, pipelineAttrition, pipelineShardBalance,
     quantilesWeighted, pipelineDatasetCard, sampleEpochs, sampleStratified,
     pipelineKanonymity, pipelineUrlDedup, sampleWeightedPriority,

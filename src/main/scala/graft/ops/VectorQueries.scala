@@ -220,8 +220,18 @@ object VectorQueries {
   private[graft] def embBandRows(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       bitsPerBand: Int, nBands: Int, carryV: Boolean)
+      : org.apache.spark.sql.DataFrame =
+    embBandRowsOf(vecs(spark, dir), bitsPerBand, nBands, carryV)
+
+  /** [[embBandRows]] over an arbitrary (vec_id, v) frame — split out in
+    * r17 so `pipeline_decontaminate_sem` can band a corpus SLICE (its
+    * train/benchmark sides) through the same one-scan construction
+    * instead of carrying a private copy of the scaffolding.
+    */
+  private[graft] def embBandRowsOf(
+      e: org.apache.spark.sql.DataFrame,
+      bitsPerBand: Int, nBands: Int, carryV: Boolean)
       : org.apache.spark.sql.DataFrame = {
-    val e = vecs(spark, dir)
     val keep = if (carryV) Seq(col("vec_id"), col("v")) else Seq(col("vec_id"))
     val sig = e.select((keep :+
       signLsh(col("v"), nBands * bitsPerBand).as("sig")): _*)

@@ -105,4 +105,39 @@ class EmbBandSpec extends AnyFunSuite {
       s"4 bands found nothing beyond 2 (${four.size}) — buyback knob inert")
     assert((four -- truth).isEmpty, "12x4 verified pairs outside exact truth")
   }
+
+  test("semantic decontamination == verified pairs straddling the benchmark boundary") {
+    // pipeline_decontaminate_sem's asymmetric broadcast join (train bands
+    // probing the broadcast benchmark slice) must find EXACTLY the
+    // registry verified-pair set restricted to boundary-straddling pairs
+    // — the set-equivalence its oracle note claims. Aggregated the same
+    // way (per-label n_contam + contam_id_sum) so the comparison runs
+    // against the query's actual output shape.
+    import spark.implicits._
+    val bits = VectorQueries.autoEmbBits(
+      Tables.load(spark, sfDir, "embeddings").count())
+    val vf = VectorQueries.embVerifiedPairs(spark, sfDir, bits)
+    val expectIds = pairSet(vf).flatMap { case (a, b) =>
+      if (a % 20 == 0 && b % 20 != 0) Some(b)
+      else if (b % 20 == 0 && a % 20 != 0) Some(a)
+      else None
+    }
+    assert(expectIds.nonEmpty,
+      "no straddling verified pairs at sf0.001 — the check is vacuous")
+    val labelOf = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val expect = expectIds.groupBy(labelOf).map { case (l, ids) =>
+      l -> (ids.size.toLong, ids.sum)
+    }
+    val got = graft.ops.PipelineQueries.pipelineDecontaminateSem
+      .fn(spark, sfDir)
+      .filter(col("n_contam") > 0)
+      .select(col("label"), col("n_contam"), col("contam_id_sum"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (l, n, s) => l -> (n, s) }.toMap
+    assert(got == expect,
+      s"decontamination set diverged from the straddling verified pairs:\n" +
+        s"  got    $got\n  expect $expect")
+  }
 }
