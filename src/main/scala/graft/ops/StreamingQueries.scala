@@ -2546,6 +2546,22 @@ object StreamingQueries {
     } catch {
       case scala.util.control.NonFatal(_) => 10L * 1024 * 1024
     }
+    // Verify-join strategy is CORPUS-conditional, the text engine's rule
+    // (r17 — measured on THIS engine, BASELINE r17 log): below the
+    // threshold the whole vec table auto-broadcasts and the candidate
+    // stream never shuffles — dropping the r16 unconditional
+    // SHUFFLE_HASH hint there measured NEUTRAL-to-slightly-positive at
+    // sf0.1 (5.34 → 5.07 s min, inside the ±0.5 s window noise; the
+    // id-pair stream the hint exchanged is narrow, so the cost was
+    // small — unlike the text engine where the same forced hint cost
+    // 18%). Adopted anyway for one-rule parity: above the threshold,
+    // unhinted degrades to SortMergeJoin sorting candidate volume
+    // carrying 520 B vector arrays, so the hinted shape (store-side
+    // SHUFFLE_HASH build + batch-side broadcast) is the 100× plan —
+    // unchanged from r16 — and a session that disables auto-broadcast
+    // (-1) deliberately lands hinted. ~560 B/row = id + 64-double
+    // array + row overhead; count is metadata-only.
+    val bigCorpus = bcBytes <= 0 || emb.count() * 560L > bcBytes
     def readBands(sp: SparkSession, pbs: Seq[Int],
         minBid: Option[Long]): DataFrame =
       readOrEmpty(sp, bandsDir, org.apache.spark.sql.types.StructType(Seq(
@@ -2683,14 +2699,15 @@ object StreamingQueries {
             // they cannot duplicate held ids past the final distinct.
             val cand = candCross.unionByName(candSame)
               .select(col("a_id"), col("b_id"))
+            val aVecs = readVecs(sp, minBid).unionByName(
+                vs.select(col("vec_id"), col("v")))
+              .select(col("vec_id").as("a_id"), col("v").as("av"))
+            val bVecs = vs.select(col("vec_id").as("b_id"),
+              col("v").as("bv2"))
             cand
-              .join(readVecs(sp, minBid).unionByName(
-                  vs.select(col("vec_id"), col("v")))
-                .select(col("vec_id").as("a_id"), col("v").as("av"))
-                .hint("SHUFFLE_HASH"),
+              .join(if (bigCorpus) aVecs.hint("SHUFFLE_HASH") else aVecs,
                 Seq("a_id"))
-              .join(broadcast(
-                vs.select(col("vec_id").as("b_id"), col("v").as("bv2"))),
+              .join(if (bigCorpus) broadcast(bVecs) else bVecs,
                 Seq("b_id"))
               .filter(graft.Tables.basisPoints(
                 cosine(col("av"), col("bv2"))) >= 1000)
