@@ -140,6 +140,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_decontaminate_sem: benchmark side broadcasts, cosine verify fused into the join") {
+    val plan = planOf("pipeline_decontaminate_sem")
+    // the whole scale posture: the benchmark slice (band keys + vectors)
+    // is the BUILD side of a broadcast join and the exact-cosine verify
+    // runs as that join's condition — the candidate×vector intermediate
+    // must never surface as its own exchanged stage. (The final
+    // contam-set left-outer may plan SMJ statically; AQE demotes it —
+    // not gated here.)
+    assert(plan.split("\n").exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("cosine_similarity")),
+      s"benchmark band join lost its broadcast+fused-verify shape:\n$plan")
+  }
+
   test("vector_outliers: top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = planOf("vector_outliers")
     assert(plan.contains("TakeOrderedAndProject"), plan)
