@@ -1626,6 +1626,51 @@ object StreamingQueries {
     walk(new java.io.File(dir))
   }
 
+  /** The SESSION's auto-broadcast threshold in BYTES, negative when auto
+    * broadcast is disabled — the one rule both store engines' join-regime
+    * probes compare against. Spark stores the conf as a STRING and its
+    * own parser (ConfigHelpers.byteFromString) strips a leading '-'
+    * before calling JavaUtils.byteStringAsBytes; byteStringAsBytes("-1")
+    * itself THROWS, so the previous bare try/byteStringAsBytes silently
+    * turned the disabled sentinel (-1) into the 10 MB fallback and the
+    * "a disabled-auto-broadcast session lands in the hinted regime"
+    * guarantee (r15 ADVICE) was false in exactly those sessions (r17
+    * review finding — both engines carried the bug). Mirror Spark's own
+    * sign handling; fall back to Spark's 10 MB default only for a value
+    * neither parser would accept.
+    */
+  private[graft] def sessionBroadcastThreshold(spark: SparkSession): Long = {
+    val s = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    try {
+      val neg = s.startsWith("-")
+      val mag = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        if (neg) s.stripPrefix("-") else s)
+      if (neg) -mag else mag
+    } catch {
+      case scala.util.control.NonFatal(_) => 10L * 1024 * 1024
+    }
+  }
+
+  /** Feasibility cap for the verify joins' EXPLICIT batch-side broadcast
+    * (sigs/vectors, ~560 B/row): past it the engines degrade to the
+    * linear SHUFFLE_HASH fallback instead of an unbounded driver build.
+    * Deliberately NOT the session's auto-broadcast threshold: that knob
+    * tunes when the PLANNER should pick broadcasts on its own (10 MB
+    * default — conservative), while this build is an engineered choice
+    * whose alternative is exchanging CANDIDATE-volume rows carrying the
+    * sig/vector column (~540 B × up to ~170 M rows/batch at the 100×
+    * replay ≈ 90 GB — measured off-limits in r15/r16; the broadcast
+    * shape exists precisely so only narrow id pairs are ever exchanged).
+    * 256 MB: far under Spark's 8 GB broadcast hard limit and typical
+    * driver headroom, far over any replay batch here (100× ≈ 47 MB).
+    * The sys-prop override exists for the plan-invariance spec, which
+    * must drive the fallback path at fixture scale.
+    */
+  private[graft] def maxBatchBroadcastBytes: Long =
+    sys.props.get("graft.maxBatchBroadcastBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+
   private[graft] def neardupStoreRun(spark: SparkSession, name: String,
       docs: DataFrame, incoming: String,
       retainBatches: Option[Int] = None,
@@ -1682,12 +1727,7 @@ object StreamingQueries {
     // session that disables auto-broadcast (-1, several specs) must land
     // in the hinted regime, or both verify joins fall back to unhinted
     // SortMergeJoin — the regression mode the probe exists to prevent.
-    val bcBytes = try {
-      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    } catch {
-      case scala.util.control.NonFatal(_) => 10L * 1024 * 1024
-    }
+    val bcBytes = sessionBroadcastThreshold(spark)
     val bigCorpus = bcBytes <= 0 || docs.count() * 560L > bcBytes
     try {
       val held = runSink(spark, name) {
@@ -1854,10 +1894,30 @@ object StreamingQueries {
               .select(col("doc_id").as("a_id"), col("sig").as("sa"))
             val bSigs = sigs.select(col("doc_id").as("b_id"),
               col("lang"), col("sig").as("sb"))
-            val verified0 = cand
-              .join(if (bigCorpus) aSigs.hint("SHUFFLE_HASH") else aSigs,
-                Seq("a_id"))
-              .join(if (bigCorpus) broadcast(bSigs) else bSigs, Seq("b_id"))
+            // batch-fit probe for the b-side broadcast (the embdup twin's
+            // r17 rule — the batch sig broadcast is ~560 B/row and grows
+            // with the trigger, a build no store bound caps): counted on
+            // the CHECKPOINTED sigs (O(cached partitions), not an enrich
+            // recompute), and lazily — only the big-corpus regime reads
+            // it. Oversized batch → the linear fallback: batch side
+            // attaches by SHUFFLE_HASH first while the pair stream is
+            // narrow, then the store side; one exchange of candidate
+            // volume carrying one sig column, spillable where the
+            // broadcast build is a driver/executor OOM.
+            lazy val batchFits =
+              sigs.count() * 560L <= maxBatchBroadcastBytes
+            if (timing) System.err.println(s"[storetiming] $name " +
+              s"b=$batchId regime big=$bigCorpus fits=$batchFits")
+            val verifyIn =
+              if (!bigCorpus)
+                cand.join(aSigs, Seq("a_id")).join(bSigs, Seq("b_id"))
+              else if (batchFits)
+                cand.join(aSigs.hint("SHUFFLE_HASH"), Seq("a_id"))
+                  .join(broadcast(bSigs), Seq("b_id"))
+              else
+                cand.join(bSigs.hint("SHUFFLE_HASH"), Seq("b_id"))
+                  .join(aSigs.hint("SHUFFLE_HASH"), Seq("a_id"))
+            val verified0 = verifyIn
               // early-exit predicate form: at the 100× verify volume the
               // dominant class is FAILING pairs, which exit after ~20 of
               // 64 positions instead of scanning the full signature
@@ -2526,8 +2586,8 @@ object StreamingQueries {
     // vectors — a compaction-class rewrite of an O(corpus) narrow table,
     // not a per-batch cost. bitsOverride is the measurement hook ONLY
     // (StoreEndurance A/Bs the knob in-stream); registry runs derive.
-    val embBits = bitsOverride.getOrElse(
-      VectorQueries.autoEmbBits(emb.count()))
+    val nVecs = emb.count() // metadata-only; shared by bits + regime probe
+    val embBits = bitsOverride.getOrElse(VectorQueries.autoEmbBits(nVecs))
     val storeDir = Files.createTempDirectory("graft-emb-store").toString
     val bandsDir = s"$storeDir/bands"
     val vecsDir = s"$storeDir/vecs"
@@ -2540,12 +2600,7 @@ object StreamingQueries {
     // build size against it, so a session that disables auto-broadcast
     // (-1) lands in the hinted SHUFFLE_HASH regime instead of falling
     // back to an unhinted SortMergeJoin
-    val bcBytes = try {
-      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    } catch {
-      case scala.util.control.NonFatal(_) => 10L * 1024 * 1024
-    }
+    val bcBytes = sessionBroadcastThreshold(spark)
     // Verify-join strategy is CORPUS-conditional, the text engine's rule
     // (r17 — measured on THIS engine, BASELINE r17 log): below the
     // threshold the whole vec table auto-broadcasts and the candidate
@@ -2561,7 +2616,7 @@ object StreamingQueries {
     // unchanged from r16 — and a session that disables auto-broadcast
     // (-1) deliberately lands hinted. ~560 B/row = id + 64-double
     // array + row overhead; count is metadata-only.
-    val bigCorpus = bcBytes <= 0 || emb.count() * 560L > bcBytes
+    val bigCorpus = bcBytes <= 0 || nVecs * 560L > bcBytes
     def readBands(sp: SparkSession, pbs: Seq[Int],
         minBid: Option[Long]): DataFrame =
       readOrEmpty(sp, bandsDir, org.apache.spark.sql.types.StructType(Seq(
@@ -2704,11 +2759,36 @@ object StreamingQueries {
               .select(col("vec_id").as("a_id"), col("v").as("av"))
             val bVecs = vs.select(col("vec_id").as("b_id"),
               col("v").as("bv2"))
-            cand
-              .join(if (bigCorpus) aVecs.hint("SHUFFLE_HASH") else aVecs,
-                Seq("a_id"))
-              .join(if (bigCorpus) broadcast(bVecs) else bVecs,
-                Seq("b_id"))
+            // The b-side broadcast is BATCH-sized vectors (~560 B/row) —
+            // a bigger build than the band table the candidate gate just
+            // sized (r17 review finding: gating the 96 B/row build while
+            // broadcasting the 560 B/row one unconditionally closes
+            // nothing). Three regimes: small corpus → unhinted (the vec
+            // table auto-broadcasts, zero exchanges); big corpus + batch
+            // under the threshold (every production-sized trigger) → the
+            // measured shape: store-side SHUFFLE_HASH build probed by the
+            // narrow pair stream, batch vectors broadcast, verify fused,
+            // nothing wide exchanged; big corpus + OVERSIZED batch → the
+            // LINEAR fallback: attach the batch side by SHUFFLE_HASH
+            // FIRST (pair stream exchanges narrow ids on b_id, build is
+            // batch/partitions rows per task), then the store side — one
+            // exchange of candidate volume carrying one vector column,
+            // linear and spillable where the broadcast build is a
+            // driver/executor OOM. The bound is [[maxBatchBroadcastBytes]]
+            // (a feasibility cap), NOT the session's auto threshold —
+            // this build is an engineered choice whose alternative
+            // exchanges candidate volume wide (rationale at the cap).
+            val batchFits = batchRows * 560L <= maxBatchBroadcastBytes
+            val verifyIn =
+              if (!bigCorpus)
+                cand.join(aVecs, Seq("a_id")).join(bVecs, Seq("b_id"))
+              else if (batchFits)
+                cand.join(aVecs.hint("SHUFFLE_HASH"), Seq("a_id"))
+                  .join(broadcast(bVecs), Seq("b_id"))
+              else
+                cand.join(bVecs.hint("SHUFFLE_HASH"), Seq("b_id"))
+                  .join(aVecs.hint("SHUFFLE_HASH"), Seq("a_id"))
+            verifyIn
               .filter(graft.Tables.basisPoints(
                 cosine(col("av"), col("bv2"))) >= 1000)
               .select(col("b_id").as("vec_id")).distinct()

@@ -722,6 +722,63 @@ class StreamingSpec extends AnyFunSuite {
       s"held set diverged from the arrival rule: extra=${held -- expected}, missed=${expected -- held}")
   }
 
+  test("store engines: join regimes are plan-invariant; -1 threshold parses negative") {
+    import org.apache.spark.sql.functions._
+    val S = graft.ops.StreamingQueries
+    val sfDir = "/root/testdata/sf0.001"
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.get(key)
+    try {
+      // the -1 sentinel must parse NEGATIVE: byteStringAsBytes alone
+      // throws on the sign, and the old silent 10 MB fallback un-disabled
+      // the hinted regime in exactly the sessions that asked for it
+      // (r17 review finding)
+      spark.conf.set(key, "-1")
+      assert(S.sessionBroadcastThreshold(spark) == -1L)
+      spark.conf.set(key, "10MB")
+      assert(S.sessionBroadcastThreshold(spark) == 10L * 1024 * 1024)
+      spark.conf.set(key, "1048576")
+      assert(S.sessionBroadcastThreshold(spark) == 1048576L)
+      // tiny threshold → big-corpus AND oversized-batch regimes fire in
+      // both engines (SHUFFLE_HASH candidate joins + the linear verify
+      // fallback: batch side attached first, no broadcast). The held
+      // sets are SEMANTICS and must not move with the plan regime.
+      def embHeld(): Set[Long] = S.streamEmbdupVerified.fn(spark, sfDir)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      def textHeld(): Set[(Long, Int)] =
+        S.streamNeardupVerified.fn(spark, sfDir)
+          .select(col("doc_id"), col("tier")).collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+      spark.conf.set(key, "1024")
+      val (embTiny, textTiny) = (embHeld(), textHeld())
+      // oversized-batch regime: shrink the explicit-broadcast feasibility
+      // cap so the verify joins take the linear SHUFFLE_HASH fallback
+      // (threshold still tiny → candidate joins stay SHUFFLE_HASH too)
+      System.setProperty("graft.maxBatchBroadcastBytes", "1024")
+      val (embFallback, textFallback) = (embHeld(), textHeld())
+      System.clearProperty("graft.maxBatchBroadcastBytes")
+      spark.conf.set(key, orig)
+      val (embDefault, textDefault) = (embHeld(), textHeld())
+      for ((got, name) <- Seq((embTiny, "embdup shj"),
+          (embFallback, "embdup linear-fallback"))) {
+        assert(got == embDefault,
+          s"$name held set moved with the join regime: " +
+            s"extra=${got -- embDefault} missed=${embDefault -- got}")
+      }
+      for ((got, name) <- Seq((textTiny, "text shj"),
+          (textFallback, "text linear-fallback"))) {
+        assert(got == textDefault,
+          s"$name held set moved with the join regime: " +
+            s"extra=${got -- textDefault} missed=${textDefault -- got}")
+      }
+      assert(embDefault.nonEmpty && textDefault.nonEmpty,
+        "fixture produced empty held sets — invariance check is vacuous")
+    } finally {
+      System.clearProperty("graft.maxBatchBroadcastBytes")
+      spark.conf.set(key, orig)
+    }
+  }
+
   test("sig-table compaction: geometric trigger collapses files, rows identical, marker gates recompaction") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
