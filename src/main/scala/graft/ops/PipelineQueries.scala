@@ -281,28 +281,48 @@ object PipelineQueries {
     (spark, dir) => {
       val budget = 10L
       val t = split(col("text"), " ")
+      // label each checkpoint's materialization jobs (guide §1.5): a
+      // five-checkpoint query is unreadable in job-level profiles otherwise
+      def ckpt(df: org.apache.spark.sql.DataFrame, label: String) = {
+        spark.sparkContext.setJobDescription(s"curate_v2: $label")
+        try df.localCheckpoint()
+        finally spark.sparkContext.setJobDescription(null)
+      }
       // the ONE tokenization pass, shared by all four stages
-      val base = graft.Tables.spreadIfNarrow(load(spark, dir, "documents")
+      val base = ckpt(graft.Tables.spreadIfNarrow(load(spark, dir, "documents")
           .select(col("doc_id"), col("lang"), col("text")))
         .select(col("doc_id"), col("lang"), t.as("t"),
           size(t).cast(LongType).as("n_tok"),
           length(regexp_replace(col("text"), " ", "")).cast(LongType)
-            .as("n_nonspace"))
-        .localCheckpoint()
+            .as("n_nonspace")), "base tokenize")
       // stage 1: CCNet bucket — add-one bigram LM trained on the en slice,
-      // exact integer -log2 bits (text_ccnet_bucket's scoring verbatim)
+      // exact integer -log2 bits (text_ccnet_bucket's scoring verbatim).
+      // r17: the bigram explode is the index form (explode(sequence) +
+      // element_at, whole-stage codegen) instead of the struct-HOF form
+      // (transform(sequence, lambda), which evaluates INTERPRETED via
+      // CodegenFallback — measured ~15 task-seconds per pass at sf0.1,
+      // ~7 after the rewrite). Deliberately NOT checkpointed even though
+      // three subtrees consume it: materializing the 265 k-row gram frame
+      // costs ~7 ts to write and ~10-16 ts per consumer to re-read
+      // (row-granular cache reads are slower than the codegen recompute
+      // from the 5 k-row base checkpoint — measured both ways; the
+      // checkpointed variant benched FLAT, the recompute form −16%).
       val grams = base.filter(col("n_tok") >= 2)
+        .select(col("doc_id"), col("lang"), col("t"),
+          explode(expr("sequence(1, size(t) - 1)")).as("i"))
         .select(col("doc_id"), col("lang"),
-          explode(expr("""transform(sequence(1, size(t) - 1),
-            i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"""))
-            .as("p"))
-        .select(col("doc_id"), col("lang"),
-          col("p.a").as("a"), col("p.b").as("b"))
+          expr("element_at(t, i)").as("a"),
+          expr("element_at(t, i + 1)").as("b"))
       val lm = grams.filter(col("lang") === "en")
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pair"))
       val lmA = lm.groupBy(col("a")).agg(sum(col("n_pair")).as("n_a"))
       val vRow = lm.agg(countDistinct(col("b")).as("v"))
-      val scored = grams
+      // scored IS checkpointed (contrast grams above): it is doc-keyed
+      // and tiny (one row per scoreable doc) while its upstream — the
+      // gram recompute plus two corpus-stream joins — is the most
+      // expensive chain in the query, and two consumers (the tercile
+      // histogram and the gophered join) would each replay it
+      val scored = ckpt(grams
         .join(lm, Seq("a", "b"), "left")
         .join(lmA, Seq("a"), "left")
         .crossJoin(broadcast(vRow))
@@ -313,7 +333,7 @@ object PipelineQueries {
         .groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("n_big"), sum(col("nlp_bits")).as("snlp"))
         .select(col("doc_id"), col("lang"),
-          expr("(snlp * 100) div n_big").as("score_cb"))
+          expr("(snlp * 100) div n_big").as("score_cb")), "LM score")
       val hist = scored.groupBy(col("lang"), col("score_cb"))
         .agg(count(lit(1)).as("nd"))
       val wOrd = Window.partitionBy(col("lang")).orderBy(col("score_cb"))
@@ -329,7 +349,7 @@ object PipelineQueries {
       // same pass that attaches the stage-1 bucket (unscoreable docs,
       // n_tok < 2, take the tail bucket: they cannot clear a perplexity
       // gate they cannot be scored by)
-      val gophered = base
+      val gophered = ckpt(base
         .join(scored.join(broadcast(buckets), Seq("lang", "score_cb"))
           .select(col("doc_id"), col("bucket")), Seq("doc_id"), "left")
         .withColumn("bucket", coalesce(col("bucket"), lit(2L)))
@@ -348,8 +368,7 @@ object PipelineQueries {
         // build, quota ranking via s2/s3, verdict rollup) would otherwise
         // each replay the scored join + the rlike/intersect predicate HOFs
         .select(col("doc_id"), col("lang"), col("t"), col("n_tok"),
-          col("bucket"), col("p_gopher"))
-        .localCheckpoint()
+          col("bucket"), col("p_gopher")), "gopher gate")
       // stage 3: MinHash near-dup over stage-2 survivors only — row-local
       // signatures from the SHARED token frame (no re-tokenize), banded
       // candidates, fold verify, removable = has a smaller-id partner
@@ -358,12 +377,33 @@ object PipelineQueries {
       // over the SHARED token frame — the row-local HOF form exists for
       // streaming operator composition and evaluates interpreted; here
       // the extra doc-keyed shuffle is survivor-sized and the codegen
-      // aggregate wins (measured: 9.2 → see BASELINE)
-      val sigs = DedupQueries.minhashSignaturesFromToks(
-          s2.select(col("doc_id"), col("lang"),
-            explode(array_distinct(col("t"))).as("tok")))
-        .localCheckpoint()
+      // aggregate wins (measured: 9.2 → see BASELINE).
+      // r17: repartition the survivors on doc_id BEFORE the token explode —
+      // the gophered checkpoint materializes with the AQE-coalesced
+      // partitioning of its join (ONE partition at sf0.1), which made this
+      // stage, the heaviest per-row compute in the query, single-threaded
+      // (JobProfile: one 1.4 s single-task job). Exchanging the narrow doc
+      // rows pre-explode also REPLACES the post-explode token-stream
+      // exchange (HashPartitioning(doc_id) satisfies the signature agg's
+      // (doc_id, lang) clustering), so the shuffle moves BEFORE the ×|doc|
+      // row multiplication — strictly fewer bytes at any scale.
+      val nShuf = spark.sessionState.conf.numShufflePartitions
+      val sigs = ckpt(DedupQueries.minhashSignaturesFromToks(
+          s2.select(col("doc_id"), col("lang"), col("t"))
+            .repartition(nShuf, col("doc_id"))
+            .select(col("doc_id"), col("lang"),
+              explode(array_distinct(col("t"))).as("tok"))), "minhash sigs")
+      // r17: pin the band table's partitioning on the join key (explicit
+      // count — REPARTITION_BY_NUM is exempt from AQE coalescing). The
+      // band table is tiny by BYTES (16 rows/doc) so AQE coalesced its
+      // exchange to ONE partition, but the self-join multiplies it to
+      // ~4.3 M candidate rows on this near-dup-dense corpus (plan
+      // metrics) — all inside that one task, ~1.2 s serialized. AQE
+      // coalesces on input size and cannot see join multiplication; the
+      // explicit key-aligned repartition spreads the explosion and is
+      // reused by BOTH self-join sides (one exchange total).
       val bands = DedupQueries.bandsFromSig(sigs, DedupQueries.MinhashBands)
+        .repartition(nShuf, col("band"), col("bh"), col("lang"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))

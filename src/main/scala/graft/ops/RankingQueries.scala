@@ -487,10 +487,21 @@ object RankingQueries {
           .select(col("doc_id"), col("lang"), col("text")))
         .select(col("doc_id"), (col("lang") === "en").as("tgt"),
           split(col("text"), " ").as("t"))
-        // slice(t, 1, size-1) is empty for 1-token docs, so no CASE guard
-        .select(col("doc_id"), col("tgt"), explode(expr(
-          """concat(t, transform(slice(t, 1, size(t) - 1),
-               (x, i) -> concat(x, ' ', element_at(t, i + 2))))""")).as("f"))
+        // r17: index-form unigram+bigram explode — i ≤ n is the unigram
+        // t[i], i > n the bigram t[i−n] ⊔ t[i−n+1] (for n = 1 the sequence
+        // is just [1], so 1-token docs emit their unigram only, exactly
+        // like the old empty slice()). The old concat(t, transform(...))
+        // HOF built the whole feature array per row INTERPRETED
+        // (CodegenFallback); this stays inside whole-stage codegen. Both
+        // consumers (stats, scoring) recompute it: measured faster than
+        // checkpointing the 500 k-row feature frame (see
+        // pipeline_curate_v2's grams note).
+        .select(col("doc_id"), col("tgt"), col("t"),
+          explode(expr("sequence(1, 2 * size(t) - 1)")).as("i"))
+        .select(col("doc_id"), col("tgt"), expr(
+          """CASE WHEN i <= size(t) THEN element_at(t, i)
+             ELSE concat(element_at(t, i - size(t)), ' ',
+                         element_at(t, i - size(t) + 1)) END""").as("f"))
         .select(col("doc_id"), col("tgt"),
           (RollingHash(col("f")) % 1048573 % 256).as("b"))
       val stats = feats.groupBy(col("b"))
@@ -641,10 +652,17 @@ object RankingQueries {
           (col("n_tok") >= 30 &&
             expr("(n_dis * 10000) div n_tok") >= 2500 &&
             expr("(n_stop * 10000) div n_tok").between(200, 2500)).as("good"))
+      // r17: same index-form unigram+bigram explode + one materialized
+      // feature pass as text_dsir_select (see its comment) — the labeling
+      // HOFs and the feature explode otherwise replay for both the
+      // stats aggregate and the scoring join
       val feats = labeled
-        .select(col("doc_id"), col("good"), explode(expr(
-          """concat(t, transform(slice(t, 1, size(t) - 1),
-               (x, i) -> concat(x, ' ', element_at(t, i + 2))))""")).as("f"))
+        .select(col("doc_id"), col("good"), col("t"),
+          explode(expr("sequence(1, 2 * size(t) - 1)")).as("i"))
+        .select(col("doc_id"), col("good"), expr(
+          """CASE WHEN i <= size(t) THEN element_at(t, i)
+             ELSE concat(element_at(t, i - size(t)), ' ',
+                         element_at(t, i - size(t) + 1)) END""").as("f"))
         .select(col("doc_id"), col("good"),
           (RollingHash(col("f")) % 1048573 % 256).as("b"))
       val stats = feats.groupBy(col("b"))
@@ -795,12 +813,19 @@ object RankingQueries {
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"), col("lang"), col("t"),
           size(col("t")).cast("long").as("n_tok"))
+      // r17: index-form bigram explode — explode(sequence) + element_at
+      // stays inside whole-stage codegen; the struct-HOF transform(...)
+      // form evaluates interpreted via CodegenFallback (measured ~15
+      // task-seconds per pass at sf0.1, ~7 after the rewrite). The LM
+      // build and the scored join each re-run the explode by design:
+      // materializing the gram frame was measured SLOWER (row-granular
+      // cache reads cost more than the codegen recompute — see
+      // pipeline_curate_v2's grams comment).
       val grams = base.select(col("doc_id"), col("lang"), col("n_tok"),
-          explode(expr("""transform(sequence(1, size(t) - 1),
-            i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"""))
-            .as("p"))
+          col("t"), explode(expr("sequence(1, size(t) - 1)")).as("i"))
         .select(col("doc_id"), col("lang"), col("n_tok"),
-          col("p.a").as("a"), col("p.b").as("b"))
+          expr("element_at(t, i)").as("a"),
+          expr("element_at(t, i + 1)").as("b"))
       val lm = grams.filter(col("lang") === "en")
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pair"))
       val lmA = lm.groupBy(col("a")).agg(sum(col("n_pair")).as("n_a"))

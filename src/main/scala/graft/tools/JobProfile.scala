@@ -33,8 +33,11 @@ object JobProfile {
         val d = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
+        // job callsites are all "count at ..."; the stage callsites carry
+        // the query-source line of the action that materialized them
+        val sites = e.stageInfos.map(_.name).distinct.mkString(" | ")
         jobs.synchronized {
-          jobs(e.jobId) = Job(e.jobId, d, e.time)
+          jobs(e.jobId) = Job(e.jobId, (d + " " + sites).trim, e.time)
           e.stageIds.foreach(s => stageToJob(s) = e.jobId)
         }
       }
@@ -53,6 +56,28 @@ object JobProfile {
           }
         }
     }
+    // walk the AQE-final executed plan printing per-node row/time metrics —
+    // the no-UI substitute for the SQL tab (only covers the final segment
+    // of checkpointed queries; earlier segments live in the job rows above)
+    def dumpMetrics(p: org.apache.spark.sql.execution.SparkPlan,
+        depth: Int): Unit = {
+      val m = p.metrics
+      def g(k: String) = m.get(k).map(_.value)
+      val rows = g("numOutputRows").map(v => s" rows=$v").getOrElse("")
+      val parts = g("numPartitions").map(v => s" parts=$v").getOrElse("")
+      val times = m.filter(_._1.toLowerCase.contains("time"))
+        .map { case (k, v) => s"$k=${v.value}" }.mkString(" ")
+      println(s"[planmetrics] ${"  " * depth}${p.nodeName}$rows$parts $times")
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          dumpMetrics(a.executedPlan, depth + 1)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          dumpMetrics(q.plan, depth + 1)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          println(s"[planmetrics] ${"  " * (depth + 1)}(reused: ${r.child.nodeName})")
+        case _ => p.children.foreach(dumpMetrics(_, depth + 1))
+      }
+    }
     val registry = graft.SparkEntry.queries
     names.foreach { name =>
       val fn = registry.getOrElse(name, sys.error(s"unknown query: $name"))
@@ -60,8 +85,11 @@ object JobProfile {
       jobs.synchronized { jobs.clear(); stageToJob.clear() }
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      df.collect()
       val wall = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("GRAFT_PLAN_METRICS"))
+        dumpMetrics(df.queryExecution.executedPlan, 0)
       Thread.sleep(500) // let the listener bus drain the tail of task events
       spark.sparkContext.removeSparkListener(listener)
       println(f"[jobprofile] $name wall=$wall%.3f jobs=${jobs.size}")
