@@ -992,8 +992,16 @@ $trajectory),
     * (node, lbl) table, the checkpointed adjacency, and the round count. */
   private[graft] def labelPropConvergeState(
       spark: org.apache.spark.sql.SparkSession, dir: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long) =
+    labelPropLoop(sparseTradeEdges(spark, dir))
+
+  /** The LP loop over an arbitrary symmetric (u, v) edge frame — the spec
+    * entry point (the fused-loop odd-round test drives a hand path graph
+    * through it).
+    */
+  private[graft] def labelPropLoop(edges0: org.apache.spark.sql.DataFrame):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long) = {
-    val adj = sparseTradeEdges(spark, dir)
+    val adj = edges0
       .repartition(col("u"))
       .localCheckpoint() // reused by every round
     var labels = adj.select(col("u").as("node")).distinct()
@@ -1001,12 +1009,48 @@ $trajectory),
       .localCheckpoint()
     var moved = 1L
     var rounds = 0L
+    // r17: TWO supersteps per materialization — the loop's cost is
+    // per-round fixed overhead on KB-sized label tables (the pagerankLoop
+    // measurement), so halving the checkpoint + moved-scalar actions
+    // halves the wall. Superstep 2 consumes superstep 1 lazily in one
+    // bounded-depth plan and carries lbl₁/moved₁ through its merge join,
+    // so one aggregate reads both moved counts and an early exit at
+    // round 1 recovers lbl₁ from the same checkpoint. The round
+    // accounting replays the original one-round loop exactly (the LP
+    // oracle states the fixpoint AND the round count independently).
     while (moved > 0 && rounds < 40) {
-      val stepped = labelPropStep(adj, labels).localCheckpoint()
-      moved = stepped.agg(coalesce(sum(col("moved")), lit(0L)))
-        .first().getLong(0)
-      rounds += 1
-      labels = stepped.select(col("node"), col("lbl"))
+      if (rounds + 1 >= 40) { // odd tail at the guard
+        val stepped = labelPropStep(adj, labels).localCheckpoint()
+        moved = stepped.agg(coalesce(sum(col("moved")), lit(0L)))
+          .first().getLong(0)
+        rounds += 1
+        labels = stepped.select(col("node"), col("lbl"))
+      } else {
+        val s1 = labelPropStep(adj, labels) // lazy: fused into s2's plan
+        val msgs2 = adj
+          .join(s1.select(col("node").as("v"), col("lbl")), Seq("v"))
+          .groupBy(col("u").as("node")).agg(min(col("lbl")).as("nb"))
+        val s2 = s1.withColumnRenamed("moved", "m1")
+          .join(msgs2, Seq("node"), "left")
+          .select(col("node"), col("lbl").as("lbl1"), col("m1"),
+            least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl2"),
+            (col("nb") < col("lbl")).cast("long").as("m2"))
+          .localCheckpoint()
+        // s1 is a left join over `labels` and s2 a left join over s1, so
+        // both cover the full node set: summing the carried m1 over s2
+        // equals summing it over s1
+        val row = s2.agg(coalesce(sum(col("m1")), lit(0L)),
+          coalesce(sum(col("m2")), lit(0L))).first()
+        rounds += 1
+        moved = row.getLong(0)
+        if (moved > 0 && rounds < 40) { // superstep 2 counts
+          rounds += 1
+          moved = row.getLong(1)
+          labels = s2.select(col("node"), col("lbl2").as("lbl"))
+        } else { // fixpoint confirmed at superstep 1: its labels
+          labels = s2.select(col("node"), col("lbl1").as("lbl"))
+        }
+      }
     }
     (labels, adj, rounds)
   }
@@ -1083,6 +1127,12 @@ $trajectory),
   private[graft] def pagerankConvergeState(
       spark: org.apache.spark.sql.SparkSession, dir: String):
       (org.apache.spark.sql.DataFrame, Long, Long) =
+    // Measured and rejected r17: disabling AQE for the loop (static plans,
+    // one scheduler job per materialization instead of one per exchange)
+    // reads 25.5 s vs 6.7 — the static 32-partition stages pay the host's
+    // per-TASK fixed cost 32× per exchange, far more than AQE's ~35 ms
+    // per-stage driver latency; AQE's coalesce-to-one-task is load-bearing
+    // on KB-sized loop frames.
     pagerankLoop(sparseTradeEdges(spark, dir))
 
   /** The PR loop over an arbitrary symmetric (u, v) edge frame — the spec
@@ -1105,26 +1155,66 @@ $trajectory),
     val eps = 100L * ranks.count()
     var l1 = Long.MaxValue
     var rounds = 0L
-    while (l1 >= eps && rounds < PrConvergeGuard) {
-      val stepped = edges.join(ranks, col("src") === col("node"))
+    // one recurrence step from a (node, rank_bp, ...) table: (node, new
+    // rank, |Δ|) — rank' = 1500 + (85·Σ(rank div outdeg)) div 100
+    def step(r: org.apache.spark.sql.DataFrame, rankOut: String,
+        deltaOut: String) =
+      edges.join(r, col("src") === col("node"))
         .select(col("dst"), expr("rank_bp div outdeg").as("contrib"))
         .groupBy(col("dst"))
-        .agg((lit(1500L) + expr("(85L * sum(contrib)) div 100L")).as("rank_bp"))
-        .join(ranks.select(col("node"), col("rank_bp").as("prev")),
+        .agg((lit(1500L) + expr("(85L * sum(contrib)) div 100L")).as("rb"))
+        .join(r.select(col("node"), col("rank_bp").as("prev")),
           col("dst") === col("node"))
-        .select(col("node"), col("rank_bp"),
-          abs(col("rank_bp") - col("prev")).as("delta"))
-        .localCheckpoint()
-      l1 = stepped.agg(coalesce(sum(col("delta")), lit(0L)))
-        .first().getLong(0)
-      rounds += 1
-      val prev = ranks
-      ranks = stepped.select(col("node"), col("rank_bp"))
-      // the superseded round's checkpoint is dead once `stepped` is
-      // materialized (r13 ADVICE: up to guard-many pinned frames per
-      // invocation otherwise accumulate until JVM exit); the frame is
-      // invocation-local, so no concurrent reader can hold it
-      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(prev)
+        .select(col("node"), col("rb").as(rankOut),
+          abs(col("rb") - col("prev")).as(deltaOut))
+    // r17: TWO rounds per materialization. The loop's cost at any SF is
+    // per-round fixed overhead (JobProfile: 272 scheduler/AQE jobs per
+    // invocation, ~35 ms each, on KB-sized frames), so halving the
+    // checkpoint + convergence-scalar actions halves the loop's wall.
+    // Round 2 consumes round 1 LAZILY inside one plan (depth stays
+    // bounded at 2 — the unbounded-loop rule is per-BLOCK now) and
+    // carries round 1's rank and |Δ| through its prev-join, so ONE
+    // aggregate reads both L1s and the early-exit round-1 table is
+    // recoverable from the same checkpoint; the round accounting below
+    // replays the original one-round loop exactly (GraphConvergenceSpec
+    // pins the trajectory against a driver-side reference).
+    while (l1 >= eps && rounds < PrConvergeGuard) {
+      if (rounds + 1 >= PrConvergeGuard) { // odd tail at the guard
+        val stepped = step(ranks, "rank_bp", "delta").localCheckpoint()
+        l1 = stepped.agg(coalesce(sum(col("delta")), lit(0L)))
+          .first().getLong(0)
+        rounds += 1
+        val prev = ranks
+        ranks = stepped.select(col("node"), col("rank_bp"))
+        org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(prev)
+      } else {
+        val s1 = step(ranks, "rank_bp", "d1") // lazy: fused into s2's plan
+        val s2 = step(s1, "r2", "d2")
+          .join(s1.select(col("node").as("n1"), col("rank_bp").as("r1"),
+            col("d1")), col("node") === col("n1"))
+          .select(col("node"), col("r1"), col("d1"), col("r2"), col("d2"))
+          .localCheckpoint()
+        // the graph is symmetric (indeg ≥ 1 everywhere), so every round's
+        // join is total and s2 covers the full node set — summing round
+        // 1's carried deltas over s2 equals summing them over s1
+        val row = s2.agg(coalesce(sum(col("d1")), lit(0L)),
+          coalesce(sum(col("d2")), lit(0L))).first()
+        val prev = ranks
+        rounds += 1
+        l1 = row.getLong(0)
+        if (l1 >= eps && rounds < PrConvergeGuard) { // round 2 counts
+          rounds += 1
+          l1 = row.getLong(1)
+          ranks = s2.select(col("node"), col("r2").as("rank_bp"))
+        } else { // converged (or guard) at round 1: its table, not round 2's
+          ranks = s2.select(col("node"), col("r1").as("rank_bp"))
+        }
+        // the superseded round's checkpoint is dead once `s2` is
+        // materialized (r13 ADVICE: up to guard-many pinned frames per
+        // invocation otherwise accumulate until JVM exit); the frame is
+        // invocation-local, so no concurrent reader can hold it
+        org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(prev)
+      }
     }
     // the edges checkpoint is loop-local too (review pass: the final ranks
     // derive only from the last stepped checkpoint) — free it on exit

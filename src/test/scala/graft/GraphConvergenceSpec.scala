@@ -80,6 +80,40 @@ class GraphConvergenceSpec extends AnyFunSuite {
     assert(rounds === 2L, s"expected 2 rounds, got $rounds")
   }
 
+  test("pagerank fused loop: odd-round convergence takes the round-1 early exit") {
+    import spark.implicits._
+    // a triangle is 2-regular, so the recurrence is a fixpoint at round 1:
+    // every rank stays 10000 (contrib sum = 2·(10000 div 2), rank' = 1500 +
+    // 85·10000 div 100 = 10000), L1 = 0 < eps — rounds must read 1, an ODD
+    // count, which the r17 two-rounds-per-materialization loop serves from
+    // the carried round-1 columns of the fused checkpoint (the early-exit
+    // arm a trajectory that always converges on an even round never runs).
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val (ranks, rounds, l1) = graft.ops.RelationalQueries2.pagerankLoop(edges)
+    assert(rounds === 1L, s"triangle should converge at round 1, got $rounds")
+    assert(l1 === 0L, s"triangle round-1 L1 should be 0, got $l1")
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 10000L, 2L -> 10000L, 3L -> 10000L),
+      s"triangle ranks should stay uniform 10000, got $got")
+  }
+
+  test("labelprop fused loop: odd-round convergence takes the superstep-1 early exit") {
+    import spark.implicits._
+    // path 1-2-3: min-label propagation needs max-BFS-dist-from-min + 1 =
+    // 3 supersteps (labels move in rounds 1 and 2; round 3 confirms) — an
+    // ODD count, served from the carried superstep-1 columns of the second
+    // fused block's checkpoint.
+    val und = Seq((1L, 2L), (2L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val (labels, _, rounds) =
+      graft.ops.RelationalQueries2.labelPropLoop(edges)
+    assert(rounds === 3L, s"path 1-2-3 should converge in 3 rounds, got $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"all labels should collapse to 1, got $got")
+  }
+
   test("pagerank converge matches a driver-side integer reference on a hand graph") {
     import spark.implicits._
     // asymmetric-degree hand graph: path 1-2-3-4 plus the chord 2-4. The
