@@ -129,32 +129,44 @@ object TextQueries2 {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("root", col("id"))
       .localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 10) {
+    // one propagate-then-double round over an (id, root) table; `moved`
+    // reports the propagate half's movement
+    def step(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val neighborMin = edges
-        .join(labels, col("src") === col("id"))
+        .join(l, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("root")).as("nb_root"))
-      val stepped = labels
+      val stepped = l
         .join(neighborMin, col("id") === col("dst"), "left")
         .select(col("id"),
           least(col("root"), coalesce(col("nb_root"), col("root"))).as("root"),
           (col("nb_root") < col("root")).cast("long").as("moved"))
       // pointer doubling: follow one hop of the label table itself
       val rootOf = stepped.select(col("id").as("r_id"), col("root").as("r_root"))
-      val next = stepped
+      stepped
         .join(rootOf, col("root") === col("r_id"), "left")
         .select(col("id"),
           least(col("root"), coalesce(col("r_root"), col("root"))).as("root"),
           col("moved"))
-      val materialized = next.localCheckpoint()
+    }
+    var changed = 1L
+    var rounds = 0
+    // r17: TWO rounds per materialization + convergence check — the loop's
+    // cost at bench scale is per-round fixed overhead (the pagerankLoop
+    // measurement), and unlike the converge queries the round count is NOT
+    // part of any output here, so no per-round carry is needed: rounds past
+    // the fixpoint are no-ops on the label table, and the SECOND step's
+    // moved-sum alone decides convergence (step₂ moved = 0 ⟺ its input was
+    // already the fixpoint). Guard unchanged at 10 total steps.
+    while (changed > 0 && rounds < 10) {
+      val materialized = step(step(labels).select(col("id"), col("root")))
+        .localCheckpoint()
       // sum over ZERO rows is NULL (empty pair graph — possible under a
       // regenerated or less-duplicated fixture); coalesce before getLong
       // or the fixpoint check NPEs
       changed = materialized.agg(coalesce(sum(col("moved")), lit(0L)))
         .first().getLong(0)
       labels = materialized.select(col("id"), col("root"))
-      rounds += 1
+      rounds += 2
     }
     labels
   }

@@ -24,7 +24,8 @@ object JobProfile {
     spark.range(1000).selectExpr("sum(id)").collect()
 
     final case class Job(id: Int, var desc: String, var t0: Long = 0L,
-      var t1: Long = 0L, var taskMs: Long = 0L, var shufRead: Long = 0L,
+      var t1: Long = 0L, var taskMs: Long = 0L, var cpuMs: Long = 0L,
+      var gcMs: Long = 0L, var deserMs: Long = 0L, var shufRead: Long = 0L,
       var shufWrite: Long = 0L, var tasks: Int = 0)
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
     val stageToJob = mutable.Map.empty[Int, Int]
@@ -50,6 +51,9 @@ object JobProfile {
             val m = e.taskMetrics
             if (m != null) {
               j.taskMs += m.executorRunTime
+              j.cpuMs += m.executorCpuTime / 1000000L
+              j.gcMs += m.jvmGCTime
+              j.deserMs += m.executorDeserializeTime
               j.shufRead += m.shuffleReadMetrics.totalBytesRead
               j.shufWrite += m.shuffleWriteMetrics.bytesWritten
             }
@@ -95,7 +99,9 @@ object JobProfile {
       println(f"[jobprofile] $name wall=$wall%.3f jobs=${jobs.size}")
       jobs.values.foreach { j =>
         println(f"[jobprofile]   job=${j.id}%3d wall=${(j.t1 - j.t0) / 1e3}%7.3f " +
-          f"taskSec=${j.taskMs / 1e3}%8.3f tasks=${j.tasks}%4d " +
+          f"taskSec=${j.taskMs / 1e3}%8.3f cpuSec=${j.cpuMs / 1e3}%8.3f " +
+          f"gcSec=${j.gcMs / 1e3}%6.3f deserSec=${j.deserMs / 1e3}%6.3f " +
+          f"tasks=${j.tasks}%4d " +
           f"shufR=${j.shufRead / 1e6}%8.2f MB shufW=${j.shufWrite / 1e6}%8.2f MB  ${j.desc.take(60)}")
       }
     }
