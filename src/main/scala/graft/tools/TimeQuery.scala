@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   * plan once per query (e.g. `-explain graph_bfs`). With `-executed`,
   * prints the post-run executedPlan instead — the AQE-final tree, the only
   * place runtime decisions (ReusedExchange, skew splits, SMJ→BHJ demotions)
-  * are visible.
+  * are visible. With `-allplans`, prints the executedPlan of EVERY
+  * execution the query runs (loop-internal checkpoints/aggregates too).
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
@@ -20,7 +21,9 @@ object TimeQuery {
     val reps = args(1).toInt
     val explain = args.contains("-explain")
     val executed = args.contains("-executed")
-    val names = args.drop(2).filterNot(a => a == "-explain" || a == "-executed")
+    val allPlans = args.contains("-allplans")
+    val names = args.drop(2).filterNot(a =>
+      a == "-explain" || a == "-executed" || a == "-allplans")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,6 +33,23 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
+    // -allplans: print the AQE-final executedPlan of EVERY execution the
+    // query triggers — including loop-internal localCheckpoint / collect /
+    // first() materializations that never surface in the query's own
+    // executedPlan. This is the only repo-side way to verify runtime
+    // exchange reuse inside a convergence loop's fused block.
+    if (allPlans) spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          println(s"\n--- execution [$funcName] ${durationNs / 1000000} ms ---")
+          println(qe.executedPlan.toString)
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     val registry = graft.SparkEntry.queries
     names.foreach { name =>
       val fn = registry.getOrElse(name, sys.error(s"unknown query: $name"))
