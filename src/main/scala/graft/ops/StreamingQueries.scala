@@ -1729,6 +1729,31 @@ object StreamingQueries {
     // SortMergeJoin — the regression mode the probe exists to prevent.
     val bcBytes = sessionBroadcastThreshold(spark)
     val bigCorpus = bcBytes <= 0 || docs.count() * 560L > bcBytes
+    // r18 (guide §2.6, overlap independent jobs): the two store APPENDS are
+    // ~0.7 s/batch of commit-bound work (GRAFT_STORE_TIMING: bwrite ≈ 0.6 s,
+    // swrite ≈ 0.13 s steady at sf0.1) that nothing in the SAME batch reads
+    // — the held output is already written, and the next batch only touches
+    // the store at its compaction probe / candidate joins, AFTER ~0.7 s of
+    // row-local sig+bands work. Pipeline them: the writes (and the expiry
+    // drop + endurance snapshot that must follow them) run on a one-thread
+    // pool while the stream starts the next trigger; the next batch AWAITS
+    // the handoff before its first store access, so every read still sees
+    // exactly the prior batches' appends — the arrival-rule semantics are
+    // byte-identical, only the idle gap between batches absorbs the commit.
+    // A failed write surfaces at the next await (or the post-stream one
+    // below), failing the run loudly. The writes plan under whatever conf
+    // the session holds when the pool gets to them (batch sizing if the
+    // future starts instantly, restored stream sizing otherwise): either
+    // way repartition(w, pb) keeps ≤1 file per touched dir and the work is
+    // commit-bound, so the layout contract is conf-independent.
+    val storeWritePool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val pendingStoreWrite =
+      new java.util.concurrent.atomic.AtomicReference[
+        java.util.concurrent.Future[_]](null)
+    def awaitStoreWrites(): Unit = {
+      val f = pendingStoreWrite.getAndSet(null)
+      if (f != null) f.get() // rethrows a failed write as ExecutionException
+    }
     try {
       val held = runSink(spark, name) {
         val stream = spark.readStream.schema(docs.schema)
@@ -1755,6 +1780,10 @@ object StreamingQueries {
             // store), so claw back the adaptive engine for them
             sp.conf.set("spark.sql.adaptive.enabled", "true")
             try {
+            // the previous batch's pipelined store writes must be durable
+            // before ANYTHING here lists or reads the store (the compaction
+            // probes walk it, the candidate joins scan it)
+            awaitStoreWrites()
             // small-files maintenance FIRST (see compactStoreBands): a
             // batch-start trigger means the rewrite is always read back by
             // this batch's candidate joins — compacting after the final
@@ -1957,25 +1986,44 @@ object StreamingQueries {
             // included — held docs still witness later arrivals. The bid
             // stamp is the batch id (arrival retention) unless the caller
             // supplied an event-bucket rule (event-time retention).
+            // PIPELINED (see storeWritePool above): scheduled here, awaited
+            // at the next batch's first store access — both frames are
+            // checkpointed, so the writes read pinned partitions, never a
+            // recompute racing this thread.
             val bidCol = retainBatches.map(_ =>
               eventBid.fold(lit(batchId))(f => f(batchId)))
-            writeStoreBands(batchBands, bandsDir, bidCol)
-            mark("bwrite")
-            writeStoreSigs(sigs, sigsDir, bidCol)
-            mark("swrite")
-            // physical expiry AFTER this batch's reads: batch b+1 needs
-            // bids >= b+1-k, so everything below that floor is dead
-            // (under event-time bids this also reclaims late rows that
-            // arrived this batch already below the floor)
-            retainBatches.foreach { k =>
-              dropExpiredBids(bandsDir, batchId + 1 - k)
-              dropExpiredBids(sigsDir, batchId + 1 - k)
-            }
-            onBatch.foreach(f => f(BatchStats(batchId,
-              (System.nanoTime() - tBatch0) / 1000000L,
-              countParquetFiles(bandsDir), countParquetFiles(sigsDir),
-              compactionsRun.get(), sigCompactionsRun.get(),
-              retentionDrops.get())))
+            pendingStoreWrite.set(storeWritePool.submit(new Runnable {
+              override def run(): Unit = {
+                // the pool thread inherited the STREAMING query's job group
+                // (thread-locals copy at thread creation): detach, or the
+                // engine's stop() after the final batch cancels the
+                // in-flight write mid-commit (measured: SPARK_JOB_CANCELLED
+                // on the last swrite). Own group + label per batch instead.
+                sp.sparkContext.setJobGroup(s"$name-storewrite",
+                  s"$name pipelined store write b=$batchId")
+                writeStoreBands(batchBands, bandsDir, bidCol)
+                mark("bwrite")
+                writeStoreSigs(sigs, sigsDir, bidCol)
+                mark("swrite")
+                // physical expiry AFTER this batch's reads: batch b+1 needs
+                // bids >= b+1-k, so everything below that floor is dead
+                // (under event-time bids this also reclaims late rows that
+                // arrived this batch already below the floor)
+                retainBatches.foreach { k =>
+                  dropExpiredBids(bandsDir, batchId + 1 - k)
+                  dropExpiredBids(sigsDir, batchId + 1 - k)
+                }
+                // endurance snapshot rides the write thread: wallMs now
+                // spans batch start → store writes durable (the honest
+                // per-batch cost; the overlap only moves WHEN it is paid),
+                // and the file counts are post-write as before
+                onBatch.foreach(f => f(BatchStats(batchId,
+                  (System.nanoTime() - tBatch0) / 1000000L,
+                  countParquetFiles(bandsDir), countParquetFiles(sigsDir),
+                  compactionsRun.get(), sigCompactionsRun.get(),
+                  retentionDrops.get())))
+              }
+            }))
             } finally {
               sp.conf.set("spark.sql.shuffle.partitions", streamPartitions)
               sp.conf.set("spark.sql.adaptive.enabled", streamAqe)
@@ -2003,11 +2051,19 @@ object StreamingQueries {
                 org.apache.spark.sql.types.IntegerType, nullable = false))))
         else spark.read.parquet(heldDir)
       }
+      // the FINAL batch's pipelined writes must land (or fail loudly)
+      // before this run is declared done and its store swept away
+      awaitStoreWrites()
       // pin the (small) held set into block-manager memory BEFORE the
       // scaffolding deletes below pull the lazy parquet read's files out
       // from under it (a LogicalRDD carries partition data; callers sort)
       held.localCheckpoint()
     } finally {
+      // a crashed run may leave a write in flight: drain it (ignoring its
+      // error — the primary exception is already propagating) so the
+      // deletes below don't race a live writer, then stop the pool
+      scala.util.Try(awaitStoreWrites())
+      storeWritePool.shutdown()
       // per-run scaffolding (r11 ADVICE low): the slice replay dir, the
       // accumulated signature store, the held-rows spool, and the stream
       // checkpoint are all run-local — without this, every bench/verify
