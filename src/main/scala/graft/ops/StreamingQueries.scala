@@ -2673,6 +2673,18 @@ object StreamingQueries {
     // (-1) deliberately lands hinted. ~560 B/row = id + 64-double
     // array + row overhead; count is metadata-only.
     val bigCorpus = bcBytes <= 0 || nVecs * 560L > bcBytes
+    // pipelined store appends (guide §2.6), the text engine's r18 shape:
+    // the two appends + expiry are commit-bound work nothing in the same
+    // batch reads; they overlap the next trigger's row-local sig/band work
+    // and are awaited before the next batch's first store access
+    val storeWritePool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val pendingStoreWrite =
+      new java.util.concurrent.atomic.AtomicReference[
+        java.util.concurrent.Future[_]](null)
+    def awaitStoreWrites(): Unit = {
+      val f = pendingStoreWrite.getAndSet(null)
+      if (f != null) f.get()
+    }
     def readBands(sp: SparkSession, pbs: Seq[Int],
         minBid: Option[Long]): DataFrame =
       readOrEmpty(sp, bandsDir, org.apache.spark.sql.types.StructType(Seq(
@@ -2697,7 +2709,8 @@ object StreamingQueries {
           .select(col("vec_id"), col("v"))
       }
     pinThenClean(incoming, storeDir, heldDir, ckpt) {
-      runSink(spark, name) {
+      try {
+      val held = runSink(spark, name) {
         val stream = spark.readStream.schema(emb.schema)
           .option("maxFilesPerTrigger", "1").parquet(incoming)
         stream.writeStream
@@ -2776,6 +2789,10 @@ object StreamingQueries {
             // per partition. ~48 B/row = 20 B data (id + band + bv) +
             // hashed-relation overhead. GRAFT_CAND_JOIN ("bcast"|"shj")
             // is the measurement-only override, the text engine's knob.
+            // the previous batch's pipelined appends must be durable before
+            // the store reads below list it (everything above is row-local
+            // batch work — the overlap window the pipeline exists for)
+            awaitStoreWrites()
             val bbB = bb.select(col("band"), col("bv"),
               col("vec_id").as("b_id"))
             val candShj = sys.env.get("GRAFT_CAND_JOIN") match {
@@ -2850,38 +2867,50 @@ object StreamingQueries {
               .select(col("b_id").as("vec_id")).distinct()
               .write.mode("append").parquet(heldDir)
             // append AFTER the reads: held vectors still witness later
-            // arrivals (the removable-set closure, as in the text engine)
-            retainBatches match {
-              case None =>
-                bb.repartition(col("pb"))
-                  .write.mode("append").partitionBy("pb").parquet(bandsDir)
-                vs.select(col("vec_id"), col("v"))
-                  .write.mode("append").parquet(vecsDir)
-              case Some(k) =>
-                // retention layout: bid OUTERMOST so expiry is one dir
-                // drop — writeStoreBands' discipline on the emb schema
-                bb.withColumn("bid", lit(batchId))
-                  .repartition(col("pb"))
-                  .write.mode("append").partitionBy("bid", "pb")
-                  .parquet(bandsDir)
-                vs.select(col("vec_id"), col("v"))
-                  .withColumn("bid", lit(batchId))
-                  .write.mode("append").partitionBy("bid").parquet(vecsDir)
-                // physical expiry AFTER this batch's reads: batch b+1
-                // needs bids >= b+1-k
-                dropExpiredBids(bandsDir, batchId + 1 - k)
-                dropExpiredBids(vecsDir, batchId + 1 - k)
-            }
-            // sigFiles carries the VEC table's file count here (the emb
-            // store's second table), and the compaction counters are
-            // hard ZERO: this engine runs no compaction (retention bounds
-            // its files), and threading the TEXT engine's JVM-global
-            // counters through would report a prior text run's activity
-            // as this store's (r15 ADVICE)
-            onBatch.foreach(f => f(BatchStats(batchId,
-              (System.nanoTime() - tBatch0) / 1000000L,
-              countParquetFiles(bandsDir), countParquetFiles(vecsDir),
-              0L, 0L, retentionDrops.get())))
+            // arrivals (the removable-set closure, as in the text engine).
+            // PIPELINED (storeWritePool above): scheduled here, awaited at
+            // the next batch's first store access; both frames are
+            // checkpointed, so the writes read pinned partitions
+            pendingStoreWrite.set(storeWritePool.submit(new Runnable {
+              override def run(): Unit = {
+                // detach from the streaming query's inherited job group or
+                // the engine's stop() cancels the final in-flight commit
+                sp.sparkContext.setJobGroup(s"$name-storewrite",
+                  s"$name pipelined store write b=$batchId")
+                retainBatches match {
+                  case None =>
+                    bb.repartition(col("pb"))
+                      .write.mode("append").partitionBy("pb").parquet(bandsDir)
+                    vs.select(col("vec_id"), col("v"))
+                      .write.mode("append").parquet(vecsDir)
+                  case Some(k) =>
+                    // retention layout: bid OUTERMOST so expiry is one dir
+                    // drop — writeStoreBands' discipline on the emb schema
+                    bb.withColumn("bid", lit(batchId))
+                      .repartition(col("pb"))
+                      .write.mode("append").partitionBy("bid", "pb")
+                      .parquet(bandsDir)
+                    vs.select(col("vec_id"), col("v"))
+                      .withColumn("bid", lit(batchId))
+                      .write.mode("append").partitionBy("bid").parquet(vecsDir)
+                    // physical expiry AFTER this batch's reads: batch b+1
+                    // needs bids >= b+1-k
+                    dropExpiredBids(bandsDir, batchId + 1 - k)
+                    dropExpiredBids(vecsDir, batchId + 1 - k)
+                }
+                // sigFiles carries the VEC table's file count here (the emb
+                // store's second table), and the compaction counters are
+                // hard ZERO: this engine runs no compaction (retention bounds
+                // its files), and threading the TEXT engine's JVM-global
+                // counters through would report a prior text run's activity
+                // as this store's (r15 ADVICE). wallMs spans batch start →
+                // store writes durable (the text engine's r18 convention)
+                onBatch.foreach(f => f(BatchStats(batchId,
+                  (System.nanoTime() - tBatch0) / 1000000L,
+                  countParquetFiles(bandsDir), countParquetFiles(vecsDir),
+                  0L, 0L, retentionDrops.get())))
+              }
+            }))
             } finally {
               sp.conf.set("spark.sql.shuffle.partitions", streamPartitions)
               sp.conf.set("spark.sql.adaptive.enabled", streamAqe)
@@ -2900,6 +2929,14 @@ object StreamingQueries {
               org.apache.spark.sql.types.StructField("vec_id",
                 org.apache.spark.sql.types.LongType))))
         else spark.read.parquet(heldDir)
+      }
+      // the FINAL batch's pipelined writes must land (or fail loudly)
+      // before pinThenClean sweeps the store away
+      awaitStoreWrites()
+      held
+      } finally {
+        scala.util.Try(awaitStoreWrites())
+        storeWritePool.shutdown()
       }
     }
   }
