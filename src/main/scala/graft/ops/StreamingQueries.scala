@@ -3011,8 +3011,22 @@ object StreamingQueries {
       val ckpt = Files.createTempDirectory("graft-scq-ck").toString
       val incoming = stageDocRangeSlices(docs, 3)
       val batchPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+      // pipelined state appends (guide §2.6, the store engines' r18 shape):
+      // the fp/count appends are commit tail work; they overlap the next
+      // trigger's row-local gate scoring and are awaited before the next
+      // batch's first state read
+      val storeWritePool =
+        java.util.concurrent.Executors.newSingleThreadExecutor()
+      val pendingStoreWrite =
+        new java.util.concurrent.atomic.AtomicReference[
+          java.util.concurrent.Future[_]](null)
+      def awaitStoreWrites(): Unit = {
+        val f = pendingStoreWrite.getAndSet(null)
+        if (f != null) f.get()
+      }
       val verdicts = pinThenClean(incoming, storeDir, spoolDir, ckpt) {
-        runSink(spark, "stream_curate_quota") {
+        try {
+        val held = runSink(spark, "stream_curate_quota") {
           val stream = spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", "1").parquet(incoming)
           stream.writeStream
@@ -3049,6 +3063,9 @@ object StreamingQueries {
                 // touched fp buckets → static partition filter (O(1) rows)
                 val pbs = gatepass.select(col("pb")).distinct()
                   .collect().map(_.getInt(0)).toSeq
+                // the previous batch's pipelined appends must be durable
+                // before the state reads below list the store
+                awaitStoreWrites()
                 val storeFps = readOrEmpty(sp, fpDir,
                   org.apache.spark.sql.types.StructType(Seq(
                     org.apache.spark.sql.types.StructField("fp",
@@ -3102,14 +3119,24 @@ object StreamingQueries {
                 verdictRows.write.mode("append").parquet(spoolDir)
                 // state appends AFTER the reads: first occurrences enter
                 // the fp store (dups add nothing new), admitted counts
-                // extend the budget state
-                admitted.select(col("fp"), col("pb"))
-                  .repartition(col("pb"))
-                  .write.mode("append").partitionBy("pb").parquet(fpDir)
-                admitted.filter(col("admit"))
-                  .groupBy(col("lang")).agg(count(lit(1)).as("n"))
-                  .coalesce(1)
-                  .write.mode("append").parquet(cntDir)
+                // extend the budget state. PIPELINED (storeWritePool
+                // above): `admitted` is checkpointed, so the writes read
+                // pinned partitions; awaited before the next batch's reads
+                pendingStoreWrite.set(storeWritePool.submit(new Runnable {
+                  override def run(): Unit = {
+                    // detach from the streaming query's inherited job group
+                    // or stop() cancels the final in-flight commit
+                    sp.sparkContext.setJobGroup("stream_curate_quota-storewrite",
+                      "stream_curate_quota pipelined state append")
+                    admitted.select(col("fp"), col("pb"))
+                      .repartition(col("pb"))
+                      .write.mode("append").partitionBy("pb").parquet(fpDir)
+                    admitted.filter(col("admit"))
+                      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+                      .coalesce(1)
+                      .write.mode("append").parquet(cntDir)
+                  }
+                }))
               } finally {
                 sp.conf.set("spark.sql.shuffle.partitions", streamPartitions)
                 sp.conf.set("spark.sql.adaptive.enabled", streamAqe)
@@ -3120,6 +3147,14 @@ object StreamingQueries {
             .trigger(Trigger.AvailableNow()).start()
         } {
           spark.read.parquet(spoolDir)
+        }
+        // the FINAL batch's pipelined appends must land (or fail loudly)
+        // before pinThenClean sweeps the store away
+        awaitStoreWrites()
+        held
+        } finally {
+          scala.util.Try(awaitStoreWrites())
+          storeWritePool.shutdown()
         }
       }
       verdicts.groupBy(col("lang"), col("verdict"))
