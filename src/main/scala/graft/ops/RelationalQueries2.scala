@@ -761,6 +761,15 @@ object RelationalQueries2 {
         .distinct()
       var e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
         .localCheckpoint()
+      // r18: examined and deliberately LEFT in the r16 shape after three
+      // measured rewrites all regressed or tied on interleaved same-window
+      // A/Bs (old 2.90/3.71 s min-of-3 vs: window-derived degrees 4.10 —
+      // the windows shuffle the edges twice per round where the broadcast
+      // semi-joins never shuffle them; lazy keep + scalar-collect rounds
+      // 4.19-4.31 — the scalar job re-runs the degree aggregate keep's
+      // checkpoint exists to pay once; keep checkpoint + scalar-collect
+      // tail 3.58-4.10 — a tie inside window noise with more moving
+      // parts). The 2-checkpoint round + lazy union tail stands.
       val rounds = (1 to 3).map { i =>
         // keep-set materialized once per round: it is referenced three
         // times (both semi-joins + the summary count) and would otherwise
@@ -859,25 +868,87 @@ object RelationalQueries2 {
   private[graft] def kcorePeelLoop(edges0: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Long) = {
+    // r18 (JobProfile: 108 jobs/invocation at sf0.1, every one a KB-sized
+    // ~40 ms scheduler round — 3 actions per round × 10 rounds + setup):
+    // TWO peel rounds per materialization, the pagerankLoop/labelPropLoop
+    // fusion applied to the peel. Round 1 stays lazy inside round 2's plan
+    // (endpoint degrees ride the edge rows as unordered windows, so the
+    // peel is a linear filter chain — no keep-table to pin), ONE
+    // localCheckpoint lands both rounds, round 2's keep count reads that
+    // checkpoint, and round 1's keep count is the one extra aggregate over
+    // the PREVIOUS checkpoint (it cannot be read off round 2's frame: a
+    // keep₁ node whose surviving neighbors all peeled has no edge left in
+    // e₁). 3 jobs per 2 rounds instead of 3 per round; the round
+    // accounting replays the one-round loop exactly (the trajectory and
+    // the guard/odd arms are pinned by GraphConvergenceSpec). Superseded
+    // checkpoints are unpersisted as each block lands (the old loop pinned
+    // every round's k and e to JVM exit).
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy(col("u"))
+    val wv = Window.partitionBy(col("v"))
+    def flag(e: org.apache.spark.sql.DataFrame) = e
+      .withColumn("du", count(lit(1)).over(wu))
+      .withColumn("dv", count(lit(1)).over(wv))
+    // keep-set of a flagged frame: nodes retaining degree >= 2
+    def keepOf(f: org.apache.spark.sql.DataFrame) =
+      f.filter(col("du") >= 2).select(col("u")).distinct()
     var e = edges0.localCheckpoint()
+    var pinned = e
     var nPrev = e.select(col("u")).distinct().count()
     var rounds = 0L
     var converged = false
-    var keep = e.select(col("u")).distinct().localCheckpoint()
+    var keep = e.select(col("u")).distinct()
     while (!converged && rounds < 16) {
-      val k = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= 2).select(col("u"))
-        .localCheckpoint()
-      val n = k.count()
-      rounds += 1
-      keep = k
-      if (n == nPrev) {
-        converged = true // nothing removed: e is already the induced core
+      if (rounds + 1 >= 16) { // odd tail at the guard
+        val f = flag(e).localCheckpoint()
+        val n = f.agg(countDistinct(when(col("du") >= 2, col("u"))))
+          .first().getLong(0)
+        rounds += 1
+        keep = keepOf(f)
+        if (n == nPrev) {
+          converged = true // nothing removed: e is already the induced core
+          org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(f)
+        } else {
+          e = f.filter(col("du") >= 2 && col("dv") >= 2)
+            .select(col("u"), col("v"))
+          org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(pinned)
+          pinned = f
+          nPrev = n
+        }
       } else {
-        e = e.join(k, Seq("u"), "left_semi")
-          .join(k.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-          .localCheckpoint()
-        nPrev = n
+        val e1 = flag(e).filter(col("du") >= 2 && col("dv") >= 2)
+          .select(col("u"), col("v")) // round 1, lazy: fused into f2's plan
+        val f2 = flag(e1).localCheckpoint()
+        // |keep₁| from the previous checkpoint (see note above); |keep₂|
+        // from f2 — the peel is monotone, so the count comparison IS the
+        // set-equality fixpoint test at both rounds
+        val n1 = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 2).count()
+        rounds += 1
+        if (n1 == nPrev) {
+          // round 1 removed nothing: e is already the induced core and
+          // round 2 (materialized speculatively — at the fixpoint e1 = e,
+          // so f2 cost one degree pass) is discarded unread
+          converged = true
+          keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+            .filter(col("d") >= 2).select(col("u"))
+          org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(f2)
+        } else {
+          val n2 = f2.agg(countDistinct(when(col("du") >= 2, col("u"))))
+            .first().getLong(0)
+          rounds += 1
+          keep = keepOf(f2)
+          if (n2 == n1) {
+            converged = true // round 2 removed nothing: e1 is the core
+            e = f2.select(col("u"), col("v"))
+          } else {
+            e = f2.filter(col("du") >= 2 && col("dv") >= 2)
+              .select(col("u"), col("v"))
+            nPrev = n2
+          }
+          org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(pinned)
+          pinned = f2
+        }
       }
     }
     (e, keep, rounds)
