@@ -642,20 +642,32 @@ object RankingQueries {
       import graft.functions.RollingHash
       val stop = Seq("the", "a", "and", "of", "in")
       val t = split(col("text"), " ")
+      // n_stop as Σ_s (size(t) − size(array_remove(t, s))): array_remove
+      // is whole-stage-codegen'd where the r17 `filter(t, x.isin(...))`
+      // HOF was an interpreted lambdafunction replayed in every consumer
+      // subtree (r17 verdict item 2 — 3 lambdafunction nodes survived in
+      // the after-plan). Each token equals at most one stopword, so the
+      // five occurrence counts sum to exactly the old membership count;
+      // split() never yields nulls, so array_remove's null-keeps-row
+      // caveat cannot bite.
+      val nStop = stop.map(s => size(t) - size(array_remove(t, s)))
+        .reduce(_ + _).cast("long")
       val labeled = graft.Tables.spreadIfNarrow(load(spark, dir, "documents")
           .select(col("doc_id"), col("text")))
         .select(col("doc_id"), t.as("t"),
           size(t).cast("long").as("n_tok"),
           size(array_distinct(t)).cast("long").as("n_dis"),
-          size(filter(t, x => x.isin(stop: _*))).cast("long").as("n_stop"))
+          nStop.as("n_stop"))
         .select(col("doc_id"), col("t"),
           (col("n_tok") >= 30 &&
             expr("(n_dis * 10000) div n_tok") >= 2500 &&
             expr("(n_stop * 10000) div n_tok").between(200, 2500)).as("good"))
-      // r17: same index-form unigram+bigram explode + one materialized
-      // feature pass as text_dsir_select (see its comment) — the labeling
-      // HOFs and the feature explode otherwise replay for both the
-      // stats aggregate and the scoring join
+      // r17: same index-form unigram+bigram explode as text_dsir_select —
+      // and, as there, `feats` is deliberately recomputed by its consumers
+      // (the stats aggregate and the scoring join) rather than
+      // checkpointed; the label expressions above are codegen'd row-local
+      // work, and the replayed aggregate exchange dedupes at runtime
+      // (ReusedExchange — see plans/r18)
       val feats = labeled
         .select(col("doc_id"), col("good"), col("t"),
           explode(expr("sequence(1, 2 * size(t) - 1)")).as("i"))
