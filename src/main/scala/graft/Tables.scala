@@ -101,6 +101,20 @@ object Tables {
     */
   def exactDiv(s: Column, n: Column): Column = s.cast("double") / n.cast("double")
 
+  /** Occurrence count of `words` in a token array, codegen-friendly:
+    * Σ_w (size(toks) − size(array_remove(toks, w))). `array_remove` is
+    * whole-stage-codegen'd where the `filter(toks, _.isin(words))` HOF it
+    * replaces evaluates as an interpreted lambdafunction (CodegenFallback)
+    * — measured r18 on text_quality_classifier: the interpreted form was
+    * that query's last non-codegen node and cost ~27% of its wall. Exact
+    * for null-free arrays (every `split()` output): each element equals at
+    * most one of `words`, so the per-word occurrence counts sum to the
+    * membership count. Sized for SHORT lists (the 3-5-word stopword
+    * profiles): each word is one O(n) codegen'd pass over the array.
+    */
+  def occurrenceCount(toks: Column, words: Seq[String]): Column =
+    words.map(w => size(toks) - size(array_remove(toks, w))).reduce(_ + _)
+
   /** Best-effort recursive delete for per-run temp scaffolding (staging
     * slices, accumulated stores, checkpoints). Never throws: a half-deleted
     * temp dir must not fail the query that already produced its result.

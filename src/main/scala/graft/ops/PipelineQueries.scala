@@ -201,8 +201,8 @@ object PipelineQueries {
       val toks = split(col("text"), " ")
       val quality = load(spark, dir, "documents")
         .withColumn("n_tok", size(toks))
-        .withColumn("n_stop", size(filter(toks,
-          t => t.isin("the", "a", "and", "of", "in"))))
+        .withColumn("n_stop", graft.Tables.occurrenceCount(toks,
+          Seq("the", "a", "and", "of", "in")))
         .filter(col("n_tok").between(20, 400) &&
           col("n_stop") * 2 < col("n_tok"))
       val kept = quality
@@ -971,7 +971,7 @@ object PipelineQueries {
         .select(col("doc_id"),
           size(toks).cast(LongType).as("n_tok"),
           size(array_distinct(toks)).cast(LongType).as("n_dis"),
-          size(filter(toks, t => t.isin(stop: _*))).cast(LongType).as("n_stop"))
+          graft.Tables.occurrenceCount(toks, stop).cast(LongType).as("n_stop"))
         .withColumn("dis_bp", floor(col("n_dis") * 10000 / col("n_tok")).cast(LongType))
         .withColumn("stop_bp", floor(col("n_stop") * 10000 / col("n_tok")).cast(LongType))
         .withColumn("verdict",

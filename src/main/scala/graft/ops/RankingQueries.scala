@@ -642,16 +642,10 @@ object RankingQueries {
       import graft.functions.RollingHash
       val stop = Seq("the", "a", "and", "of", "in")
       val t = split(col("text"), " ")
-      // n_stop as Σ_s (size(t) − size(array_remove(t, s))): array_remove
-      // is whole-stage-codegen'd where the r17 `filter(t, x.isin(...))`
-      // HOF was an interpreted lambdafunction replayed in every consumer
-      // subtree (r17 verdict item 2 — 3 lambdafunction nodes survived in
-      // the after-plan). Each token equals at most one stopword, so the
-      // five occurrence counts sum to exactly the old membership count;
-      // split() never yields nulls, so array_remove's null-keeps-row
-      // caveat cannot bite.
-      val nStop = stop.map(s => size(t) - size(array_remove(t, s)))
-        .reduce(_ + _).cast("long")
+      // codegen'd occurrence sum, not filter(isin) — the r17 interpreted
+      // lambdafunction replayed in every consumer subtree (r17 verdict
+      // item 2); rationale and exactness argument at Tables.occurrenceCount
+      val nStop = graft.Tables.occurrenceCount(t, stop).cast("long")
       val labeled = graft.Tables.spreadIfNarrow(load(spark, dir, "documents")
           .select(col("doc_id"), col("text")))
         .select(col("doc_id"), t.as("t"),

@@ -3045,8 +3045,8 @@ object StreamingQueries {
                       .as("fp"),
                     size(toks).cast("long").as("n_tok"),
                     size(array_distinct(toks)).cast("long").as("n_dis"),
-                    size(filter(toks, t => t.isin(
-                      "the", "a", "and", "of", "in"))).cast("long")
+                    graft.Tables.occurrenceCount(toks,
+                      Seq("the", "a", "and", "of", "in")).cast("long")
                       .as("n_stop"))
                   .withColumn("dis_bp",
                     floor(col("n_dis") * 10000 / col("n_tok")).cast("long"))

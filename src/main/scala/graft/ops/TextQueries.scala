@@ -28,7 +28,8 @@ object TextQueries {
           col("lang"), col("n_chars"),
           size(toks).as("n_tok"),
           size(array_distinct(toks)).as("n_distinct"),
-          size(filter(toks, t => t.isin(Stopwords: _*))).as("n_stop"))
+          // codegen'd occurrence sum, not filter(isin) — see occurrenceCount
+          Tables.occurrenceCount(toks, Stopwords).as("n_stop"))
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -64,7 +65,7 @@ object TextQueries {
     (spark, dir) => {
       val docs = load(spark, dir, "documents")
       val toks = split(col("text"), " ")
-      def hits(ws: Seq[String]) = size(filter(toks, t => t.isin(ws: _*)))
+      def hits(ws: Seq[String]) = Tables.occurrenceCount(toks, ws)
       val en = hits(Seq("the", "a", "of"))
       val qry = hits(Seq("query", "join", "filter"))
       val dat = hits(Seq("data", "row", "table"))

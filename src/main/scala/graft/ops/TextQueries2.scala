@@ -57,7 +57,7 @@ object TextQueries2 {
         .select(col("lang"),
           size(toks).cast("long").as("n_tok"),
           size(array_distinct(toks)).cast("long").as("n_dis"),
-          size(filter(toks, t => t.isin(stop: _*))).cast("long").as("n_stop"))
+          Tables.occurrenceCount(toks, stop).cast("long").as("n_stop"))
         .withColumn("dis_bp", floor(col("n_dis") * 10000 / col("n_tok")).cast("long"))
         .withColumn("stop_bp", floor(col("n_stop") * 10000 / col("n_tok")).cast("long"))
       scored
@@ -574,18 +574,25 @@ object TextQueries2 {
   val textLmCoverage = QueryDef(
     "text_lm_coverage",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // index-form explode (explode(sequence) + element_at), not the
+      // transform(sequence, lambda) struct-HOF: the lambda form evaluates
+      // interpreted (CodegenFallback) and this stream is consumed twice
+      // (r17's curate_v2/dsir/ccnet migration, applied here in r18)
       val bg = load(spark, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(t) - 1),
-               i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""))
-          .as("b"))
+        .select(col("doc_id"), col("t"),
+          explode(expr("sequence(1, size(t) - 1)")).as("i"))
+        .select(col("doc_id"),
+          expr("concat(element_at(t, i), ' ', element_at(t, i + 1))").as("b"))
+      // top-300 via orderBy+limit — Catalyst plans TakeOrderedAndProject
+      // (per-partition top-k + driver merge of 300-row heaps), where the
+      // r17 row_number window moved the ENTIRE bigram vocabulary to one
+      // partition (the Window.orderBy inventory's one corpus-sized site).
+      // Same rows: the (count desc, bigram) order is total, so the limit
+      // is exactly the rn <= 300 selection
       val top = bg.groupBy(col("b")).agg(count(lit(1)).as("c"))
-        .withColumn("rn",
-          row_number().over(Window.orderBy(col("c").desc, col("b"))))
-        .filter(col("rn") <= 300)
+        .orderBy(col("c").desc, col("b")).limit(300)
         .select(col("b")).withColumn("hit", lit(1))
       bg.join(broadcast(top), Seq("b"), "left")
         .groupBy(col("doc_id"))
