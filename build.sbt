@@ -37,18 +37,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // modest heap keeps re-using already-faulted pages. 16g is ~6× the whole
   // sf0.1 dataset — plenty — and benches 5-10× more stably than 64g here.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-) ++ (
-  // Pre-fault the whole heap at JVM start (-Xms = -Xmx + AlwaysPreTouch):
-  // the lazy first-touch provisioning above otherwise lands as random
-  // multi-second stalls INSIDE timed queries whenever G1 first allocates
-  // into a never-faulted region (measured: the same graph_kcore reads
-  // 2.7 s in a fresh JVM and 16-31 s late in a long query sequence).
-  // Pretouch moves the entire provisioning cost (measured 81 s for 16 g,
-  // ~21 GC threads in parallel) to JVM startup, which no per-query timer
-  // ever sees. Opt out with SPARK_GRAFT_PRETOUCH=0 for fast iteration
-  // (TimeQuery/Verify loops), where stall noise is handled by min-of-N.
-  if (sys.env.getOrElse("SPARK_GRAFT_PRETOUCH", "1") != "0")
+)
+// Pre-fault the whole heap at JVM start (-Xms = -Xmx + AlwaysPreTouch):
+// the lazy first-touch provisioning above otherwise lands as random
+// multi-second stalls INSIDE timed queries whenever G1 first allocates
+// into a never-faulted region (measured: the same graph_kcore reads
+// 2.7 s in a fresh JVM and 16-31 s late in a long query sequence).
+// Pretouch moves the entire provisioning cost (measured 81 s for 16 g,
+// ~21 GC threads in parallel) to JVM startup, which no per-query timer
+// ever sees. Scoped to `run` ONLY (Bench/Verify/TimeQuery all launch via
+// runMain, so the driver's bench JVM is unchanged): `sbt test` JVMs used
+// to pay the same 81 s by default for suites whose assertions don't time
+// anything (r17 ADVICE) — tests now default OFF. Both sides keep the env
+// override: SPARK_GRAFT_PRETOUCH=0 for fast run iteration (stall noise
+// handled by min-of-N), =1 to pretouch a timing-sensitive test run.
+def pretouchOpts(default: String): Seq[String] =
+  if (sys.env.getOrElse("SPARK_GRAFT_PRETOUCH", default) != "0")
     Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
       "-XX:+AlwaysPreTouch")
   else Seq.empty
-)
+run / javaOptions ++= pretouchOpts(default = "1")
+Test / javaOptions ++= pretouchOpts(default = "0")

@@ -1212,6 +1212,13 @@ $trajectory),
     * the same recurrence; the unrolled oracle restates the recurrence, so
     * only an independent implementation can catch a shared-arithmetic
     * bug).
+    *
+    * PRECONDITION (r17 ADVICE): `edges0` must be SYMMETRIC — every node
+    * has indeg ≥ 1, so each round's inner join is total and the fused
+    * block's carried-d1 sum over s2 equals the sum over s1. An asymmetric
+    * frame would silently drop zero-indegree nodes' deltas from round 1's
+    * L1 with no failure signal; callers own the doubling (the
+    * [[sparseTradeEdges]] UNION ALL), exactly as on [[labelPropLoop]].
     */
   private[graft] def pagerankLoop(edges0: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, Long, Long) = {
